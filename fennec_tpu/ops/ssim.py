@@ -1,0 +1,255 @@
+"""SSIM / SSIMFast / MS-SSIM — structural similarity on device.
+
+TPU-first formulation: the reference computes, per window position, a
+Gaussian-weighted mean/variance/covariance with two explicit 8×8 scalar
+loops sharded over goroutines (ssim.go:73-166).  Here the five statistic
+maps (mu_a, mu_b, E[a²], E[b²], E[ab]) are produced by ONE depthwise
+separable convolution pair over a 5-channel stack — XLA fuses the
+element-wise SSIM formula and the mean-reduction behind it, so the whole
+score is a single fused device program with no host round-trips.
+
+Window semantics replicate the reference exactly:
+  - 8×8 window over the half-open offset range [-4, 4) with Gaussian σ=1.5
+    weights (ssim.go:74-77, 223-241) — NOT a centered odd window;
+  - window centers y ∈ [4, h-4), x ∈ [4, w-4)  (ssim.go:110-111), which
+    drops the final "valid" position in each axis;
+  - Wang-et-al constants k1=0.01, k2=0.03, L=255 (ssim.go:11-17);
+  - images smaller than 8px fall back to global-moment pixelSSIM
+    (ssim.go:169-204);
+  - SSIMFast caps the max dimension at 512 via box downsample
+    (ssim.go:48-70); MS-SSIM uses 5 scales with the standard weights and
+    renormalizes when scales drop below 8px (ssim.go:313-365).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..image import to_nrgba_ref
+from .color import luminance_device
+from .filters import gaussian_window_1d
+from .resize import (
+    box_downsample_device,
+    box_resize_weights,
+    lanczos_resize,
+)
+
+Array = Union[np.ndarray, jax.Array]
+
+SSIM_K1 = 0.01
+SSIM_K2 = 0.03
+SSIM_L = 255.0
+SSIM_C1 = (SSIM_K1 * SSIM_L) ** 2
+SSIM_C2 = (SSIM_K2 * SSIM_L) ** 2
+WINDOW_SIZE = 8
+MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+# ── Device kernels ──────────────────────────────────────────────────────────
+
+
+def _sep_conv_valid(maps: jax.Array, g: jax.Array) -> jax.Array:
+    """Depthwise separable VALID convolution of (C, H, W) with 1D kernel g."""
+    c = maps.shape[0]
+    x = maps[None]  # (1, C, H, W)
+    kh = jnp.broadcast_to(g.reshape(1, 1, 1, -1), (c, 1, 1, g.shape[0]))
+    kv = jnp.broadcast_to(g.reshape(1, 1, -1, 1), (c, 1, g.shape[0], 1))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    # Precision.HIGHEST keeps the accumulation in true float32 on TPU
+    # (default matmul/conv precision downcasts inputs to bfloat16, which
+    # breaks the <1e-4 SSIM parity bound).
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
+    return x[0]
+
+
+def ssim_map_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
+    """Per-window SSIM map over centers [4, h-4) × [4, w-4).
+
+    Inputs: (H, W) float32 luminance in [0, 255], H > 8 and W > 8.
+    Output: (H-8, W-8) float32 map.
+    """
+    g = jnp.asarray(gaussian_window_1d(WINDOW_SIZE, 1.5), dtype=jnp.float32)
+    a, b = lum_a, lum_b
+    maps = jnp.stack([a, b, a * a, b * b, a * b])
+    stats = _sep_conv_valid(maps, g)
+    h, w = a.shape
+    # VALID conv yields H-7 × W-7 positions; the reference stops one short
+    # in each axis (ssim.go:110-111), so drop the last row/column.
+    stats = stats[:, : h - WINDOW_SIZE, : w - WINDOW_SIZE]
+    mu_a, mu_b, raw_aa, raw_bb, raw_ab = stats
+    sig_aa = raw_aa - mu_a * mu_a
+    sig_bb = raw_bb - mu_b * mu_b
+    sig_ab = raw_ab - mu_a * mu_b
+    num = (2.0 * mu_a * mu_b + SSIM_C1) * (2.0 * sig_ab + SSIM_C2)
+    den = (mu_a * mu_a + mu_b * mu_b + SSIM_C1) * (sig_aa + sig_bb + SSIM_C2)
+    return num / den
+
+
+@jax.jit
+def windowed_ssim_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
+    """Mean windowed SSIM (reference ssim.go:73-166). Shapes must be > 8."""
+    return jnp.mean(ssim_map_device(lum_a, lum_b))
+
+
+@jax.jit
+def pixel_ssim_device(img_a: jax.Array, img_b: jax.Array) -> jax.Array:
+    """Global-moment SSIM for tiny images (reference ssim.go:169-204).
+
+    Inputs: (H, W, 4) float32; luminance over RGB, population statistics.
+    """
+    la = luminance_device(img_a)
+    lb = luminance_device(img_b)
+    mu_a = jnp.mean(la)
+    mu_b = jnp.mean(lb)
+    da = la - mu_a
+    db = lb - mu_b
+    sig_aa = jnp.mean(da * da)
+    sig_bb = jnp.mean(db * db)
+    sig_ab = jnp.mean(da * db)
+    num = (2 * mu_a * mu_b + SSIM_C1) * (2 * sig_ab + SSIM_C2)
+    den = (mu_a * mu_a + mu_b * mu_b + SSIM_C1) * (sig_aa + sig_bb + SSIM_C2)
+    return num / den
+
+
+@jax.jit
+def ssim_images_device(img_a: jax.Array, img_b: jax.Array) -> jax.Array:
+    """Windowed SSIM of two (H, W, 4) float32 images (fused luminance)."""
+    return windowed_ssim_device(luminance_device(img_a),
+                                luminance_device(img_b))
+
+
+def ssim_fast_dims(w: int, h: int, max_dim: int = 512) -> Tuple[int, int]:
+    """Downsample target for SSIMFast (reference ssim.go:52-60)."""
+    if w <= max_dim and h <= max_dim:
+        return w, h
+    scale = max_dim / max(w, h)
+    new_w = int(max(8, math.floor(w * scale + 0.5)))
+    new_h = int(max(8, math.floor(h * scale + 0.5)))
+    return new_w, new_h
+
+
+@jax.jit
+def ssim_fast_downsampled_device(img_a: jax.Array, img_b: jax.Array,
+                                 wh: jax.Array, wv: jax.Array) -> jax.Array:
+    """SSIMFast inner: box-downsample both (H,W,4) images with the given
+    weight matrices, then windowed SSIM on luminance."""
+    a = box_downsample_device(img_a, wh, wv)
+    b = box_downsample_device(img_b, wh, wv)
+    return windowed_ssim_device(luminance_device(a), luminance_device(b))
+
+
+# ── Host API ────────────────────────────────────────────────────────────────
+
+
+def _prep(img: Array) -> np.ndarray:
+    return to_nrgba_ref(np.asarray(img))
+
+
+def _device_f32(arr: np.ndarray) -> jax.Array:
+    return jnp.asarray(arr, dtype=jnp.float32)
+
+
+def pixel_ssim(img_a: Array, img_b: Array) -> float:
+    a, b = _prep(img_a), _prep(img_b)
+    if a.shape[0] * a.shape[1] == 0:
+        return 1.0
+    return float(pixel_ssim_device(_device_f32(a), _device_f32(b)))
+
+
+def ssim(img1: Array, img2: Array) -> float:
+    """Full-resolution structural similarity (reference ssim.go:24-43).
+
+    Returns a value in ~[0, 1]; 1.0 means identical. If dimensions differ,
+    img2 is Lanczos-resized to img1's size first.
+    """
+    a, b = _prep(img1), _prep(img2)
+    h, w = a.shape[:2]
+    if (b.shape[0], b.shape[1]) != (h, w):
+        b = lanczos_resize(b, w, h)
+    if w < 8 or h < 8:
+        return pixel_ssim(a, b)
+    if w <= 8 or h <= 8:
+        return 1.0  # zero window positions (reference ssim.go:162-164)
+    return float(ssim_images_device(_device_f32(a), _device_f32(b)))
+
+
+def ssim_fast(img1: Array, img2: Array, max_dim: int = 512) -> float:
+    """SSIM on box-downsampled inputs capped at 512px max dimension
+    (reference ssim.go:48-70).  Inputs must share dimensions."""
+    a, b = _prep(img1), _prep(img2)
+    h, w = a.shape[:2]
+    new_w, new_h = ssim_fast_dims(w, h, max_dim)
+    if (new_w, new_h) != (w, h):
+        wh, wv = box_resize_weights(w, h, new_w, new_h)
+        if new_w < 8 or new_h < 8:
+            # Tiny after downsample → pixel SSIM on the downsampled pair.
+            da = box_downsample_device(_device_f32(a), jnp.asarray(wh),
+                                       jnp.asarray(wv))
+            db = box_downsample_device(_device_f32(b), jnp.asarray(wh),
+                                       jnp.asarray(wv))
+            return float(pixel_ssim_device(da, db))
+        return float(ssim_fast_downsampled_device(
+            _device_f32(a), _device_f32(b), jnp.asarray(wh), jnp.asarray(wv)))
+    if w < 8 or h < 8:
+        return pixel_ssim(a, b)
+    if w <= 8 or h <= 8:
+        return 1.0
+    return float(ssim_images_device(_device_f32(a), _device_f32(b)))
+
+
+def ms_ssim(img1: Array, img2: Array) -> float:
+    """Multi-scale SSIM, 5 scales (reference ssim.go:313-365)."""
+    a, b = _prep(img1), _prep(img2)
+    h, w = a.shape[:2]
+    if (b.shape[0], b.shape[1]) != (h, w):
+        b = lanczos_resize(b, w, h)
+
+    weights = list(MSSSIM_WEIGHTS)
+    levels = len(weights)
+    ww, hh = w, h
+    for i in range(levels - 1):
+        if min(ww, hh) < 8:
+            weights = weights[: i + 1]
+            s = sum(weights)
+            weights = [x / s for x in weights]
+            break
+        ww //= 2
+        hh //= 2
+
+    result = 0.0
+    cur_a, cur_b = a, b
+    for i, wt in enumerate(weights):
+        s = ssim_fast(cur_a, cur_b)
+        result += wt * math.log(max(s, 1e-10))
+        if i < len(weights) - 1:
+            nw = cur_a.shape[1] // 2
+            nh = cur_a.shape[0] // 2
+            if nw < 8 or nh < 8:
+                break
+            from .resize import box_downsample  # local import to avoid cycle
+            cur_a = box_downsample(cur_a, nw, nh)
+            cur_b = box_downsample(cur_b, nw, nh)
+    return math.exp(result)
+
+
+def compute_ssim_nrgba(a: Array, b: Array) -> float:
+    """SSIMFast with automatic resize of b to a's dims
+    (reference targetsize.go:563-568)."""
+    aa, bb = _prep(a), _prep(b)
+    if aa.shape[:2] != bb.shape[:2]:
+        bb = lanczos_resize(bb, aa.shape[1], aa.shape[0])
+    return ssim_fast(aa, bb)

@@ -1,0 +1,81 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Multi-chip sharding paths are tested against a fake 8-device CPU mesh
+(the standard JAX pattern for testing pjit/shard_map without hardware);
+benchmarks (bench.py) run separately on real TPU.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import pathlib
+import sys
+
+import jax
+
+# The env var alone is not honored when an experimental TPU platform plugin
+# is registered; the config update forces the CPU backend deterministically.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+# ── Shared image generators (mirroring reference fennec_test.go:20-76) ──────
+
+
+def make_test_image(w: int, h: int) -> np.ndarray:
+    """RGB gradient test image (reference fennec_test.go:20-32)."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    img[..., 0] = (x * 255 // max(w, 1)).astype(np.uint8)
+    img[..., 1] = (y * 255 // max(h, 1)).astype(np.uint8)
+    img[..., 2] = ((x + y) * 255 // max(w + h, 1)).astype(np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+def make_test_image_with_alpha(w: int, h: int) -> np.ndarray:
+    img = make_test_image(w, h)
+    y, x = np.mgrid[0:h, 0:w]
+    img[..., 3] = ((x + y) * 255 // max(w + h, 1)).astype(np.uint8)
+    return img
+
+
+def make_solid_image(w: int, h: int, r: int, g: int, b: int) -> np.ndarray:
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    img[..., 0] = r
+    img[..., 1] = g
+    img[..., 2] = b
+    img[..., 3] = 255
+    return img
+
+
+def make_striped_image(w: int, h: int) -> np.ndarray:
+    """Vertical stripes — sharp edges (reference fennec_test.go:58-76)."""
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    x = np.arange(w)
+    stripe = ((x // 8) % 2 == 0)
+    img[:, stripe, :3] = 230
+    img[:, ~stripe, :3] = 25
+    img[..., 3] = 255
+    return img
+
+
+def make_noise_image(w: int, h: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+@pytest.fixture
+def gradient_image():
+    return make_test_image(64, 48)
