@@ -1,0 +1,497 @@
+"""Baseline JPEG codec with a device (TPU) transform path.
+
+Architecture (TPU-first, replacing the reference's stdlib codec round-trips,
+compress.go:45-62 / io.go:157-169):
+
+  encode:  host uint8 → device [color convert → 4:2:0 subsample → block DCT
+           (one (N,64)×(64,64) MXU matmul) → quantize] → host Huffman
+           entropy coding (C++ native when built, Python fallback).
+  decode:  host marker parse + Huffman decode → quantized coefficients →
+           device [dequantize → IDCT → chroma upsample → YCbCr→RGB → clamp].
+
+The forward DCT is quality-independent, so the SSIM-guided quality search
+(engine/compress.py) computes it once and re-quantizes on device inside a
+lax.while_loop — the reference re-runs the full encoder+decoder per
+bisection step.
+
+Format surface: baseline sequential (SOF0/SOF1), 8-bit, grayscale or
+3-component YCbCr, sampling factors 1×1/2×1/1×2/2×2, restart intervals,
+multiple DQT/DHT segments.  Progressive JPEG is not supported.
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dct as dct_ops
+from ..ops.color import clamp_u8_device, rgb_to_ycbcr, ycbcr_to_rgb
+from ..types import UnsupportedFormatError
+from . import entropy_py
+
+# ── Standard Huffman tables (ITU T.81 Annex K.3) ────────────────────────────
+
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+@functools.lru_cache(maxsize=8)
+def _std_encode_tables():
+    return {
+        "dc_luma": entropy_py.build_codes(tuple(DC_LUMA_BITS),
+                                          tuple(DC_LUMA_VALS)),
+        "ac_luma": entropy_py.build_codes(tuple(AC_LUMA_BITS),
+                                          tuple(AC_LUMA_VALS)),
+        "dc_chroma": entropy_py.build_codes(tuple(DC_CHROMA_BITS),
+                                            tuple(DC_CHROMA_VALS)),
+        "ac_chroma": entropy_py.build_codes(tuple(AC_CHROMA_BITS),
+                                            tuple(AC_CHROMA_VALS)),
+    }
+
+
+# ── Device pipelines ────────────────────────────────────────────────────────
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def forward_dct_device(img: jax.Array, subsample: bool):
+    """(H, W, 4) float32 → unquantized DCT coefficient blocks.
+
+    Returns (coef_y (Ny,64), coef_cb (Nc,64), coef_cr (Nc,64)) float32.
+    Quality-independent: computed once per image, re-quantized per search
+    step by engine/compress.py.
+    """
+    alpha = img[..., 3:4] * (1.0 / 255.0)
+    rgb = img[..., :3] * alpha  # composite on black (Go RGBA semantics)
+    ycc = rgb_to_ycbcr(rgb)
+    mult = 16 if subsample else 8
+    y = dct_ops.pad_to_multiple(ycc[..., 0], mult, mult)
+    cb = dct_ops.pad_to_multiple(ycc[..., 1], mult, mult)
+    cr = dct_ops.pad_to_multiple(ycc[..., 2], mult, mult)
+    if subsample:
+        cb = dct_ops.downsample_420(cb)
+        cr = dct_ops.downsample_420(cr)
+    coef_y = dct_ops.dct2d_blocks(dct_ops.to_blocks(y - 128.0))
+    coef_cb = dct_ops.dct2d_blocks(dct_ops.to_blocks(cb - 128.0))
+    coef_cr = dct_ops.dct2d_blocks(dct_ops.to_blocks(cr - 128.0))
+    return coef_y, coef_cb, coef_cr
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def quantize_coefs_device(coefs, qtables: jax.Array, subsample: bool):
+    """Quantize (y, cb, cr) coefficient blocks with (2, 64) [luma, chroma]
+    tables.  Returns float32 integral arrays."""
+    y, cb, cr = coefs
+    return (dct_ops.quantize_blocks(y, qtables[0]),
+            dct_ops.quantize_blocks(cb, qtables[1]),
+            dct_ops.quantize_blocks(cr, qtables[1]))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def reconstruct_ycbcr_device(qcoefs, qtables: jax.Array,
+                             padded_h: int, padded_w: int,
+                             subsample: bool, out_hw: Tuple[int, int]):
+    """Quantized (y, cb, cr) blocks → (H, W, 4) float32 image (alpha=255).
+
+    The decode half of the codec on device: dequant → IDCT → upsample →
+    YCbCr→RGB → clamp → crop.
+    """
+    qy, qcb, qcr = qcoefs
+    y = dct_ops.from_blocks(
+        dct_ops.idct2d_blocks(dct_ops.dequantize_blocks(qy, qtables[0])),
+        padded_h, padded_w) + 128.0
+    ch, cw = (padded_h // 2, padded_w // 2) if subsample \
+        else (padded_h, padded_w)
+    cb = dct_ops.from_blocks(
+        dct_ops.idct2d_blocks(dct_ops.dequantize_blocks(qcb, qtables[1])),
+        ch, cw) + 128.0
+    cr = dct_ops.from_blocks(
+        dct_ops.idct2d_blocks(dct_ops.dequantize_blocks(qcr, qtables[1])),
+        ch, cw) + 128.0
+    if subsample:
+        cb = dct_ops.upsample_420(cb)
+        cr = dct_ops.upsample_420(cr)
+    h, w = out_hw
+    ycc = jnp.stack([y[:h, :w], cb[:h, :w], cr[:h, :w]], axis=-1)
+    rgb = clamp_u8_device(ycbcr_to_rgb(ycc))
+    alpha = jnp.full(rgb.shape[:2] + (1,), 255.0, dtype=jnp.float32)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+# ── Container assembly ──────────────────────────────────────────────────────
+
+
+def _marker(m: int, payload: bytes = b"") -> bytes:
+    if payload:
+        return struct.pack(">BBH", 0xFF, m, len(payload) + 2) + payload
+    return struct.pack(">BB", 0xFF, m)
+
+
+def _dqt_segment(tables: np.ndarray) -> bytes:
+    """DQT with tables 0 (luma) and 1 (chroma) in zigzag order."""
+    payload = b""
+    for tid in range(tables.shape[0]):
+        zz = tables[tid][dct_ops.ZIGZAG]
+        payload += bytes([tid]) + bytes(int(v) for v in zz)
+    return _marker(0xDB, payload)
+
+
+def _dht_segment() -> bytes:
+    payload = b""
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        payload += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return _marker(0xC4, payload)
+
+
+def _sof0_segment(w: int, h: int, ncomp: int, subsample: bool) -> bytes:
+    payload = struct.pack(">BHHB", 8, h, w, ncomp)
+    if ncomp == 1:
+        payload += bytes([1, 0x11, 0])
+    else:
+        ys = 0x22 if subsample else 0x11
+        payload += bytes([1, ys, 0])
+        payload += bytes([2, 0x11, 1])
+        payload += bytes([3, 0x11, 1])
+    return _marker(0xC0, payload)
+
+
+def _sos_segment(ncomp: int) -> bytes:
+    payload = bytes([ncomp])
+    if ncomp == 1:
+        payload += bytes([1, 0x00])
+    else:
+        payload += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    payload += bytes([0, 63, 0])
+    return _marker(0xDA, payload)
+
+
+_APP0_JFIF = _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+
+
+def assemble_jpeg(w: int, h: int, qtables: np.ndarray,
+                  scan_data: bytes, subsample: bool,
+                  ncomp: int = 3) -> bytes:
+    """Wrap an entropy-coded scan in a JFIF container with standard
+    Huffman tables."""
+    return (_marker(0xD8) + _APP0_JFIF + _dqt_segment(qtables)
+            + _sof0_segment(w, h, ncomp, subsample) + _dht_segment()
+            + _sos_segment(ncomp) + scan_data + _marker(0xD9))
+
+
+# ── Host encode ─────────────────────────────────────────────────────────────
+
+
+def encode_scan_from_quantized(
+        qy: np.ndarray, qcb: Optional[np.ndarray],
+        qcr: Optional[np.ndarray], padded_h: int, padded_w: int,
+        subsample: bool) -> bytes:
+    """Entropy-code quantized coefficient blocks (natural order, raster)."""
+    from .. import native
+
+    tabs = _std_encode_tables()
+    by, bx = padded_h // 8, padded_w // 8
+    if qcb is None:
+        comps = [entropy_py.ComponentSpec(
+            qy, bx, by, 1, 1, tabs["dc_luma"], tabs["ac_luma"])]
+        return native.jpeg_encode_scan(comps)
+    if subsample:
+        cby, cbx = padded_h // 16, padded_w // 16
+        yh = yv = 2
+    else:
+        cby, cbx = by, bx
+        yh = yv = 1
+    comps = [
+        entropy_py.ComponentSpec(qy, bx, by, yh, yv,
+                                 tabs["dc_luma"], tabs["ac_luma"]),
+        entropy_py.ComponentSpec(qcb, cbx, cby, 1, 1,
+                                 tabs["dc_chroma"], tabs["ac_chroma"]),
+        entropy_py.ComponentSpec(qcr, cbx, cby, 1, 1,
+                                 tabs["dc_chroma"], tabs["ac_chroma"]),
+    ]
+    return native.jpeg_encode_scan(comps)
+
+
+def encode_jpeg(img: np.ndarray, quality: int,
+                subsample: bool = True) -> bytes:
+    """Encode an (H, W, 4) uint8 NRGBA image as baseline JPEG.
+
+    Device does color convert + DCT + quantization; host does entropy
+    coding.  4:2:0 when subsample else 4:4:4 (the reference's stdlib is
+    fixed 4:2:0, io.go:157-169; fennec-tpu honors the Options.subsample
+    flag, types.go:146-153 reserved it for exactly this).
+    """
+    from ..image import to_nrgba_ref
+
+    arr = to_nrgba_ref(np.asarray(img))
+    h, w = arr.shape[:2]
+    coefs = forward_dct_device(jnp.asarray(arr, dtype=jnp.float32),
+                               bool(subsample))
+    return encode_jpeg_from_coefs(coefs, w, h, quality, subsample)
+
+
+def encode_jpeg_from_coefs(coefs, w: int, h: int, quality: int,
+                           subsample: bool) -> bytes:
+    """Entropy-encode precomputed DCT coefficients at the given quality."""
+    quality = min(100, max(1, int(quality)))
+    qtables = dct_ops.all_quality_tables()[quality]
+    qcoefs = quantize_coefs_device(coefs, jnp.asarray(qtables),
+                                   bool(subsample))
+    qy = np.asarray(qcoefs[0], dtype=np.int32)
+    qcb = np.asarray(qcoefs[1], dtype=np.int32)
+    qcr = np.asarray(qcoefs[2], dtype=np.int32)
+    mult = 16 if subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    scan = encode_scan_from_quantized(qy, qcb, qcr, ph, pw, subsample)
+    return assemble_jpeg(w, h, qtables, scan, subsample)
+
+
+# ── Host decode ─────────────────────────────────────────────────────────────
+
+
+class JpegHeader:
+    """Parsed JPEG structure up to (and including) the SOS header."""
+
+    def __init__(self) -> None:
+        self.width = 0
+        self.height = 0
+        self.ncomp = 0
+        self.comps: List[dict] = []  # id, h, v, tq
+        self.qtables: Dict[int, np.ndarray] = {}  # natural order
+        self.dc_tables: Dict[int, tuple] = {}
+        self.ac_tables: Dict[int, tuple] = {}
+        self.restart_interval = 0
+        self.scan_comps: List[dict] = []  # comp idx, dc table id, ac table id
+        self.scan_offset = 0
+        self.progressive = False
+
+
+def parse_jpeg(data: bytes) -> JpegHeader:
+    """Parse baseline JPEG markers through SOS (T.81 B.2)."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("fennec: not a JPEG")
+    hdr = JpegHeader()
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        seg = data[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            _parse_dqt(seg, hdr)
+        elif marker == 0xC4:  # DHT
+            _parse_dht(seg, hdr)
+        elif marker == 0xDD:  # DRI
+            hdr.restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline)
+            _parse_sof(seg, hdr)
+        elif marker == 0xC2:
+            raise UnsupportedFormatError(
+                "fennec: progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedFormatError(
+                f"fennec: unsupported JPEG SOF marker 0x{marker:02X}")
+        elif marker == 0xDA:  # SOS
+            _parse_sos(seg, hdr)
+            hdr.scan_offset = pos + 2 + seg_len
+            return hdr
+        pos += 2 + seg_len
+    raise ValueError("fennec: corrupt JPEG: no SOS marker")
+
+
+def _parse_dqt(seg: bytes, hdr: JpegHeader) -> None:
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        if pq == 0:
+            vals = np.frombuffer(seg[i:i + 64], dtype=np.uint8).astype(
+                np.int32)
+            i += 64
+        else:
+            vals = np.frombuffer(seg[i:i + 128], dtype=">u2").astype(
+                np.int32)
+            i += 128
+        nat = np.zeros(64, dtype=np.int32)
+        nat[dct_ops.ZIGZAG] = vals
+        hdr.qtables[tq] = nat
+
+
+def _parse_dht(seg: bytes, hdr: JpegHeader) -> None:
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        bits = list(seg[i:i + 16])
+        i += 16
+        n = sum(bits)
+        vals = list(seg[i:i + n])
+        i += n
+        table = entropy_py.build_decode_table(bits, vals)
+        if tc == 0:
+            hdr.dc_tables[th] = table
+        else:
+            hdr.ac_tables[th] = table
+
+
+def _parse_sof(seg: bytes, hdr: JpegHeader) -> None:
+    precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+    if precision != 8:
+        raise UnsupportedFormatError("fennec: only 8-bit JPEG supported")
+    hdr.height, hdr.width, hdr.ncomp = h, w, ncomp
+    for c in range(ncomp):
+        cid, hv, tq = seg[6 + c * 3:9 + c * 3]
+        hdr.comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                          "tq": tq})
+
+
+def _parse_sos(seg: bytes, hdr: JpegHeader) -> None:
+    ns = seg[0]
+    for i in range(ns):
+        cs, tables = seg[1 + i * 2], seg[2 + i * 2]
+        idx = next(j for j, c in enumerate(hdr.comps) if c["id"] == cs)
+        hdr.scan_comps.append({"comp": idx, "td": tables >> 4,
+                               "ta": tables & 0x0F})
+
+
+def decode_jpeg_to_coefs(data: bytes):
+    """Decode a baseline JPEG to quantized coefficients + metadata.
+
+    Returns (hdr, coefs) where coefs[i] is an (nblocks, 64) int16 array in
+    natural order for scan component i; block grids tile the MCU lattice.
+    """
+    from .. import native
+
+    hdr = parse_jpeg(data)
+    hmax = max(c["h"] for c in hdr.comps)
+    vmax = max(c["v"] for c in hdr.comps)
+    mcus_x = -(-hdr.width // (8 * hmax))
+    mcus_y = -(-hdr.height // (8 * vmax))
+    specs = []
+    for sc in hdr.scan_comps:
+        c = hdr.comps[sc["comp"]]
+        specs.append(entropy_py.DecodeComponentSpec(
+            mcus_x * c["h"], mcus_y * c["v"], c["h"], c["v"],
+            hdr.dc_tables[sc["td"]], hdr.ac_tables[sc["ta"]]))
+    coefs = native.jpeg_decode_scan(data, hdr.scan_offset, specs,
+                                    hdr.restart_interval)
+    return hdr, coefs
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (H, W, 4) uint8 NRGBA (alpha=255)."""
+    hdr, coefs = decode_jpeg_to_coefs(data)
+    hmax = max(c["h"] for c in hdr.comps)
+    vmax = max(c["v"] for c in hdr.comps)
+    mcus_x = -(-hdr.width // (8 * hmax))
+    mcus_y = -(-hdr.height // (8 * vmax))
+
+    planes = []
+    for i, sc in enumerate(hdr.scan_comps):
+        c = hdr.comps[sc["comp"]]
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        qt = jnp.asarray(hdr.qtables[c["tq"]], dtype=jnp.float32)
+        plane = _decode_plane_device(
+            jnp.asarray(coefs[i], dtype=jnp.float32), qt, bh * 8, bw * 8,
+            hmax // c["h"], vmax // c["v"])
+        planes.append(plane)
+
+    out = _combine_planes_device(tuple(planes), hdr.height, hdr.width,
+                                 hdr.ncomp)
+    return np.asarray(out, dtype=np.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _decode_plane_device(qcoefs, qtable, ph: int, pw: int,
+                         rep_x: int, rep_y: int):
+    plane = dct_ops.from_blocks(
+        dct_ops.idct2d_blocks(dct_ops.dequantize_blocks(qcoefs, qtable)),
+        ph, pw) + 128.0
+    if rep_y > 1:
+        plane = jnp.repeat(plane, rep_y, axis=0)
+    if rep_x > 1:
+        plane = jnp.repeat(plane, rep_x, axis=1)
+    return plane
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _combine_planes_device(planes, h: int, w: int, ncomp: int):
+    if ncomp == 1:
+        y = jnp.clip(jnp.floor(planes[0][:h, :w] + 0.5), 0, 255)
+        rgb = jnp.stack([y, y, y], axis=-1)
+    else:
+        ycc = jnp.stack([p[:h, :w] for p in planes[:3]], axis=-1)
+        rgb = clamp_u8_device(ycbcr_to_rgb(ycc))
+    alpha = jnp.full((h, w, 1), 255.0, dtype=jnp.float32)
+    return jnp.concatenate([rgb, alpha], axis=-1)

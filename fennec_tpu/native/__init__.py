@@ -1,0 +1,184 @@
+"""Native (C++) runtime components with pure-Python fallbacks.
+
+The hot host-side paths — JPEG entropy coding, PNG scanline (un)filtering —
+are implemented in C++ (fennec_tpu/native/*.cpp, built to _fennec_native.so
+via `python -m fennec_tpu.native.build` or on first import).  Every entry
+point has a pure-Python fallback so the framework works without a compiler;
+the native library is the production path (the reference gets the same
+effect from compiled Go; this framework's device math lives in XLA and the
+byte-twiddling lives here).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING, List, Optional
+
+import numpy as np
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..codecs import entropy_py
+
+_lib = None
+_lib_tried = False
+
+
+def _load_native():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    if os.environ.get("FENNEC_NO_NATIVE"):
+        return None
+    try:
+        from . import build as _build
+        _lib = _build.load()
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+# ── JPEG entropy coding ─────────────────────────────────────────────────────
+
+
+def jpeg_encode_scan(comps: List["entropy_py.ComponentSpec"],
+                     restart_interval: int = 0) -> bytes:
+    from ..codecs import entropy_py
+    lib = _load_native()
+    if lib is not None:
+        try:
+            return lib.encode_scan(comps, restart_interval)
+        except Exception:
+            pass
+    return entropy_py.encode_scan(comps, restart_interval)
+
+
+def jpeg_decode_scan(data: bytes, pos: int,
+                     comps: List["entropy_py.DecodeComponentSpec"],
+                     restart_interval: int = 0) -> List[np.ndarray]:
+    from ..codecs import entropy_py
+    lib = _load_native()
+    if lib is not None:
+        try:
+            return lib.decode_scan(data, pos, comps, restart_interval)
+        except Exception:
+            pass
+    out, _ = entropy_py.decode_scan(data, pos, comps, restart_interval)
+    return out
+
+
+# ── PNG scanline filtering ──────────────────────────────────────────────────
+
+
+def png_unfilter(raw: bytes, height: int, stride: int,
+                 bpp: int) -> np.ndarray:
+    """Undo PNG per-row filtering; raw is height*(1+stride) filter+data rows.
+    Returns (height, stride) uint8."""
+    lib = _load_native()
+    if lib is not None:
+        try:
+            return lib.png_unfilter(raw, height, stride, bpp)
+        except Exception:
+            pass
+    return _png_unfilter_py(raw, height, stride, bpp)
+
+
+def png_filter(data: np.ndarray, bpp: int,
+               heuristic: bool = True) -> bytes:
+    """Apply per-row PNG filtering with the minimum-sum-of-absolute-
+    differences heuristic.  data: (height, stride) uint8."""
+    lib = _load_native()
+    if lib is not None:
+        try:
+            return lib.png_filter(data, bpp, heuristic)
+        except Exception:
+            pass
+    return _png_filter_py(data, bpp, heuristic)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter_py(raw: bytes, height: int, stride: int,
+                     bpp: int) -> np.ndarray:
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    rawb = memoryview(raw)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = rawb[off]
+        row = bytearray(rawb[off + 1:off + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"fennec: bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        prev = row
+    return out
+
+
+def _png_filter_py(data: np.ndarray, bpp: int, heuristic: bool) -> bytes:
+    """Vectorized filter application: all five candidate filters are
+    computed for the whole image at once, then the per-row winner is chosen
+    by minimum sum of absolute differences (the standard zlib heuristic)."""
+    h, stride = data.shape
+    d = data.astype(np.int16)
+    prev = np.vstack([np.zeros((1, stride), dtype=np.int16), d[:-1]])
+    left = np.zeros_like(d)
+    left[:, bpp:] = d[:, :-bpp]
+    upleft = np.zeros_like(d)
+    upleft[:, bpp:] = prev[:, :-bpp]
+
+    f0 = d
+    f1 = (d - left) & 0xFF
+    f2 = (d - prev) & 0xFF
+    f3 = (d - ((left + prev) >> 1)) & 0xFF
+    p = left + prev - upleft
+    pa = np.abs(p - left)
+    pb = np.abs(p - prev)
+    pc = np.abs(p - upleft)
+    pred = np.where((pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, prev, upleft))
+    f4 = (d - pred) & 0xFF
+
+    cands = [f0, f1, f2, f3, f4]
+    if not heuristic:
+        choice = np.zeros(h, dtype=np.int64)
+    else:
+        # MSAD treats filtered bytes as signed deltas.
+        costs = np.stack([
+            np.abs(((f + 128) & 0xFF) - 128).sum(axis=1) for f in cands])
+        choice = costs.argmin(axis=0)
+
+    out = bytearray()
+    for y in range(h):
+        c = int(choice[y])
+        out.append(c)
+        out.extend(cands[c][y].astype(np.uint8).tobytes())
+    return bytes(out)
