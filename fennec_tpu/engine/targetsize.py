@@ -1,0 +1,352 @@
+"""Target-file-size engine: four search strategies + candidate ranking.
+
+Reference semantics (targetsize.go:26-348) with a TPU-native cost model:
+the per-image forward DCT is computed once and cached; every quality probe
+re-quantizes on device and pays only one host Huffman pass for the exact
+byte size (the reference re-runs its full encoder per probe).
+
+Strategies, in order (all candidates ranked by better_fit):
+  S1 jpeg_quality_search   — binary search on quality, BPP-seeded bounds
+  S2 quantize_strategy     — median-cut palette PNG at 256/128/64/32/16
+  S3 jpeg_quality_scale_search — joint scale (binary + fixed grid) × quality
+  S4 scale_search          — pure scale bisection (only if S1–S3 failed)
+  fallback                 — Q=1 JPEG or best-effort PNG
+
+Note on subsampling: the reference passes subsample=false here but its
+stdlib encoder is fixed 4:2:0 anyway (io.go:157-169); fennec-tpu uses
+4:2:0 in the size search to match the reference's actual byte behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs import png as png_codec
+from ..codecs.jpeg import encode_jpeg_from_coefs, forward_dct_device
+from ..image import is_opaque, to_nrgba_ref
+from ..ops.quantize import apply_palette, median_cut, palette_to_nrgba
+from ..ops.resize import box_downsample, lanczos_resize
+from ..ops.ssim import compute_ssim_nrgba, ssim_fast
+from ..types import Context, Format, Options
+from .compress import compress_png
+
+MIN_JPEG_QUALITY = 20  # reference targetsize.go:14
+
+
+@dataclasses.dataclass
+class SizeResult:
+    data: bytes
+    format: Format
+    quality: int = 0
+    ssim: float = 0.0
+    final_w: int = 0
+    final_h: int = 0
+    img: Optional[np.ndarray] = None
+
+
+def _ctx_err(ctx: Optional[Context]) -> bool:
+    return ctx is not None and ctx.done()
+
+
+class _JpegSizer:
+    """Cached forward-DCT for repeated quality→size probes on one image."""
+
+    def __init__(self, src: np.ndarray):
+        arr = to_nrgba_ref(src)
+        self.h, self.w = arr.shape[:2]
+        self.coefs = forward_dct_device(
+            jnp.asarray(arr, dtype=jnp.float32), True)
+
+    def encode(self, quality: int) -> bytes:
+        return encode_jpeg_from_coefs(self.coefs, self.w, self.h,
+                                      quality, True)
+
+
+def hit_target_size(ctx: Optional[Context], original: np.ndarray,
+                    target_bytes: int, opts: Options) -> SizeResult:
+    """Try all applicable strategies, rank by better_fit
+    (reference targetsize.go:26-75)."""
+    want_png = opts.format == Format.PNG
+    want_jpeg = opts.format == Format.JPEG
+    can_use_jpeg = not want_png and is_opaque(original)
+
+    candidates: List[SizeResult] = []
+
+    if (can_use_jpeg or want_jpeg) and not _ctx_err(ctx):
+        r = jpeg_quality_search(original, target_bytes)
+        if r is not None and r.quality >= MIN_JPEG_QUALITY:
+            candidates.append(r)
+
+    if not want_jpeg and not _ctx_err(ctx):
+        r = quantize_strategy(original, target_bytes)
+        if r is not None:
+            candidates.append(r)
+
+    if (can_use_jpeg or want_jpeg) and not _ctx_err(ctx):
+        r = jpeg_quality_scale_search(ctx, original, target_bytes)
+        if r is not None:
+            candidates.append(r)
+
+    if not candidates and not _ctx_err(ctx):
+        fmt = opts.format
+        if fmt == Format.AUTO:
+            fmt = Format.JPEG if can_use_jpeg else Format.PNG
+        r = scale_search(ctx, original, target_bytes, fmt)
+        if r is not None:
+            candidates.append(r)
+
+    if not candidates:
+        return _fallback_encode(original, target_bytes,
+                                can_use_jpeg or want_jpeg, opts)
+
+    best = candidates[0]
+    for c in candidates[1:]:
+        if better_fit(c, best, target_bytes):
+            best = c
+    return best
+
+
+def _fallback_encode(original: np.ndarray, target: int, use_jpeg: bool,
+                     opts: Options) -> SizeResult:
+    # reference targetsize.go:77-90
+    h, w = original.shape[:2]
+    if use_jpeg:
+        sizer = _JpegSizer(original)
+        data = sizer.encode(1)
+        return SizeResult(data=data, format=Format.JPEG, quality=1,
+                          ssim=compute_ssim_nrgba(original, original),
+                          final_w=w, final_h=h, img=original)
+    data = compress_png(original, opts)
+    return SizeResult(data=data, format=Format.PNG, ssim=1.0,
+                      final_w=w, final_h=h, img=original)
+
+
+def better_fit(candidate: SizeResult, current: SizeResult,
+               target: int) -> bool:
+    """Under-target first, then higher SSIM, then higher quality, else
+    smaller (reference targetsize.go:92-113)."""
+    c_size, b_size = len(candidate.data), len(current.data)
+    c_under, b_under = c_size <= target, b_size <= target
+    if c_under and not b_under:
+        return True
+    if not c_under and b_under:
+        return False
+    if c_under and b_under:
+        if candidate.ssim != current.ssim:
+            return candidate.ssim > current.ssim
+        return candidate.quality > current.quality
+    return c_size < b_size
+
+
+# ── Strategy 1: quality-only binary search ──────────────────────────────────
+
+
+def jpeg_quality_search(src: np.ndarray, target_bytes: int,
+                        skip_ssim: bool = False,
+                        sizer: Optional[_JpegSizer] = None
+                        ) -> Optional[SizeResult]:
+    """Binary search the highest quality fitting target_bytes, with
+    bits-per-pixel-seeded bounds (reference targetsize.go:125-176)."""
+    arr = to_nrgba_ref(src)
+    h, w = arr.shape[:2]
+    pixels = max(1, w * h)
+    target_bpp = target_bytes * 8 / pixels
+    lo, hi = 1, 100
+    if target_bpp < 0.5:
+        hi = 40
+    elif target_bpp < 1.0:
+        lo, hi = 10, 70
+    elif target_bpp < 2.0:
+        lo, hi = 30, 90
+    elif target_bpp > 4.0:
+        lo = 60
+
+    if sizer is None:
+        sizer = _JpegSizer(arr)
+    best_buf: Optional[bytes] = None
+    best_q = 0
+
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        buf = sizer.encode(mid)
+        if len(buf) <= target_bytes:
+            best_buf, best_q = buf, mid
+            lo = mid + 1
+        else:
+            hi = mid - 1
+
+    if best_buf is None:
+        return None
+
+    best_ssim = 0.0
+    if not skip_ssim:
+        from ..codecs.jpeg import decode_jpeg
+        decoded = decode_jpeg(best_buf)
+        best_ssim = compute_ssim_nrgba(arr, decoded)
+
+    return SizeResult(data=best_buf, format=Format.JPEG, quality=best_q,
+                      ssim=best_ssim, final_w=w, final_h=h, img=arr)
+
+
+# ── Strategy 2: palette quantization ────────────────────────────────────────
+
+
+def quantize_strategy(src: np.ndarray,
+                      target_bytes: int) -> Optional[SizeResult]:
+    """Median-cut indexed PNG at descending palette sizes
+    (reference targetsize.go:180-206)."""
+    arr = to_nrgba_ref(src)
+    h, w = arr.shape[:2]
+    for max_colors in (256, 128, 64, 32, 16):
+        palette = median_cut(arr, max_colors)
+        indices = apply_palette(arr, palette)
+        data = png_codec.encode_png_paletted(indices, palette)
+        if len(data) <= target_bytes:
+            quantized = palette_to_nrgba(indices, palette)
+            return SizeResult(data=data, format=Format.PNG, quality=0,
+                              ssim=compute_ssim_nrgba(arr, quantized),
+                              final_w=w, final_h=h, img=quantized)
+    return None
+
+
+# ── Strategy 3: joint quality × scale search ────────────────────────────────
+
+
+@dataclasses.dataclass
+class _ScaleCandidate:
+    scale: float
+    quality: int
+    size: int
+
+
+def jpeg_quality_scale_search(ctx: Optional[Context], src: np.ndarray,
+                              target_bytes: int) -> Optional[SizeResult]:
+    # reference targetsize.go:210-232
+    arr = to_nrgba_ref(src)
+    orig_h, orig_w = arr.shape[:2]
+    best = _find_best_scale_binary(ctx, arr, orig_w, orig_h, target_bytes)
+    best = _find_best_scale_fixed(ctx, arr, orig_w, orig_h, target_bytes,
+                                  best)
+    if best is None:
+        return None
+    final_w = int(orig_w * best.scale)
+    final_h = int(orig_h * best.scale)
+    final_scaled = lanczos_resize(arr, final_w, final_h)
+    r = jpeg_quality_search(final_scaled, target_bytes)
+    if r is None or r.quality < MIN_JPEG_QUALITY:
+        return None
+    r.ssim = compute_ssim_nrgba(arr, final_scaled)
+    r.final_w, r.final_h = final_w, final_h
+    r.img = final_scaled
+    return r
+
+
+def _find_best_scale_binary(ctx, src, orig_w, orig_h, target_bytes):
+    # reference targetsize.go:240-262
+    best = None
+    lo_scale, hi_scale = 0.05, 1.0
+    for _ in range(10):
+        if _ctx_err(ctx):
+            break
+        mid = (lo_scale + hi_scale) / 2
+        new_w, new_h = int(orig_w * mid), int(orig_h * mid)
+        if new_w < 8 or new_h < 8:
+            lo_scale = mid
+            continue
+        probe = box_downsample(src, new_w, new_h)
+        r = jpeg_quality_search(probe, target_bytes, skip_ssim=True)
+        if (r is not None and len(r.data) <= target_bytes
+                and r.quality >= MIN_JPEG_QUALITY):
+            best = _ScaleCandidate(mid, r.quality, len(r.data))
+            lo_scale = mid
+        else:
+            hi_scale = mid
+    return best
+
+
+def _find_best_scale_fixed(ctx, src, orig_w, orig_h, target_bytes, best):
+    # reference targetsize.go:264-281
+    for scale in (0.75, 0.50, 0.375, 0.25):
+        if _ctx_err(ctx):
+            break
+        new_w, new_h = int(orig_w * scale), int(orig_h * scale)
+        if new_w < 8 or new_h < 8:
+            continue
+        probe = box_downsample(src, new_w, new_h)
+        r = jpeg_quality_search(probe, target_bytes, skip_ssim=True)
+        if (r is not None and len(r.data) <= target_bytes
+                and r.quality >= MIN_JPEG_QUALITY):
+            if best is None or scale > best.scale:
+                best = _ScaleCandidate(scale, r.quality, len(r.data))
+    return best
+
+
+# ── Strategy 4: pure scale search ───────────────────────────────────────────
+
+
+def scale_search(ctx: Optional[Context], src: np.ndarray, target_bytes: int,
+                 fmt: Format) -> Optional[SizeResult]:
+    # reference targetsize.go:285-313
+    arr = to_nrgba_ref(src)
+    orig_h, orig_w = arr.shape[:2]
+    lo, hi, best_scale, best_q = 0.05, 1.0, 0.0, 0
+
+    for _ in range(12):
+        if _ctx_err(ctx):
+            break
+        mid = (lo + hi) / 2
+        new_w, new_h = int(orig_w * mid), int(orig_h * mid)
+        if new_w < 1 or new_h < 1:
+            lo = mid
+            continue
+        fits, q = _test_scale_fits(box_downsample(arr, new_w, new_h),
+                                   target_bytes, fmt)
+        if fits:
+            best_scale, best_q, lo = mid, q, mid
+        else:
+            hi = mid
+
+    if best_scale == 0:
+        return None
+    final_w = int(orig_w * best_scale)
+    final_h = int(orig_h * best_scale)
+    return _execute_final_scale_encode(arr, fmt, best_q, final_w, final_h,
+                                       target_bytes)
+
+
+def _test_scale_fits(scaled: np.ndarray, target_bytes: int,
+                     fmt: Format) -> Tuple[bool, int]:
+    # reference targetsize.go:315-328
+    if fmt == Format.JPEG:
+        r = jpeg_quality_search(scaled, target_bytes, skip_ssim=True)
+        if (r is not None and len(r.data) <= target_bytes
+                and r.quality >= MIN_JPEG_QUALITY):
+            return True, r.quality
+        return False, 0
+    data = png_codec.encode_png_rgba(scaled)
+    return len(data) <= target_bytes, 0
+
+
+def _execute_final_scale_encode(src: np.ndarray, fmt: Format, best_q: int,
+                                final_w: int, final_h: int,
+                                target_bytes: int) -> Optional[SizeResult]:
+    # reference targetsize.go:330-348
+    scaled = lanczos_resize(src, final_w, final_h)
+    if fmt == Format.JPEG:
+        r = jpeg_quality_search(scaled, target_bytes, skip_ssim=True)
+        if r is not None:
+            return SizeResult(data=r.data, format=Format.JPEG,
+                              quality=r.quality,
+                              ssim=compute_ssim_nrgba(src, scaled),
+                              final_w=final_w, final_h=final_h, img=scaled)
+        sizer = _JpegSizer(scaled)
+        data = sizer.encode(best_q)
+    else:
+        data = png_codec.encode_png_rgba(scaled)
+    return SizeResult(data=data, format=fmt, quality=best_q,
+                      ssim=compute_ssim_nrgba(src, scaled),
+                      final_w=final_w, final_h=final_h, img=scaled)

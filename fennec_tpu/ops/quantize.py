@@ -1,0 +1,102 @@
+"""Median-cut color quantization: host box-splitting + device palette map.
+
+The reference walks every pixel with a hash-cache nearest-palette loop
+(targetsize.go:488-527); here the nearest-palette mapping is a single
+device argmin over (pixels × palette) distances — exact, not cached-
+approximate.  Box splitting (targetsize.go:422-486) is host numpy over a
+≤100k-pixel sample, exactly the reference's sampling policy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def median_cut(img: np.ndarray, max_colors: int) -> np.ndarray:
+    """Build an (N≤max_colors, 4) uint8 RGBA palette via median cut.
+
+    Splits the box with the largest volume×population score on its longest
+    RGB axis at the pixel median; palette entries are box means, alpha 255
+    (reference targetsize.go:422-486).
+    """
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 4)[:, :3]
+    total = flat.shape[0]
+    max_samples = 100000
+    step = max(1, total // max_samples) if total > max_samples else 1
+    pixels = flat[::step].astype(np.int32)
+    if pixels.size == 0:
+        return np.array([[0, 0, 0, 255]], dtype=np.uint8)
+
+    boxes = [pixels]
+
+    def box_score(px: np.ndarray) -> int:
+        if px.shape[0] < 2:
+            return -1
+        mins = px.min(axis=0)
+        maxs = px.max(axis=0)
+        volume = int(np.prod(maxs - mins + 1))
+        return volume * px.shape[0]
+
+    while len(boxes) < max_colors:
+        scores = [box_score(b) for b in boxes]
+        best = int(np.argmax(scores))
+        if scores[best] <= -1:
+            break
+        px = boxes[best]
+        spans = px.max(axis=0) - px.min(axis=0)
+        # Longest axis, ties resolved R ≥ G ≥ B like the reference
+        # (targetsize.go:387-398).
+        if spans[0] >= spans[1] and spans[0] >= spans[2]:
+            axis = 0
+        elif spans[1] >= spans[2]:
+            axis = 1
+        else:
+            axis = 2
+        order = np.argsort(px[:, axis], kind="stable")
+        px = px[order]
+        mid = px.shape[0] // 2
+        boxes[best] = px[:mid]
+        boxes.append(px[mid:])
+
+    palette = np.zeros((len(boxes), 4), dtype=np.uint8)
+    for i, b in enumerate(boxes):
+        if b.shape[0] == 0:
+            palette[i] = (0, 0, 0, 255)
+        else:
+            mean = b.sum(axis=0) // b.shape[0]  # integer mean like Go
+            palette[i, :3] = mean.astype(np.uint8)
+            palette[i, 3] = 255
+    return palette
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _nearest_palette_device(rgb: jax.Array, palette: jax.Array) -> jax.Array:
+    """(N, 3) float32 pixels × (P, 3) float32 palette → (N,) int32 argmin
+    of squared RGB distance."""
+    d = rgb[:, None, :] - palette[None, :, :]
+    dist = jnp.sum(d * d, axis=-1)
+    return jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+
+def apply_palette(img: np.ndarray,
+                  palette: np.ndarray) -> np.ndarray:
+    """Map every pixel to its nearest palette entry (squared RGB distance,
+    first-match tie-break like the reference scan order,
+    targetsize.go:488-527).  Returns (H, W) uint8 indices."""
+    h, w = img.shape[:2]
+    rgb = jnp.asarray(img.reshape(-1, 4)[:, :3], dtype=jnp.float32)
+    pal = jnp.asarray(palette[:, :3], dtype=jnp.float32)
+    idx = np.asarray(_nearest_palette_device(rgb, pal))
+    return idx.reshape(h, w).astype(np.uint8)
+
+
+def palette_to_nrgba(indices: np.ndarray,
+                     palette: np.ndarray) -> np.ndarray:
+    """Expand indices back to NRGBA (reference targetsize.go:529-545)."""
+    return palette[indices]
