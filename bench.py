@@ -1,0 +1,99 @@
+"""fennec-tpu benchmark — prints ONE JSON line for the driver.
+
+Headline metric: CompressImage (Balanced preset, 500×500 photographic
+images) in images/sec/chip, end to end: device-resident SSIM-guided
+quality bisection + host entropy coding of the winning quality.
+
+Baseline: the reference does ~22 images/sec/core for the same operation on
+Apple M2 (BASELINE.md: 45 ms per 500×500 CompressImage).
+"""
+
+import concurrent.futures
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 22.0  # reference README.md:317 → 1 / 45ms
+
+
+def photo_batch(b, w, h, seed=0):
+    """Photographic-looking batch: smooth gradients + low-freq noise."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    out = np.zeros((b, h, w, 4), dtype=np.float32)
+    for i in range(b):
+        base = np.stack([
+            (x * 255 / w), (y * 255 / h), ((x + y) * 255 / (w + h))],
+            axis=-1)
+        noise = rng.normal(0, 10, (h // 8 + 1, w // 8 + 1, 3))
+        noise = np.kron(noise, np.ones((8, 8, 1)))[:h, :w]
+        out[i, :, :, :3] = np.clip(base + noise + rng.uniform(-30, 30, 3),
+                                   0, 255)
+        out[i, :, :, 3] = 255.0
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fennec_tpu.codecs.jpeg import encode_jpeg_from_coefs, forward_dct_device
+    from fennec_tpu.parallel.batched import batched_quality_search
+
+    platform = jax.devices()[0].platform
+
+    B, W, H = 32, 500, 500
+    imgs_np = photo_batch(B, W, H)
+    imgs = jnp.asarray(imgs_np)
+    targets = jnp.full((B,), 0.94, dtype=jnp.float32)
+
+    # Warmup / compile.
+    qs, ssims, found = batched_quality_search(imgs, targets)
+    qs.block_until_ready()
+
+    n_workers = min(16, os.cpu_count() or 4)
+    pool = concurrent.futures.ThreadPoolExecutor(n_workers)
+
+    def encode_one(i, q):
+        coefs = forward_dct_device(imgs[i], True)
+        return encode_jpeg_from_coefs(coefs, W, H, int(q), True)
+
+    # Warm the encode path too.
+    _ = encode_one(0, int(qs[0]))
+
+    rounds = 3
+    start = time.perf_counter()
+    total_images = 0
+    total_bytes = 0
+    for r in range(rounds):
+        q, s, f = batched_quality_search(imgs, targets)
+        q_host = np.asarray(q)
+        datas = list(pool.map(lambda i: encode_one(i, q_host[i]), range(B)))
+        total_bytes += sum(len(d) for d in datas)
+        total_images += B
+    elapsed = time.perf_counter() - start
+
+    ips = total_images / elapsed
+    mean_ssim = float(np.mean(np.asarray(s)))
+    result = {
+        "metric": "compress_image_balanced_500px_images_per_sec",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
+        "detail": {
+            "platform": platform,
+            "batch": B,
+            "rounds": rounds,
+            "mean_ssim": round(mean_ssim, 4),
+            "mean_quality": float(np.mean(np.asarray(q))),
+            "avg_bytes": int(total_bytes / total_images),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

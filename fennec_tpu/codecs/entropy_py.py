@@ -12,11 +12,13 @@ component, run/size AC coding, EOB/ZRL, 0xFF byte stuffing, RSTn markers.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..ops.dct import ZIGZAG
+from . import tables as std_tables
 
 
 # ── Huffman table construction ──────────────────────────────────────────────
@@ -157,18 +159,35 @@ def _magnitude_bits(v: int) -> Tuple[int, int]:
     return size, bits
 
 
+@functools.lru_cache(maxsize=4)
+def _std_codes(chroma: bool):
+    if chroma:
+        return (build_codes(std_tables.DC_CHROMA_BITS,
+                            std_tables.DC_CHROMA_VALS),
+                build_codes(std_tables.AC_CHROMA_BITS,
+                            std_tables.AC_CHROMA_VALS))
+    return (build_codes(std_tables.DC_LUMA_BITS,
+                        std_tables.DC_LUMA_VALS),
+            build_codes(std_tables.AC_LUMA_BITS,
+                        std_tables.AC_LUMA_VALS))
+
+
 class ComponentSpec:
-    """One scan component: quantized coefficients + geometry + tables."""
+    """One scan component to encode: quantized coefficients + geometry.
+
+    Encoding always uses the standard Annex K tables; `chroma` selects the
+    luma or chroma pair.
+    """
 
     def __init__(self, qcoefs: np.ndarray, blocks_w: int, blocks_h: int,
-                 h: int, v: int, dc_codes, ac_codes):
+                 h: int, v: int, chroma: bool = False):
         self.qcoefs = qcoefs  # (nblocks, 64) int, natural order, raster
         self.bw = blocks_w
         self.bh = blocks_h
         self.h = h
         self.v = v
-        self.dc_codes = dc_codes
-        self.ac_codes = ac_codes
+        self.chroma = chroma
+        self.dc_codes, self.ac_codes = _std_codes(chroma)
 
 
 def encode_scan(comps: List[ComponentSpec],
@@ -245,14 +264,19 @@ def _encode_block(w: BitWriter, block: np.ndarray, zz: np.ndarray,
 
 
 class DecodeComponentSpec:
+    """One scan component to decode: geometry + raw Huffman (BITS, VALS)
+    specs as parsed from DHT segments."""
+
     def __init__(self, blocks_w: int, blocks_h: int, h: int, v: int,
-                 dc_table, ac_table):
+                 dc_spec: Tuple[list, list], ac_spec: Tuple[list, list]):
         self.bw = blocks_w
         self.bh = blocks_h
         self.h = h
         self.v = v
-        self.dc_table = dc_table
-        self.ac_table = ac_table
+        self.dc_spec = dc_spec
+        self.ac_spec = ac_spec
+        self.dc_table = build_decode_table(*dc_spec)
+        self.ac_table = build_decode_table(*ac_spec)
 
 
 def _decode_huffman(r: BitReader, table) -> int:

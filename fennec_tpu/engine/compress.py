@@ -154,6 +154,39 @@ def _bisect_device(coefs, img_rgb_ds_lum, box_wh, box_wv,
     return best_q, best_ssim, found
 
 
+def quality_search_device(img: jax.Array, target: jax.Array,
+                          subsample: bool = True):
+    """Fully traceable single-image SSIM-guided quality search.
+
+    img: (H, W, 4) float32; target: traced scalar.  Returns
+    (best_q int32, best_ssim f32, found bool).  vmap/pjit-compatible —
+    this is the unit the batch engine and mesh-sharded paths build on.
+    """
+    h, w = img.shape[0], img.shape[1]
+    t = jnp.clip(target, 0.0, 0.999)  # JPEG can't reach SSIM 1.0
+    coefs = forward_dct_device(img, subsample)
+
+    ds_w, ds_h = ssim_fast_dims(w, h)
+    wh, wv = box_resize_weights(w, h, ds_w, ds_h)
+    box_wh = jnp.asarray(wh)
+    box_wv = jnp.asarray(wv)
+    r = _box_down_plane(img[..., 0], box_wh, box_wv)
+    g = _box_down_plane(img[..., 1], box_wh, box_wv)
+    b = _box_down_plane(img[..., 2], box_wh, box_wv)
+    lum_orig = 0.299 * r + 0.587 * g + 0.114 * b
+
+    # Traced analogue of the quality lower-bound fast path (compress.go:35-43).
+    lo0 = jnp.where(t >= 0.99, 75,
+                    jnp.where(t >= 0.97, 50,
+                              jnp.where(t >= 0.94, 30,
+                                        jnp.where(t >= 0.90, 15, 1))))
+    mult = 16 if subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    return _bisect_device(coefs, lum_orig, box_wh, box_wv, ph, pw,
+                          subsample, h, w, target=t,
+                          lo0=lo0.astype(jnp.int32))
+
+
 def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,
                           opts: Options) -> Tuple[int, float, bytes]:
     """Find the lowest JPEG quality meeting the target SSIM

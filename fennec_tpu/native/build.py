@@ -1,0 +1,169 @@
+"""Build and load the native C++ runtime library (_fennec_native.so).
+
+Compiled on demand with g++ -O3 and cached next to the source; rebuilds
+when the source is newer than the shared object.  `python -m
+fennec_tpu.native.build` forces a rebuild.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import List
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "entropy.cpp")
+_SO = os.path.join(_HERE, "_fennec_native.so")
+
+
+def compile_library(force: bool = False) -> str:
+    if (not force and os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        return _SO
+    tmp = tempfile.mktemp(suffix=".so", dir=_HERE)
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+           "-fno-exceptions", "-o", tmp, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
+    return _SO
+
+
+class NativeLib:
+    """ctypes façade matching the fennec_tpu.native dispatch interfaces."""
+
+    def __init__(self, path: str):
+        self._lib = ctypes.CDLL(path)
+        lib = self._lib
+        lib.fennec_jpeg_encode_scan.restype = ctypes.c_long
+        lib.fennec_jpeg_encode_scan.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.fennec_jpeg_decode_scan.restype = ctypes.c_long
+        lib.fennec_jpeg_decode_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.fennec_png_unfilter.restype = ctypes.c_int
+        lib.fennec_png_unfilter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.fennec_png_filter.restype = ctypes.c_long
+        lib.fennec_png_filter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
+
+    # ── JPEG ────────────────────────────────────────────────────────────
+
+    def encode_scan(self, comps, restart_interval: int = 0) -> bytes:
+        n = len(comps)
+        arrays = [np.ascontiguousarray(c.qcoefs, dtype=np.int32)
+                  for c in comps]
+        ptrs = (ctypes.c_void_p * n)(
+            *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrays])
+        bw = (ctypes.c_int * n)(*[c.bw for c in comps])
+        bh = (ctypes.c_int * n)(*[c.bh for c in comps])
+        hs = (ctypes.c_int * n)(*[c.h for c in comps])
+        vs = (ctypes.c_int * n)(*[c.v for c in comps])
+        chroma = (ctypes.c_int * n)(
+            *[1 if getattr(c, "chroma", False) else 0 for c in comps])
+        total_blocks = sum(a.shape[0] for a in arrays)
+        cap = total_blocks * 64 * 4 + 65536
+        out = ctypes.create_string_buffer(cap)
+        written = self._lib.fennec_jpeg_encode_scan(
+            n, ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+            bw, bh, hs, vs, chroma, restart_interval, out, cap)
+        if written < 0:
+            raise RuntimeError("fennec native: encode_scan failed")
+        return out.raw[:written]
+
+    def decode_scan(self, data: bytes, pos: int, comps,
+                    restart_interval: int = 0) -> List[np.ndarray]:
+        n = len(comps)
+        outs = [np.zeros((c.bw * c.bh, 64), dtype=np.int16) for c in comps]
+        out_ptrs = (ctypes.c_void_p * n)(
+            *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs])
+        bw = (ctypes.c_int * n)(*[c.bw for c in comps])
+        bh = (ctypes.c_int * n)(*[c.bh for c in comps])
+        hs = (ctypes.c_int * n)(*[c.h for c in comps])
+        vs = (ctypes.c_int * n)(*[c.v for c in comps])
+
+        dc_bits = b"".join(bytes(c.dc_spec[0]) for c in comps)
+        ac_bits = b"".join(bytes(c.ac_spec[0]) for c in comps)
+        dc_vals_list = [bytes(c.dc_spec[1]) for c in comps]
+        ac_vals_list = [bytes(c.ac_spec[1]) for c in comps]
+        dc_vals = b"".join(dc_vals_list)
+        ac_vals = b"".join(ac_vals_list)
+        dc_nvals = (ctypes.c_int * n)(*[len(v) for v in dc_vals_list])
+        ac_nvals = (ctypes.c_int * n)(*[len(v) for v in ac_vals_list])
+        dc_voff, ac_voff = [], []
+        off = 0
+        for v in dc_vals_list:
+            dc_voff.append(off)
+            off += len(v)
+        off = 0
+        for v in ac_vals_list:
+            ac_voff.append(off)
+            off += len(v)
+        dc_voff = (ctypes.c_int * n)(*dc_voff)
+        ac_voff = (ctypes.c_int * n)(*ac_voff)
+
+        rc = self._lib.fennec_jpeg_decode_scan(
+            data, len(data), pos, n,
+            ctypes.cast(out_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+            bw, bh, hs, vs,
+            dc_bits, dc_vals, dc_nvals, dc_voff,
+            ac_bits, ac_vals, ac_nvals, ac_voff,
+            restart_interval)
+        if rc < 0:
+            raise ValueError("fennec native: corrupt JPEG scan")
+        return outs
+
+    # ── PNG ─────────────────────────────────────────────────────────────
+
+    def png_unfilter(self, raw: bytes, height: int, stride: int,
+                     bpp: int) -> np.ndarray:
+        out = np.zeros((height, stride), dtype=np.uint8)
+        rc = self._lib.fennec_png_unfilter(
+            raw, height, stride, bpp,
+            out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise ValueError("fennec native: bad PNG filter type")
+        return out
+
+    def png_filter(self, data: np.ndarray, bpp: int,
+                   heuristic: bool = True) -> bytes:
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        h, stride = data.shape
+        out = ctypes.create_string_buffer(h * (stride + 1))
+        written = self._lib.fennec_png_filter(
+            data.ctypes.data_as(ctypes.c_void_p), h, stride, bpp,
+            1 if heuristic else 0, out)
+        if written < 0:
+            raise RuntimeError("fennec native: png_filter failed")
+        return out.raw[:written]
+
+
+def load() -> NativeLib:
+    return NativeLib(compile_library())
+
+
+if __name__ == "__main__":
+    path = compile_library(force=True)
+    print(f"built {path}")

@@ -1,0 +1,542 @@
+// fennec-tpu native runtime: JPEG entropy codec + PNG scanline filters.
+//
+// The device (TPU/XLA) owns all array math; this library owns the
+// sequential byte-twiddling the reference did in compiled Go: baseline
+// JPEG Huffman encode/decode (ITU T.81) and PNG filter/unfilter.
+// Exposed via a C ABI consumed through ctypes (fennec_tpu/native/build.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+namespace {
+
+// ── Zigzag ──────────────────────────────────────────────────────────────────
+const int kZigzag[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+// ── Standard Huffman specs (T.81 Annex K.3) ────────────────────────────────
+const uint8_t kDcLumaBits[16] = {0,1,5,1,1,1,1,1,1,0,0,0,0,0,0,0};
+const uint8_t kDcLumaVals[12] = {0,1,2,3,4,5,6,7,8,9,10,11};
+const uint8_t kDcChromaBits[16] = {0,3,1,1,1,1,1,1,1,1,1,0,0,0,0,0};
+const uint8_t kDcChromaVals[12] = {0,1,2,3,4,5,6,7,8,9,10,11};
+const uint8_t kAcLumaBits[16] = {0,2,1,3,3,2,4,3,5,5,4,4,0,0,1,0x7d};
+const uint8_t kAcLumaVals[162] = {
+    0x01,0x02,0x03,0x00,0x04,0x11,0x05,0x12,0x21,0x31,0x41,0x06,0x13,0x51,
+    0x61,0x07,0x22,0x71,0x14,0x32,0x81,0x91,0xa1,0x08,0x23,0x42,0xb1,0xc1,
+    0x15,0x52,0xd1,0xf0,0x24,0x33,0x62,0x72,0x82,0x09,0x0a,0x16,0x17,0x18,
+    0x19,0x1a,0x25,0x26,0x27,0x28,0x29,0x2a,0x34,0x35,0x36,0x37,0x38,0x39,
+    0x3a,0x43,0x44,0x45,0x46,0x47,0x48,0x49,0x4a,0x53,0x54,0x55,0x56,0x57,
+    0x58,0x59,0x5a,0x63,0x64,0x65,0x66,0x67,0x68,0x69,0x6a,0x73,0x74,0x75,
+    0x76,0x77,0x78,0x79,0x7a,0x83,0x84,0x85,0x86,0x87,0x88,0x89,0x8a,0x92,
+    0x93,0x94,0x95,0x96,0x97,0x98,0x99,0x9a,0xa2,0xa3,0xa4,0xa5,0xa6,0xa7,
+    0xa8,0xa9,0xaa,0xb2,0xb3,0xb4,0xb5,0xb6,0xb7,0xb8,0xb9,0xba,0xc2,0xc3,
+    0xc4,0xc5,0xc6,0xc7,0xc8,0xc9,0xca,0xd2,0xd3,0xd4,0xd5,0xd6,0xd7,0xd8,
+    0xd9,0xda,0xe1,0xe2,0xe3,0xe4,0xe5,0xe6,0xe7,0xe8,0xe9,0xea,0xf1,0xf2,
+    0xf3,0xf4,0xf5,0xf6,0xf7,0xf8,0xf9,0xfa};
+const uint8_t kAcChromaBits[16] = {0,2,1,2,4,4,3,4,7,5,4,4,0,1,2,0x77};
+const uint8_t kAcChromaVals[162] = {
+    0x00,0x01,0x02,0x03,0x11,0x04,0x05,0x21,0x31,0x06,0x12,0x41,0x51,0x07,
+    0x61,0x71,0x13,0x22,0x32,0x81,0x08,0x14,0x42,0x91,0xa1,0xb1,0xc1,0x09,
+    0x23,0x33,0x52,0xf0,0x15,0x62,0x72,0xd1,0x0a,0x16,0x24,0x34,0xe1,0x25,
+    0xf1,0x17,0x18,0x19,0x1a,0x26,0x27,0x28,0x29,0x2a,0x35,0x36,0x37,0x38,
+    0x39,0x3a,0x43,0x44,0x45,0x46,0x47,0x48,0x49,0x4a,0x53,0x54,0x55,0x56,
+    0x57,0x58,0x59,0x5a,0x63,0x64,0x65,0x66,0x67,0x68,0x69,0x6a,0x73,0x74,
+    0x75,0x76,0x77,0x78,0x79,0x7a,0x82,0x83,0x84,0x85,0x86,0x87,0x88,0x89,
+    0x8a,0x92,0x93,0x94,0x95,0x96,0x97,0x98,0x99,0x9a,0xa2,0xa3,0xa4,0xa5,
+    0xa6,0xa7,0xa8,0xa9,0xaa,0xb2,0xb3,0xb4,0xb5,0xb6,0xb7,0xb8,0xb9,0xba,
+    0xc2,0xc3,0xc4,0xc5,0xc6,0xc7,0xc8,0xc9,0xca,0xd2,0xd3,0xd4,0xd5,0xd6,
+    0xd7,0xd8,0xd9,0xda,0xe2,0xe3,0xe4,0xe5,0xe6,0xe7,0xe8,0xe9,0xea,0xf2,
+    0xf3,0xf4,0xf5,0xf6,0xf7,0xf8,0xf9,0xfa};
+
+// Encode tables: symbol -> (code, length).
+struct EncTable {
+  uint16_t code[256];
+  uint8_t len[256];
+};
+
+void build_enc_table(const uint8_t *bits, const uint8_t *vals, EncTable *t) {
+  std::memset(t->len, 0, sizeof(t->len));
+  uint16_t code = 0;
+  int k = 0;
+  for (int length = 1; length <= 16; length++) {
+    for (int i = 0; i < bits[length - 1]; i++) {
+      t->code[vals[k]] = code;
+      t->len[vals[k]] = (uint8_t)length;
+      code++;
+      k++;
+    }
+    code <<= 1;
+  }
+}
+
+struct StdTables {
+  EncTable dc_luma, ac_luma, dc_chroma, ac_chroma;
+  StdTables() {
+    build_enc_table(kDcLumaBits, kDcLumaVals, &dc_luma);
+    build_enc_table(kAcLumaBits, kAcLumaVals, &ac_luma);
+    build_enc_table(kDcChromaBits, kDcChromaVals, &dc_chroma);
+    build_enc_table(kAcChromaBits, kAcChromaVals, &ac_chroma);
+  }
+};
+const StdTables &std_tables() {
+  static StdTables t;
+  return t;
+}
+
+// ── Bit writer with 0xFF stuffing ───────────────────────────────────────────
+struct BitWriter {
+  uint8_t *out;
+  long cap;
+  long pos;
+  uint64_t acc;
+  int nbits;
+  bool overflow;
+
+  BitWriter(uint8_t *o, long c)
+      : out(o), cap(c), pos(0), acc(0), nbits(0), overflow(false) {}
+
+  inline void put_byte(uint8_t b) {
+    if (pos >= cap) { overflow = true; return; }
+    out[pos++] = b;
+    if (b == 0xFF) {
+      if (pos >= cap) { overflow = true; return; }
+      out[pos++] = 0x00;
+    }
+  }
+
+  inline void write(uint32_t code, int len) {
+    acc = (acc << len) | (code & ((1u << len) - 1));
+    nbits += len;
+    while (nbits >= 8) {
+      nbits -= 8;
+      put_byte((uint8_t)((acc >> nbits) & 0xFF));
+    }
+  }
+
+  void flush() {
+    if (nbits > 0) {
+      int pad = 8 - nbits;
+      write((1u << pad) - 1, pad);
+    }
+  }
+
+  void emit_marker(uint8_t m) {
+    flush();
+    if (pos + 2 > cap) { overflow = true; return; }
+    out[pos++] = 0xFF;
+    out[pos++] = m;
+  }
+};
+
+inline int magnitude_size(int v) {
+  unsigned a = (unsigned)(v < 0 ? -v : v);
+  int s = 0;
+  while (a) { s++; a >>= 1; }
+  return s;
+}
+
+// Encode one block; returns new DC predictor.
+inline int encode_block(BitWriter &w, const int32_t *block, int pred,
+                        const EncTable &dc, const EncTable &ac) {
+  int dc_val = block[0];
+  int diff = dc_val - pred;
+  int size = magnitude_size(diff);
+  w.write(dc.code[size], dc.len[size]);
+  if (size) {
+    int bits = diff >= 0 ? diff : diff + (1 << size) - 1;
+    w.write((uint32_t)bits, size);
+  }
+  int run = 0;
+  for (int i = 1; i < 64; i++) {
+    int v = block[kZigzag[i]];
+    if (v == 0) { run++; continue; }
+    while (run >= 16) {
+      w.write(ac.code[0xF0], ac.len[0xF0]);
+      run -= 16;
+    }
+    int s = magnitude_size(v);
+    int sym = (run << 4) | s;
+    w.write(ac.code[sym], ac.len[sym]);
+    int bits = v >= 0 ? v : v + (1 << s) - 1;
+    w.write((uint32_t)bits, s);
+    run = 0;
+  }
+  if (run > 0) w.write(ac.code[0x00], ac.len[0x00]);
+  return dc_val;
+}
+
+// ── Huffman decode tables ───────────────────────────────────────────────────
+struct DecTable {
+  // Fast path: 8-bit lookup -> (value, length); slow path canonical.
+  int16_t fast_val[256];
+  uint8_t fast_len[256];
+  int32_t maxcode[17];
+  int32_t mincode[17];
+  int32_t valptr[17];
+  uint8_t vals[256];
+  int nvals;
+
+  void build(const uint8_t *bits, const uint8_t *values, int n) {
+    nvals = n;
+    std::memcpy(vals, values, n);
+    int code = 0, k = 0;
+    for (int length = 1; length <= 16; length++) {
+      if (bits[length - 1] > 0) {
+        valptr[length] = k;
+        mincode[length] = code;
+        code += bits[length - 1];
+        k += bits[length - 1];
+        maxcode[length] = code - 1;
+      } else {
+        mincode[length] = 0;
+        maxcode[length] = -1;
+      }
+      code <<= 1;
+    }
+    // Fast 8-bit LUT.
+    for (int i = 0; i < 256; i++) { fast_len[i] = 0; fast_val[i] = -1; }
+    code = 0; k = 0;
+    for (int length = 1; length <= 8; length++) {
+      for (int i = 0; i < bits[length - 1]; i++) {
+        int prefix = code << (8 - length);
+        int count = 1 << (8 - length);
+        for (int j = 0; j < count; j++) {
+          fast_val[prefix + j] = values[k];
+          fast_len[prefix + j] = (uint8_t)length;
+        }
+        code++;
+        k++;
+      }
+      code <<= 1;
+    }
+  }
+};
+
+// ── Bit reader with 0xFF unstuffing ─────────────────────────────────────────
+struct BitReader {
+  const uint8_t *data;
+  long len;
+  long pos;
+  uint64_t acc;
+  int nbits;
+  bool bad;
+
+  BitReader(const uint8_t *d, long l, long p)
+      : data(d), len(l), pos(p), acc(0), nbits(0), bad(false) {}
+
+  inline void fill() {
+    while (nbits <= 48) {
+      uint8_t b = 0;
+      if (pos < len) {
+        b = data[pos];
+        if (b == 0xFF) {
+          uint8_t nxt = (pos + 1 < len) ? data[pos + 1] : 0xD9;
+          if (nxt == 0x00) {
+            pos += 2;
+          } else {
+            b = 0;  // marker: feed zeros, don't advance
+          }
+        } else {
+          pos++;
+        }
+      }
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+  }
+
+  inline uint32_t peek8() {
+    if (nbits < 8) fill();
+    return (uint32_t)((acc >> (nbits - 8)) & 0xFF);
+  }
+
+  inline void drop(int n) { nbits -= n; acc &= ((uint64_t)1 << nbits) - 1; }
+
+  inline uint32_t read_bits(int n) {
+    if (n == 0) return 0;
+    if (nbits < n) fill();
+    nbits -= n;
+    uint32_t v = (uint32_t)((acc >> nbits) & (((uint64_t)1 << n) - 1));
+    acc &= ((uint64_t)1 << nbits) - 1;
+    return v;
+  }
+
+  inline int decode(const DecTable &t) {
+    uint32_t look = peek8();
+    if (t.fast_len[look]) {
+      drop(t.fast_len[look]);
+      return t.fast_val[look];
+    }
+    // Slow path: lengths 9..16.
+    int code = (int)read_bits(8);
+    for (int length = 9; length <= 16; length++) {
+      code = (code << 1) | (int)read_bits(1);
+      if (t.maxcode[length] >= 0 && code <= t.maxcode[length]) {
+        return t.vals[t.valptr[length] + code - t.mincode[length]];
+      }
+    }
+    bad = true;
+    return 0;
+  }
+
+  // Skip to and consume an RSTn marker.
+  void align_to_rst() {
+    acc = 0;
+    nbits = 0;
+    while (pos + 1 < len) {
+      if (data[pos] == 0xFF && data[pos + 1] != 0x00) {
+        uint8_t m = data[pos + 1];
+        pos += 2;
+        if (m < 0xD0 || m > 0xD7) bad = true;
+        return;
+      }
+      pos++;
+    }
+    bad = true;
+  }
+};
+
+inline int extend(int v, int size) {
+  if (size == 0) return 0;
+  if (v < (1 << (size - 1))) return v - (1 << size) + 1;
+  return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode an interleaved baseline scan with the standard tables.
+// coefs[c]: int32 (bw*bh, 64) natural order raster. Returns bytes written,
+// or -1 on overflow / bad geometry.
+long fennec_jpeg_encode_scan(int ncomp, const int32_t **coefs,
+                             const int *bw, const int *bh, const int *hs,
+                             const int *vs, const int *chroma,
+                             int restart_interval, uint8_t *out,
+                             long out_cap) {
+  if (ncomp < 1 || ncomp > 4) return -1;
+  const StdTables &t = std_tables();
+  int mcus_x = hs[0] ? bw[0] / hs[0] : 0;
+  int mcus_y = vs[0] ? bh[0] / vs[0] : 0;
+  for (int c = 0; c < ncomp; c++) {
+    if (bw[c] != mcus_x * hs[c] || bh[c] != mcus_y * vs[c]) return -1;
+  }
+  BitWriter w(out, out_cap);
+  int pred[4] = {0, 0, 0, 0};
+  int rst_idx = 0;
+  int mcu_count = 0;
+
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && mcu_count == restart_interval) {
+        w.emit_marker((uint8_t)(0xD0 + (rst_idx & 7)));
+        rst_idx++;
+        mcu_count = 0;
+        pred[0] = pred[1] = pred[2] = pred[3] = 0;
+      }
+      for (int c = 0; c < ncomp; c++) {
+        const EncTable &dc = chroma[c] ? t.dc_chroma : t.dc_luma;
+        const EncTable &ac = chroma[c] ? t.ac_chroma : t.ac_luma;
+        for (int dy = 0; dy < vs[c]; dy++) {
+          for (int dx = 0; dx < hs[c]; dx++) {
+            int by = my * vs[c] + dy;
+            int bx = mx * hs[c] + dx;
+            const int32_t *block = coefs[c] + ((long)by * bw[c] + bx) * 64;
+            pred[c] = encode_block(w, block, pred[c], dc, ac);
+          }
+        }
+      }
+      mcu_count++;
+      if (w.overflow) return -1;
+    }
+  }
+  w.flush();
+  if (w.overflow) return -1;
+  return w.pos;
+}
+
+// Decode an interleaved baseline scan. Tables are passed per component as
+// raw (BITS[16], VALS[n]) specs. out[c]: int16 (bw*bh, 64) natural order.
+// Returns the byte offset past the scan, or -1 on corrupt data.
+long fennec_jpeg_decode_scan(const uint8_t *data, long len, long pos,
+                             int ncomp, int16_t **out, const int *bw,
+                             const int *bh, const int *hs, const int *vs,
+                             const uint8_t *dc_bits, const uint8_t *dc_vals,
+                             const int *dc_nvals, const int *dc_voff,
+                             const uint8_t *ac_bits, const uint8_t *ac_vals,
+                             const int *ac_nvals, const int *ac_voff,
+                             int restart_interval) {
+  if (ncomp < 1 || ncomp > 4) return -1;
+  DecTable dct_[4], act_[4];
+  for (int c = 0; c < ncomp; c++) {
+    dct_[c].build(dc_bits + c * 16, dc_vals + dc_voff[c], dc_nvals[c]);
+    act_[c].build(ac_bits + c * 16, ac_vals + ac_voff[c], ac_nvals[c]);
+    std::memset(out[c], 0, (long)bw[c] * bh[c] * 64 * sizeof(int16_t));
+  }
+  int mcus_x = hs[0] ? bw[0] / hs[0] : 0;
+  int mcus_y = vs[0] ? bh[0] / vs[0] : 0;
+
+  BitReader r(data, len, pos);
+  int pred[4] = {0, 0, 0, 0};
+  int mcu_count = 0;
+
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && mcu_count == restart_interval) {
+        r.align_to_rst();
+        if (r.bad) return -1;
+        pred[0] = pred[1] = pred[2] = pred[3] = 0;
+        mcu_count = 0;
+      }
+      for (int c = 0; c < ncomp; c++) {
+        for (int dy = 0; dy < vs[c]; dy++) {
+          for (int dx = 0; dx < hs[c]; dx++) {
+            int by = my * vs[c] + dy;
+            int bx = mx * hs[c] + dx;
+            int16_t *block = out[c] + ((long)by * bw[c] + bx) * 64;
+            int size = r.decode(dct_[c]);
+            int diff = extend((int)r.read_bits(size), size);
+            pred[c] += diff;
+            block[0] = (int16_t)pred[c];
+            int k = 1;
+            while (k < 64) {
+              int rs = r.decode(act_[c]);
+              int run = rs >> 4, s = rs & 0x0F;
+              if (s == 0) {
+                if (run == 15) { k += 16; continue; }
+                break;  // EOB
+              }
+              k += run;
+              if (k > 63) return -1;
+              block[kZigzag[k]] =
+                  (int16_t)extend((int)r.read_bits(s), s);
+              k++;
+            }
+            if (r.bad) return -1;
+          }
+        }
+      }
+      mcu_count++;
+    }
+  }
+  return r.pos;
+}
+
+// ── PNG scanline filters ────────────────────────────────────────────────────
+
+static inline int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = p > a ? p - a : a - p;
+  int pb = p > b ? p - b : b - p;
+  int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+// raw: h rows of (1 filter byte + stride data bytes). out: h*stride.
+// Returns 0 on success, -1 on bad filter type.
+int fennec_png_unfilter(const uint8_t *raw, int h, int stride, int bpp,
+                        uint8_t *out) {
+  const uint8_t *prev = nullptr;
+  for (int y = 0; y < h; y++) {
+    const uint8_t *src = raw + (long)y * (stride + 1);
+    uint8_t *dst = out + (long)y * stride;
+    int ftype = src[0];
+    src++;
+    switch (ftype) {
+      case 0:
+        std::memcpy(dst, src, stride);
+        break;
+      case 1:
+        for (int x = 0; x < bpp && x < stride; x++) dst[x] = src[x];
+        for (int x = bpp; x < stride; x++)
+          dst[x] = (uint8_t)(src[x] + dst[x - bpp]);
+        break;
+      case 2:
+        if (prev) {
+          for (int x = 0; x < stride; x++)
+            dst[x] = (uint8_t)(src[x] + prev[x]);
+        } else {
+          std::memcpy(dst, src, stride);
+        }
+        break;
+      case 3:
+        for (int x = 0; x < stride; x++) {
+          int left = x >= bpp ? dst[x - bpp] : 0;
+          int up = prev ? prev[x] : 0;
+          dst[x] = (uint8_t)(src[x] + ((left + up) >> 1));
+        }
+        break;
+      case 4:
+        for (int x = 0; x < stride; x++) {
+          int left = x >= bpp ? dst[x - bpp] : 0;
+          int up = prev ? prev[x] : 0;
+          int ul = (prev && x >= bpp) ? prev[x - bpp] : 0;
+          dst[x] = (uint8_t)(src[x] + paeth(left, up, ul));
+        }
+        break;
+      default:
+        return -1;
+    }
+    prev = dst;
+  }
+  return 0;
+}
+
+// data: h*stride. out: h*(stride+1). heuristic: 0=always filter 0,
+// 1=min-sum-of-absolute-differences. Returns bytes written.
+long fennec_png_filter(const uint8_t *data, int h, int stride, int bpp,
+                       int heuristic, uint8_t *out) {
+  uint8_t *scratch = (uint8_t *)std::malloc((size_t)stride * 5);
+  if (!scratch) return -1;
+  long opos = 0;
+  const uint8_t *prev = nullptr;
+  for (int y = 0; y < h; y++) {
+    const uint8_t *row = data + (long)y * stride;
+    int best = 0;
+    const uint8_t *best_buf = row;
+    if (heuristic) {
+      long best_cost = -1;
+      for (int f = 0; f < 5; f++) {
+        uint8_t *buf = scratch + (long)f * stride;
+        for (int x = 0; x < stride; x++) {
+          int left = x >= bpp ? row[x - bpp] : 0;
+          int up = prev ? prev[x] : 0;
+          int ul = (prev && x >= bpp) ? prev[x - bpp] : 0;
+          int v;
+          switch (f) {
+            case 0: v = row[x]; break;
+            case 1: v = row[x] - left; break;
+            case 2: v = row[x] - up; break;
+            case 3: v = row[x] - ((left + up) >> 1); break;
+            default: v = row[x] - paeth(left, up, ul); break;
+          }
+          buf[x] = (uint8_t)v;
+        }
+        long cost = 0;
+        for (int x = 0; x < stride; x++) {
+          int8_t sv = (int8_t)buf[x];
+          cost += sv < 0 ? -sv : sv;
+        }
+        if (best_cost < 0 || cost < best_cost) {
+          best_cost = cost;
+          best = f;
+          best_buf = buf;
+        }
+      }
+    }
+    out[opos++] = (uint8_t)best;
+    std::memcpy(out + opos, best_buf, stride);
+    opos += stride;
+    prev = row;
+  }
+  std::free(scratch);
+  return opos;
+}
+
+}  // extern "C"

@@ -1,0 +1,74 @@
+"""Batched (vmapped) and mesh-sharded compression kernels.
+
+The mega-batch analogue of the reference's CompressBatch worker pool
+(batch.go:58-128): a whole size-bucket of images moves through the
+SSIM-guided quality search as ONE device program — vmapped bisection, all
+images searching in lockstep with per-image convergence state — and the
+batch axis shards across chips over a Mesh('data') axis via pjit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.compress import quality_search_device
+from ..ops.color import luminance_device
+from ..ops.ssim import ssim_map_device
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def batched_quality_search(imgs: jax.Array, targets: jax.Array,
+                           subsample: bool = True):
+    """(B, H, W, 4) float32 images + (B,) targets → per-image
+    (quality int32, ssim f32, found bool), all on device."""
+    return jax.vmap(
+        lambda im, t: quality_search_device(im, t, subsample)
+    )(imgs, targets)
+
+
+def batched_quality_search_sharded(mesh: Mesh, imgs, targets,
+                                   subsample: bool = True):
+    """Mesh-sharded batched search: batch axis over the 'data' mesh axis.
+
+    XLA compiles one SPMD program; each chip runs the bisection for its
+    shard of the batch — the TPU-native CompressBatch.
+    """
+    img_sh = NamedSharding(mesh, P("data"))
+    vec_sh = NamedSharding(mesh, P("data"))
+    fn = jax.jit(
+        lambda im, t: batched_quality_search(im, t, subsample),
+        in_shardings=(img_sh, vec_sh),
+        out_shardings=(vec_sh, vec_sh, vec_sh))
+    return fn(jax.device_put(imgs, img_sh), jax.device_put(targets, vec_sh))
+
+
+@jax.jit
+def batched_ssim(imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
+    """Windowed SSIM per batch element: (B, H, W, 4) × 2 → (B,)."""
+    def one(a, b):
+        return jnp.mean(ssim_map_device(luminance_device(a),
+                                        luminance_device(b)))
+    return jax.vmap(one)(imgs_a, imgs_b)
+
+
+def batched_ssim_sharded(mesh: Mesh, imgs_a, imgs_b,
+                         spatial: bool = False) -> jax.Array:
+    """Mesh-sharded batched SSIM.  With spatial=True the row axis also
+    shards over a 'spatial' mesh axis — XLA inserts the halo exchange for
+    the 8×8 windows and reduces partial sums across chips (the
+    reference's per-worker partial-sum pattern, ssim.go:150-160, done by
+    the compiler)."""
+    spec = P("data", "spatial", None, None) if spatial \
+        else P("data", None, None, None)
+    img_sh = NamedSharding(mesh, spec)
+    out_sh = NamedSharding(mesh, P("data"))
+    fn = jax.jit(batched_ssim, in_shardings=(img_sh, img_sh),
+                 out_shardings=out_sh)
+    return fn(jax.device_put(imgs_a, img_sh),
+              jax.device_put(imgs_b, img_sh))

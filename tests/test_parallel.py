@@ -1,0 +1,103 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import make_noise_image, make_test_image
+from fennec_tpu.engine.compress import compress_jpeg_optimal
+from fennec_tpu.ops.ssim import ssim_fast
+from fennec_tpu.parallel import (
+    batched_quality_search,
+    batched_quality_search_sharded,
+    batched_ssim,
+)
+from fennec_tpu.parallel.batched import batched_ssim_sharded
+from fennec_tpu.parallel.mesh import (
+    batch_sharding,
+    data_mesh,
+    data_spatial_mesh,
+    make_mesh,
+)
+from fennec_tpu.types import Options
+
+
+def batch_of_images(b, w, h):
+    return np.stack([make_noise_image(w, h, seed=i) for i in range(b)])
+
+
+class TestMesh:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_make_mesh_shapes(self):
+        m = make_mesh((4, 2), ("data", "spatial"))
+        assert m.axis_names == ("data", "spatial")
+        assert m.devices.shape == (4, 2)
+
+    def test_data_mesh(self):
+        m = data_mesh()
+        assert m.devices.size == 8
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh((16,), ("data",))
+
+
+class TestBatchedSearch:
+    def test_vmapped_matches_single(self):
+        imgs = batch_of_images(4, 48, 48).astype(np.float32)
+        targets = jnp.full((4,), 0.94, dtype=jnp.float32)
+        qs, ssims, found = batched_quality_search(
+            jnp.asarray(imgs), targets)
+        assert qs.shape == (4,)
+        # Cross-check against the host single-image path.
+        q0, s0, _ = compress_jpeg_optimal(
+            imgs[0].astype(np.uint8), 0.94, Options())
+        assert int(qs[0]) == q0
+        assert float(ssims[0]) == pytest.approx(s0, abs=1e-5)
+
+    def test_per_image_targets(self):
+        imgs = jnp.asarray(batch_of_images(2, 64, 64), dtype=jnp.float32)
+        targets = jnp.asarray([0.85, 0.99], dtype=jnp.float32)
+        qs, ssims, found = batched_quality_search(imgs, targets)
+        assert int(qs[0]) <= int(qs[1])
+
+    def test_sharded_matches_unsharded(self):
+        mesh = data_mesh(8)
+        imgs = jnp.asarray(batch_of_images(8, 32, 32), dtype=jnp.float32)
+        targets = jnp.full((8,), 0.90, dtype=jnp.float32)
+        q1, s1, f1 = batched_quality_search(imgs, targets)
+        q2, s2, f2 = batched_quality_search_sharded(mesh, imgs, targets)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-5)
+
+
+class TestBatchedSSIM:
+    def test_matches_host_ssim(self):
+        a = batch_of_images(3, 40, 40).astype(np.float32)
+        b = a.copy()
+        b[:, :, :, :3] = np.clip(b[:, :, :, :3] + 10, 0, 255)
+        got = np.asarray(batched_ssim(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(3):
+            want = ssim_fast(a[i].astype(np.uint8), b[i].astype(np.uint8))
+            assert got[i] == pytest.approx(want, abs=1e-4)
+
+    def test_data_sharded(self):
+        mesh = data_mesh(8)
+        a = jnp.asarray(batch_of_images(8, 32, 32), dtype=jnp.float32)
+        got = batched_ssim_sharded(mesh, a, a)
+        np.testing.assert_allclose(np.asarray(got), 1.0, atol=1e-4)
+
+    def test_data_spatial_sharded(self):
+        # 4 chips on batch × 2 chips on image rows: XLA must insert the
+        # halo exchange for the 8×8 SSIM windows.
+        mesh = data_spatial_mesh(8, spatial=2)
+        a = jnp.asarray(batch_of_images(4, 64, 64), dtype=jnp.float32)
+        b = jnp.clip(a + 8.0, 0, 255)
+        sharded = batched_ssim_sharded(mesh, a, b, spatial=True)
+        unsharded = batched_ssim(a, b)
+        np.testing.assert_allclose(np.asarray(sharded),
+                                   np.asarray(unsharded), atol=1e-5)
