@@ -46,11 +46,17 @@ class BatchResult:
 
 @dataclasses.dataclass
 class BatchOptions:
-    """Batch configuration (reference batch.go:33-41)."""
+    """Batch configuration (reference batch.go:33-41).
+
+    fused: None (auto) routes homogeneous standard-mode batches of 8+
+    items through the device mega-batch engine (engine/batched.py);
+    True forces it, False forces the per-file worker pool.
+    """
 
     workers: int = 0  # 0 = os.cpu_count()
     default_opts: Options = dataclasses.field(default_factory=Options)
     on_item: Optional[Callable[[int, int], None]] = None
+    fused: Optional[bool] = None
 
 
 def compress_batch(ctx: Optional[Context], items: List[BatchItem],
@@ -62,6 +68,16 @@ def compress_batch(ctx: Optional[Context], items: List[BatchItem],
     if not items:
         return []
     batch_opts = batch_opts or BatchOptions()
+
+    homogeneous = all(it.opts is None for it in items)
+    use_fused = batch_opts.fused
+    if use_fused is None:
+        use_fused = (homogeneous and len(items) >= 8
+                     and batch_opts.default_opts.target_size == 0)
+    if use_fused and homogeneous \
+            and batch_opts.default_opts.target_size == 0:
+        return _compress_batch_fused(ctx, items, batch_opts)
+
     workers = batch_opts.workers if batch_opts.workers > 0 \
         else (os.cpu_count() or 1)
     workers = min(workers, len(items))
@@ -93,6 +109,71 @@ def compress_batch(ctx: Optional[Context], items: List[BatchItem],
         list(pool.map(work, range(len(items))))
 
     return [r for r in results if r is not None]
+
+
+def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
+                          batch_opts: BatchOptions) -> List[BatchResult]:
+    """Mega-batch path: parallel host decode → device-batched lockstep
+    quality search → parallel host entropy encode + write."""
+    from .engine.batched import compress_images_batched
+    from .exif import Orientation, apply_orientation
+    from .image import to_nrgba
+    from .io import open_with_orientation
+
+    opts = batch_opts.default_opts
+    n = len(items)
+    results: List[BatchResult] = [
+        BatchResult(item=it, index=i) for i, it in enumerate(items)]
+    decoded: List[Optional[object]] = [None] * n
+    sizes = [0] * n
+
+    def load(i: int):
+        if ctx is not None and ctx.done():
+            results[i].err = ctx.err()
+            return
+        try:
+            img, orient, fsize = open_with_orientation(items[i].src)
+            if opts.auto_orient and int(orient) > int(Orientation.NORMAL):
+                img = apply_orientation(to_nrgba(img), orient)
+            decoded[i] = img
+            sizes[i] = fsize
+        except Exception as e:
+            results[i].err = e
+
+    workers = batch_opts.workers if batch_opts.workers > 0 \
+        else (os.cpu_count() or 1)
+    with ThreadPoolExecutor(max_workers=min(workers, n)) as pool:
+        list(pool.map(load, range(n)))
+
+    live = [i for i in range(n) if results[i].err is None]
+    if live:
+        # auto_orient already applied above; avoid double application.
+        sub_opts = dataclasses.replace(opts, auto_orient=False)
+        try:
+            compressed = compress_images_batched(
+                ctx, [decoded[i] for i in live], sub_opts,
+                workers=batch_opts.workers)
+        except Exception:
+            # Fall back to the per-file pool on any fused-path failure.
+            fallback = dataclasses.replace(batch_opts, fused=False)
+            return compress_batch(ctx, items, fallback)
+        completed = 0
+        lock = threading.Lock()
+        for j, i in enumerate(live):
+            res = compressed[j]
+            res.original_size = sizes[i]
+            res.compute_stats()
+            try:
+                with open(items[i].dst, "wb") as f:
+                    f.write(res.compressed_data)
+                results[i].result = res
+            except Exception as e:
+                results[i].err = e
+            if batch_opts.on_item is not None:
+                with lock:
+                    completed += 1
+                batch_opts.on_item(completed, n)
+    return results
 
 
 @dataclasses.dataclass

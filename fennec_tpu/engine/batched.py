@@ -1,0 +1,150 @@
+"""Fused mega-batch compression: the TPU-native CompressBatch core.
+
+The reference's batch engine is a goroutine worker pool running the whole
+scalar pipeline per file (batch.go:58-128).  Here, standard-mode JPEG
+compression over a list of decoded images is restructured as device
+mega-batches:
+
+  1. bucket images by exact (H, W) shape (XLA needs static shapes; same-
+     shape images share one compiled program);
+  2. within a bucket, run the vmapped lockstep quality bisection for up to
+     BATCH_CHUNK images at a time — every image carries its own (lo, hi)
+     search state, so mixed difficulty costs nothing extra;
+  3. entropy-code each winner on the host thread pool (C++ codec, GIL
+     released) while the device works on the next chunk.
+
+PNG-routed images (alpha / few colors under AUTO) take the per-image PNG
+path — palette work is host-side anyway.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.jpeg import encode_jpeg_from_coefs, forward_dct_device
+from ..image import analyze_format, to_nrgba, validate_image
+from ..ops.resize import smart_resize
+from ..parallel.batched import batched_quality_search
+from ..types import Context, Format, Options, Result
+from .compress import compress_png
+
+BATCH_CHUNK = 32
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def compress_images_batched(ctx: Optional[Context],
+                            images: List[np.ndarray],
+                            opts: Options,
+                            workers: int = 0) -> List[Result]:
+    """Standard-mode compression of many decoded images with shared
+    options, device-batched.  Returns Results in input order.
+
+    Semantically equivalent to [compress_image(ctx, im, opts) for im in
+    images] when opts.target_size == 0; target-size mode falls back to the
+    per-image engine.
+    """
+    opts.validate()
+    n = len(images)
+    results: List[Optional[Result]] = [None] * n
+    if n == 0:
+        return []
+
+    if opts.target_size > 0:
+        from ..api import compress_image
+        return [compress_image(ctx, im, opts) for im in images]
+
+    target = opts.quality.target_ssim()
+    if 0.0 < opts.target_ssim <= 1.0:
+        target = opts.target_ssim
+
+    # Preprocess: validate, resize, route PNG vs JPEG.
+    jpeg_buckets: Dict[Tuple[int, int], List[int]] = {}
+    prepped: List[np.ndarray] = [None] * n  # type: ignore[list-item]
+    for i, img in enumerate(images):
+        if ctx is not None:
+            ctx.raise_if_done()
+        arr = to_nrgba(validate_image(img))
+        result = Result(original_dimensions=(arr.shape[1], arr.shape[0]))
+        if opts.max_width > 0 or opts.max_height > 0:
+            arr = smart_resize(arr, opts.max_width, opts.max_height)
+        result.image = arr
+        result.final_dimensions = (arr.shape[1], arr.shape[0])
+        fmt = opts.format
+        if fmt == Format.AUTO:
+            fmt = analyze_format(arr)
+        result.format = fmt
+        results[i] = result
+        prepped[i] = arr
+        if fmt == Format.PNG:
+            result.compressed_data = compress_png(arr, opts)
+            result.ssim = 1.0
+            result.compressed_size = len(result.compressed_data)
+            result.compute_stats()
+        else:
+            jpeg_buckets.setdefault(arr.shape[:2], []).append(i)
+
+    if not jpeg_buckets:
+        return results  # type: ignore[return-value]
+
+    nworkers = workers if workers > 0 else min(16, os.cpu_count() or 4)
+    pool = concurrent.futures.ThreadPoolExecutor(nworkers)
+    subsample = bool(opts.subsample)
+    pending = []
+
+    for (h, w), idxs in jpeg_buckets.items():
+        for start in range(0, len(idxs), BATCH_CHUNK):
+            if ctx is not None:
+                ctx.raise_if_done()
+            chunk = idxs[start:start + BATCH_CHUNK]
+            b = len(chunk)
+            # Pad the chunk to a power of two to bound recompilation.
+            padded = _next_pow2(b)
+            stack = np.empty((padded, h, w, 4), dtype=np.float32)
+            for j, i in enumerate(chunk):
+                stack[j] = prepped[i]
+            for j in range(b, padded):
+                stack[j] = stack[0]
+            imgs_dev = jnp.asarray(stack)
+            targets = jnp.full((padded,), target, dtype=jnp.float32)
+            qs, ssims, found = batched_quality_search(imgs_dev, targets,
+                                                      subsample)
+            q_host = np.asarray(qs)
+            s_host = np.asarray(ssims)
+            f_host = np.asarray(found)
+
+            def encode_one(i: int, quality: int, ssim_val: float,
+                           was_found: bool) -> None:
+                res = results[i]
+                if not was_found:
+                    quality, ssim_val = 100, 1.0  # compress.go fallback
+                coefs = forward_dct_device(
+                    jnp.asarray(prepped[i], dtype=jnp.float32), subsample)
+                data = encode_jpeg_from_coefs(
+                    coefs, res.final_dimensions[0], res.final_dimensions[1],
+                    quality, subsample)
+                res.jpeg_quality = quality
+                res.ssim = float(ssim_val)
+                res.compressed_data = data
+                res.compressed_size = len(data)
+                res.compute_stats()
+
+            for j, i in enumerate(chunk):
+                pending.append(pool.submit(
+                    encode_one, i, int(q_host[j]), float(s_host[j]),
+                    bool(f_host[j])))
+
+    for fut in pending:
+        fut.result()
+    pool.shutdown()
+    return results  # type: ignore[return-value]

@@ -109,16 +109,23 @@ def _bisect_device(coefs, img_rgb_ds_lum, box_wh, box_wv,
     all_tables = jnp.asarray(dct_ops.all_quality_tables(),
                              dtype=jnp.float32)  # (101, 2, 64)
     use_windowed = img_rgb_ds_lum.shape[0] > 8 and img_rgb_ds_lum.shape[1] > 8
+    # Static at trace time: identity box weights (image already ≤ 512px)
+    # mean the downsample matmuls can be skipped entirely.
+    needs_ds = (box_wh.shape[0] != w) or (box_wv.shape[0] != h)
 
     def score(quality: jax.Array) -> jax.Array:
         qtab = jax.lax.dynamic_index_in_dim(all_tables, quality, axis=0,
                                             keepdims=False)
         rgb = _reconstruct_rgb(coefs, qtab, padded_h, padded_w,
                                subsample, h, w)
-        r = _box_down_plane(rgb[..., 0], box_wh, box_wv)
-        g = _box_down_plane(rgb[..., 1], box_wh, box_wv)
-        b = _box_down_plane(rgb[..., 2], box_wh, box_wv)
-        lum = 0.299 * r + 0.587 * g + 0.114 * b
+        if needs_ds:
+            r = _box_down_plane(rgb[..., 0], box_wh, box_wv)
+            g = _box_down_plane(rgb[..., 1], box_wh, box_wv)
+            b = _box_down_plane(rgb[..., 2], box_wh, box_wv)
+            lum = 0.299 * r + 0.587 * g + 0.114 * b
+        else:
+            lum = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                   + 0.114 * rgb[..., 2])
         if use_windowed:
             return jnp.mean(ssim_map_device(img_rgb_ds_lum, lum))
         # tiny image: global-moment pixelSSIM on luminance
@@ -170,10 +177,14 @@ def quality_search_device(img: jax.Array, target: jax.Array,
     wh, wv = box_resize_weights(w, h, ds_w, ds_h)
     box_wh = jnp.asarray(wh)
     box_wv = jnp.asarray(wv)
-    r = _box_down_plane(img[..., 0], box_wh, box_wv)
-    g = _box_down_plane(img[..., 1], box_wh, box_wv)
-    b = _box_down_plane(img[..., 2], box_wh, box_wv)
-    lum_orig = 0.299 * r + 0.587 * g + 0.114 * b
+    if (ds_w, ds_h) != (w, h):
+        r = _box_down_plane(img[..., 0], box_wh, box_wv)
+        g = _box_down_plane(img[..., 1], box_wh, box_wv)
+        b = _box_down_plane(img[..., 2], box_wh, box_wv)
+        lum_orig = 0.299 * r + 0.587 * g + 0.114 * b
+    else:
+        lum_orig = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                    + 0.114 * img[..., 2])
 
     # Traced analogue of the quality lower-bound fast path (compress.go:35-43).
     lo0 = jnp.where(t >= 0.99, 75,
@@ -205,10 +216,14 @@ def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,
     wh, wv = box_resize_weights(w, h, ds_w, ds_h)
     box_wh = jnp.asarray(wh)
     box_wv = jnp.asarray(wv)
-    r = _box_down_plane(img_dev[..., 0], box_wh, box_wv)
-    g = _box_down_plane(img_dev[..., 1], box_wh, box_wv)
-    b = _box_down_plane(img_dev[..., 2], box_wh, box_wv)
-    lum_orig = 0.299 * r + 0.587 * g + 0.114 * b
+    if (ds_w, ds_h) != (w, h):
+        r = _box_down_plane(img_dev[..., 0], box_wh, box_wv)
+        g = _box_down_plane(img_dev[..., 1], box_wh, box_wv)
+        b = _box_down_plane(img_dev[..., 2], box_wh, box_wv)
+        lum_orig = 0.299 * r + 0.587 * g + 0.114 * b
+    else:
+        lum_orig = (0.299 * img_dev[..., 0] + 0.587 * img_dev[..., 1]
+                    + 0.114 * img_dev[..., 2])
 
     mult = 16 if subsample else 8
     ph, pw = h + (-h) % mult, w + (-w) % mult

@@ -54,26 +54,30 @@ MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 # ── Device kernels ──────────────────────────────────────────────────────────
 
 
+def _window_sum(x: jax.Array, g: jax.Array, axis: int,
+                out_len: int) -> jax.Array:
+    """Weighted sum of 8 shifted slices along `axis` — the separable
+    Gaussian window as fused VPU multiply-adds.
+
+    TPU note: an 8-tap depthwise convolution lowers poorly on TPU (no MXU
+    mapping, per-channel loops); eight static-slice FMAs fuse into one
+    element-wise pass and keep true float32 accumulation, which the <1e-4
+    parity bound requires.
+    """
+    out = None
+    for k in range(WINDOW_SIZE):
+        sl = jax.lax.slice_in_dim(x, k, k + out_len, axis=axis)
+        term = sl * g[k]
+        out = term if out is None else out + term
+    return out
+
+
 def _sep_conv_valid(maps: jax.Array, g: jax.Array) -> jax.Array:
-    """Depthwise separable VALID convolution of (C, H, W) with 1D kernel g."""
-    c = maps.shape[0]
-    x = maps[None]  # (1, C, H, W)
-    kh = jnp.broadcast_to(g.reshape(1, 1, 1, -1), (c, 1, 1, g.shape[0]))
-    kv = jnp.broadcast_to(g.reshape(1, 1, -1, 1), (c, 1, g.shape[0], 1))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    # Precision.HIGHEST keeps the accumulation in true float32 on TPU
-    # (default matmul/conv precision downcasts inputs to bfloat16, which
-    # breaks the <1e-4 SSIM parity bound).
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                     dimension_numbers=dn,
-                                     feature_group_count=c,
-                                     precision=jax.lax.Precision.HIGHEST)
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID",
-                                     dimension_numbers=dn,
-                                     feature_group_count=c,
-                                     precision=jax.lax.Precision.HIGHEST)
-    return x[0]
+    """Separable windowed sums of (C, H, W) with the 8-tap 1D kernel g,
+    cropped to the reference's center set: output (C, H-8, W-8)."""
+    h, w = maps.shape[-2], maps.shape[-1]
+    x = _window_sum(maps, g, axis=2, out_len=w - WINDOW_SIZE)
+    return _window_sum(x, g, axis=1, out_len=h - WINDOW_SIZE)
 
 
 def ssim_map_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
@@ -85,11 +89,9 @@ def ssim_map_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
     g = jnp.asarray(gaussian_window_1d(WINDOW_SIZE, 1.5), dtype=jnp.float32)
     a, b = lum_a, lum_b
     maps = jnp.stack([a, b, a * a, b * b, a * b])
+    # Output positions are the reference's center set y ∈ [4, h-4),
+    # x ∈ [4, w-4) (ssim.go:110-111) — one short of "valid" in each axis.
     stats = _sep_conv_valid(maps, g)
-    h, w = a.shape
-    # VALID conv yields H-7 × W-7 positions; the reference stops one short
-    # in each axis (ssim.go:110-111), so drop the last row/column.
-    stats = stats[:, : h - WINDOW_SIZE, : w - WINDOW_SIZE]
     mu_a, mu_b, raw_aa, raw_bb, raw_ab = stats
     sig_aa = raw_aa - mu_a * mu_a
     sig_bb = raw_bb - mu_b * mu_b

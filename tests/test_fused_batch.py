@@ -1,0 +1,120 @@
+"""Fused mega-batch engine tests: equivalence with the per-image path."""
+
+import numpy as np
+import pytest
+
+import fennec_tpu as fennec
+from conftest import (
+    make_noise_image,
+    make_solid_image,
+    make_test_image_with_alpha,
+)
+from fennec_tpu.codecs import png as png_codec
+from fennec_tpu.engine.batched import compress_images_batched
+
+
+def photo(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = make_noise_image(w, h, seed=seed).astype(np.int16)
+    img[..., :3] = np.clip(img[..., :3] // 3 + 80 + rng.integers(-5, 5),
+                           0, 255)
+    img[..., 3] = 255
+    return img.astype(np.uint8)
+
+
+class TestCompressImagesBatched:
+    def test_matches_per_image_path(self):
+        imgs = [photo(64, 48, s) for s in range(5)]
+        opts = fennec.Options(format=fennec.JPEG)
+        batched = compress_images_batched(None, imgs, opts)
+        for img, got in zip(imgs, batched):
+            want = fennec.compress_image(None, img, fennec.Options(
+                format=fennec.JPEG))
+            assert got.jpeg_quality == want.jpeg_quality
+            assert got.ssim == pytest.approx(want.ssim, abs=1e-5)
+            assert got.compressed_data == want.compressed_data
+
+    def test_mixed_shapes_bucketing(self):
+        imgs = [photo(64, 48, 1), photo(32, 32, 2), photo(64, 48, 3),
+                photo(32, 32, 4)]
+        out = compress_images_batched(None, imgs,
+                                      fennec.Options(format=fennec.JPEG))
+        assert [r.final_dimensions for r in out] == \
+            [(64, 48), (32, 32), (64, 48), (32, 32)]
+        for r in out:
+            assert r.compressed_size > 0
+
+    def test_auto_format_routing(self):
+        imgs = [make_test_image_with_alpha(40, 40),  # → PNG
+                make_noise_image(64, 64, seed=9),    # → JPEG
+                make_solid_image(32, 32, 5, 6, 7)]   # → PNG (few colors)
+        out = compress_images_batched(None, imgs, fennec.Options())
+        assert out[0].format == fennec.PNG
+        assert out[1].format == fennec.JPEG
+        assert out[2].format == fennec.PNG
+        assert out[0].ssim == 1.0
+
+    def test_resize_applied(self):
+        out = compress_images_batched(
+            None, [photo(128, 96, 1)],
+            fennec.Options(format=fennec.JPEG, max_width=64))
+        assert out[0].final_dimensions == (64, 48)
+
+    def test_empty(self):
+        assert compress_images_batched(None, [], fennec.Options()) == []
+
+
+class TestFusedFileBatch:
+    def test_fused_matches_pool(self, tmp_path):
+        paths = []
+        for i in range(8):
+            p = tmp_path / f"in{i}.png"
+            p.write_bytes(png_codec.encode_png_rgba(photo(48, 48, i)))
+            paths.append(str(p))
+        items_a = [fennec.BatchItem(src=p, dst=str(tmp_path / f"a{i}.jpg"))
+                   for i, p in enumerate(paths)]
+        items_b = [fennec.BatchItem(src=p, dst=str(tmp_path / f"b{i}.jpg"))
+                   for i, p in enumerate(paths)]
+        opts = fennec.BatchOptions(
+            default_opts=fennec.Options(format=fennec.JPEG))
+        ra = fennec.compress_batch(None, items_a,
+                                   fennec.BatchOptions(
+                                       default_opts=opts.default_opts,
+                                       fused=True))
+        rb = fennec.compress_batch(None, items_b,
+                                   fennec.BatchOptions(
+                                       default_opts=opts.default_opts,
+                                       fused=False))
+        for a, b in zip(ra, rb):
+            assert a.err is None and b.err is None
+            assert a.result.jpeg_quality == b.result.jpeg_quality
+            assert a.result.compressed_size == b.result.compressed_size
+            assert a.result.original_size == b.result.original_size
+
+    def test_fused_bad_file_captured(self, tmp_path):
+        good = tmp_path / "g.png"
+        good.write_bytes(png_codec.encode_png_rgba(photo(32, 32, 0)))
+        items = [
+            fennec.BatchItem(src=str(good), dst=str(tmp_path / "g.jpg")),
+            fennec.BatchItem(src="/nonexistent.png",
+                             dst=str(tmp_path / "x.jpg")),
+        ]
+        res = fennec.compress_batch(None, items,
+                                    fennec.BatchOptions(fused=True))
+        assert res[0].err is None
+        assert res[1].err is not None
+
+    def test_fused_progress(self, tmp_path):
+        seen = []
+        paths = []
+        for i in range(3):
+            p = tmp_path / f"p{i}.png"
+            p.write_bytes(png_codec.encode_png_rgba(photo(32, 32, i)))
+            paths.append(str(p))
+        items = [fennec.BatchItem(src=p, dst=str(tmp_path / f"o{i}.jpg"))
+                 for i, p in enumerate(paths)]
+        fennec.compress_batch(
+            None, items,
+            fennec.BatchOptions(fused=True,
+                                on_item=lambda c, t: seen.append((c, t))))
+        assert len(seen) == 3
