@@ -40,38 +40,55 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fennec_tpu.codecs.jpeg import encode_jpeg_from_coefs, forward_dct_device
-    from fennec_tpu.parallel.batched import batched_quality_search
+    from fennec_tpu.codecs.jpeg import (
+        assemble_jpeg,
+        encode_scan_from_quantized,
+    )
+    from fennec_tpu.ops.dct import all_quality_tables
+    from fennec_tpu.parallel.batched import batched_search_and_quantize
 
     platform = jax.devices()[0].platform
 
     B, W, H = 32, 500, 500
-    imgs_np = photo_batch(B, W, H)
-    imgs = jnp.asarray(imgs_np)
+    imgs_np = photo_batch(B, W, H).astype(np.uint8)
     targets = jnp.full((B,), 0.94, dtype=jnp.float32)
-
-    # Warmup / compile.
-    qs, ssims, found = batched_quality_search(imgs, targets)
-    qs.block_until_ready()
+    mult = 16
+    ph, pw = H + (-H) % mult, W + (-W) % mult
 
     n_workers = min(16, os.cpu_count() or 4)
     pool = concurrent.futures.ThreadPoolExecutor(n_workers)
 
-    def encode_one(i, q):
-        coefs = forward_dct_device(imgs[i], True)
-        return encode_jpeg_from_coefs(coefs, W, H, int(q), True)
+    def run_round():
+        # Host→device: uint8 batch; one fused device program does the
+        # 7-step SSIM-guided bisection + final quantization; host Huffman
+        # codes the int16 blocks in parallel.
+        q, s, f, (qy, qcb, qcr) = batched_search_and_quantize(
+            jnp.asarray(imgs_np), targets, True)
+        q_h = np.asarray(q)
+        f_h = np.asarray(f)
+        qy_h = np.asarray(qy)
+        qcb_h = np.asarray(qcb)
+        qcr_h = np.asarray(qcr)
 
-    # Warm the encode path too.
-    _ = encode_one(0, int(qs[0]))
+        def encode_one(i):
+            quality = int(q_h[i]) if f_h[i] else 100
+            scan = encode_scan_from_quantized(qy_h[i], qcb_h[i], qcr_h[i],
+                                              ph, pw, True)
+            return assemble_jpeg(W, H, all_quality_tables()[quality],
+                                 scan, True)
 
-    rounds = 3
+        datas = list(pool.map(encode_one, range(B)))
+        return datas, s
+
+    # Warmup / compile.
+    run_round()
+
+    rounds = 5
     start = time.perf_counter()
     total_images = 0
     total_bytes = 0
-    for r in range(rounds):
-        q, s, f = batched_quality_search(imgs, targets)
-        q_host = np.asarray(q)
-        datas = list(pool.map(lambda i: encode_one(i, q_host[i]), range(B)))
+    for _ in range(rounds):
+        datas, s = run_round()
         total_bytes += sum(len(d) for d in datas)
         total_images += B
     elapsed = time.perf_counter() - start
@@ -88,7 +105,6 @@ def main():
             "batch": B,
             "rounds": rounds,
             "mean_ssim": round(mean_ssim, 4),
-            "mean_quality": float(np.mean(np.asarray(q))),
             "avg_bytes": int(total_bytes / total_images),
         },
     }

@@ -26,10 +26,11 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.jpeg import encode_jpeg_from_coefs, forward_dct_device
+from ..codecs.jpeg import assemble_jpeg, encode_scan_from_quantized
 from ..image import analyze_format, to_nrgba, validate_image
+from ..ops.dct import all_quality_tables
 from ..ops.resize import smart_resize
-from ..parallel.batched import batched_quality_search
+from ..parallel.batched import batched_search_and_quantize
 from ..types import Context, Format, Options, Result
 from .compress import compress_png
 
@@ -108,41 +109,45 @@ def compress_images_batched(ctx: Optional[Context],
                 ctx.raise_if_done()
             chunk = idxs[start:start + BATCH_CHUNK]
             b = len(chunk)
-            # Pad the chunk to a power of two to bound recompilation.
+            # Pad the chunk to a power of two to bound recompilation;
+            # ship uint8 (4x less transfer), cast to f32 on device.
             padded = _next_pow2(b)
-            stack = np.empty((padded, h, w, 4), dtype=np.float32)
+            stack = np.empty((padded, h, w, 4), dtype=np.uint8)
             for j, i in enumerate(chunk):
                 stack[j] = prepped[i]
             for j in range(b, padded):
                 stack[j] = stack[0]
-            imgs_dev = jnp.asarray(stack)
             targets = jnp.full((padded,), target, dtype=jnp.float32)
-            qs, ssims, found = batched_quality_search(imgs_dev, targets,
-                                                      subsample)
+            qs, ssims, found, qcoefs = batched_search_and_quantize(
+                jnp.asarray(stack), targets, subsample)
             q_host = np.asarray(qs)
             s_host = np.asarray(ssims)
             f_host = np.asarray(found)
+            qy_h = np.asarray(qcoefs[0])
+            qcb_h = np.asarray(qcoefs[1])
+            qcr_h = np.asarray(qcoefs[2])
+            mult = 16 if subsample else 8
+            ph, pw = h + (-h) % mult, w + (-w) % mult
 
-            def encode_one(i: int, quality: int, ssim_val: float,
-                           was_found: bool) -> None:
+            def encode_one(i: int, j: int) -> None:
+                # Pure host work: Huffman-code the device-quantized blocks.
                 res = results[i]
-                if not was_found:
+                quality = int(q_host[j])
+                ssim_val = float(s_host[j])
+                if not bool(f_host[j]):
                     quality, ssim_val = 100, 1.0  # compress.go fallback
-                coefs = forward_dct_device(
-                    jnp.asarray(prepped[i], dtype=jnp.float32), subsample)
-                data = encode_jpeg_from_coefs(
-                    coefs, res.final_dimensions[0], res.final_dimensions[1],
-                    quality, subsample)
+                scan = encode_scan_from_quantized(
+                    qy_h[j], qcb_h[j], qcr_h[j], ph, pw, subsample)
+                data = assemble_jpeg(w, h, all_quality_tables()[quality],
+                                     scan, subsample)
                 res.jpeg_quality = quality
-                res.ssim = float(ssim_val)
+                res.ssim = ssim_val
                 res.compressed_data = data
                 res.compressed_size = len(data)
                 res.compute_stats()
 
             for j, i in enumerate(chunk):
-                pending.append(pool.submit(
-                    encode_one, i, int(q_host[j]), float(s_host[j]),
-                    bool(f_host[j])))
+                pending.append(pool.submit(encode_one, i, j))
 
     for fut in pending:
         fut.result()

@@ -198,6 +198,30 @@ def quality_search_device(img: jax.Array, target: jax.Array,
                           lo0=lo0.astype(jnp.int32))
 
 
+def quality_search_quantize_device(img: jax.Array, target: jax.Array,
+                                   subsample: bool = True):
+    """Search + quantize in one traced program.
+
+    Returns (best_q, best_ssim, found, (qy, qcb, qcr) int16) where the
+    coefficient blocks are quantized at the *final* quality (Q=100 when the
+    target was never met, matching compress.go:82-86).  One device dispatch
+    and one host transfer cover the whole encode-side device work — the
+    batch engine's hot path.
+    """
+    h, w = img.shape[0], img.shape[1]
+    best_q, best_ssim, found = quality_search_device(img, target, subsample)
+    final_q = jnp.where(found, best_q, 100)
+    coefs = forward_dct_device(img, subsample)
+    all_tables = jnp.asarray(dct_ops.all_quality_tables(),
+                             dtype=jnp.float32)
+    qtab = jax.lax.dynamic_index_in_dim(all_tables, final_q, axis=0,
+                                        keepdims=False)
+    qy = dct_ops.quantize_blocks(coefs[0], qtab[0]).astype(jnp.int16)
+    qcb = dct_ops.quantize_blocks(coefs[1], qtab[1]).astype(jnp.int16)
+    qcr = dct_ops.quantize_blocks(coefs[2], qtab[1]).astype(jnp.int16)
+    return best_q, best_ssim, found, (qy, qcb, qcr)
+
+
 def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,
                           opts: Options) -> Tuple[int, float, bytes]:
     """Find the lowest JPEG quality meeting the target SSIM

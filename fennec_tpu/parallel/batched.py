@@ -17,7 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.compress import quality_search_device
+from ..engine.compress import (
+    quality_search_device,
+    quality_search_quantize_device,
+)
 from ..ops.color import luminance_device
 from ..ops.ssim import ssim_map_device
 
@@ -29,6 +32,23 @@ def batched_quality_search(imgs: jax.Array, targets: jax.Array,
     (quality int32, ssim f32, found bool), all on device."""
     return jax.vmap(
         lambda im, t: quality_search_device(im, t, subsample)
+    )(imgs, targets)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def batched_search_and_quantize(imgs: jax.Array, targets: jax.Array,
+                                subsample: bool = True):
+    """(B, H, W, 4) images (any dtype; cast on device) + (B,) targets →
+    (qualities, ssims, found, (qy, qcb, qcr) int16 blocks).
+
+    The full encode-side device work for a bucket in ONE dispatch: search
+    + final-quality quantization; the host only Huffman-codes the returned
+    int16 blocks.  uint8 input keeps the host→device transfer at 1 byte
+    per channel.
+    """
+    imgs = imgs.astype(jnp.float32)
+    return jax.vmap(
+        lambda im, t: quality_search_quantize_device(im, t, subsample)
     )(imgs, targets)
 
 
