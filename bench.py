@@ -36,9 +36,24 @@ def photo_batch(b, w, h, seed=0):
     return out
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache — compiles over the axon tunnel are
+    slow; cache them across bench runs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/fennec_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from fennec_tpu.codecs.jpeg import (
         assemble_jpeg,

@@ -57,6 +57,9 @@ class BatchOptions:
     default_opts: Options = dataclasses.field(default_factory=Options)
     on_item: Optional[Callable[[int, int], None]] = None
     fused: Optional[bool] = None
+    # Resume support (beyond the reference, SURVEY §5 "optional nicety"):
+    # skip items whose dst already exists and is non-empty.
+    skip_existing: bool = False
 
 
 def compress_batch(ctx: Optional[Context], items: List[BatchItem],
@@ -92,6 +95,9 @@ def compress_batch(ctx: Optional[Context], items: List[BatchItem],
         if ctx is not None and ctx.done():
             results[idx] = BatchResult(item=item, err=ctx.err(), index=idx)
             return
+        if batch_opts.skip_existing and _dst_done(item.dst):
+            results[idx] = BatchResult(item=item, result=None, index=idx)
+            return
         opts = item.opts if item.opts is not None \
             else batch_opts.default_opts
         try:
@@ -111,6 +117,13 @@ def compress_batch(ctx: Optional[Context], items: List[BatchItem],
     return [r for r in results if r is not None]
 
 
+def _dst_done(dst: str) -> bool:
+    try:
+        return os.path.getsize(dst) > 0
+    except OSError:
+        return False
+
+
 def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                           batch_opts: BatchOptions) -> List[BatchResult]:
     """Mega-batch path: parallel host decode → device-batched lockstep
@@ -127,9 +140,14 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
     decoded: List[Optional[object]] = [None] * n
     sizes = [0] * n
 
+    skipped = [False] * n
+
     def load(i: int):
         if ctx is not None and ctx.done():
             results[i].err = ctx.err()
+            return
+        if batch_opts.skip_existing and _dst_done(items[i].dst):
+            skipped[i] = True
             return
         try:
             img, orient, fsize = open_with_orientation(items[i].src)
@@ -145,7 +163,8 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
     with ThreadPoolExecutor(max_workers=min(workers, n)) as pool:
         list(pool.map(load, range(n)))
 
-    live = [i for i in range(n) if results[i].err is None]
+    live = [i for i in range(n)
+            if results[i].err is None and not skipped[i]]
     if live:
         # auto_orient already applied above; avoid double application.
         sub_opts = dataclasses.replace(opts, auto_orient=False)

@@ -1,0 +1,76 @@
+"""Observability: per-stage wall timers and jax.profiler traces.
+
+The reference's only timing surface is the CLI wall-clock print
+(cmd/fennec/main.go:116-127) and Go benchmarks; the TPU build adds
+device-aware tracing (jax.profiler) and a composable stage timer.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Iterator, Optional
+
+
+class StageTimer:
+    """Accumulates wall time per named stage.
+
+    with timer.stage("resize"): ...
+    print(timer.report())
+    """
+
+    def __init__(self) -> None:
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str) -> Iterator[None]:
+        start = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - start
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> str:
+        lines = []
+        for name in sorted(self.totals, key=self.totals.get, reverse=True):
+            t = self.totals[name]
+            n = self.counts[name]
+            lines.append(f"{name:24s} {t * 1000:9.1f} ms  ({n}×, "
+                         f"{t / n * 1000:.1f} ms avg)")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str] = None) -> Iterator[None]:
+    """Wrap a block in a jax.profiler trace when log_dir is given; no-op
+    otherwise.  View with TensorBoard or xprof."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def nan_check(name: str, *arrays) -> None:
+    """Debug guard: raise if any array contains NaN/Inf.
+
+    The functional-JAX analogue of the reference's -race discipline
+    (Makefile:25) — there are no data races to detect in pure programs,
+    so the numeric failure mode worth guarding is NaN propagation.
+    Enable globally instead with jax.config.update("jax_debug_nans", True).
+    """
+    import numpy as np
+
+    for i, a in enumerate(arrays):
+        arr = np.asarray(a)
+        if not np.isfinite(arr).all():
+            raise FloatingPointError(
+                f"fennec: non-finite values in {name}[{i}]")
