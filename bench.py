@@ -60,56 +60,69 @@ def main():
         encode_scan_from_quantized,
     )
     from fennec_tpu.ops.dct import all_quality_tables
-    from fennec_tpu.parallel.batched import batched_search_and_quantize
+    from fennec_tpu.parallel.batched import (
+        batched_search_and_quantize,
+        packed_to_int8,
+        split_packed,
+    )
 
     platform = jax.devices()[0].platform
 
     B, W, H = 32, 500, 500
     imgs_np = photo_batch(B, W, H).astype(np.uint8)
     targets = jnp.full((B,), 0.94, dtype=jnp.float32)
-    mult = 16
-    ph, pw = H + (-H) % mult, W + (-W) % mult
 
     n_workers = min(16, os.cpu_count() or 4)
     pool = concurrent.futures.ThreadPoolExecutor(n_workers)
+    xfer = concurrent.futures.ThreadPoolExecutor(1)
 
-    def run_round():
-        # Host→device: uint8 batch; one fused device program does the
-        # 7-step SSIM-guided bisection + final quantization; host Huffman
-        # codes the int16 blocks in parallel.
-        q, s, f, (qy, qcb, qcr) = batched_search_and_quantize(
+    def device_phase():
+        """Upload, run the fused search+quantize program, and pull results
+        (int8 when every coefficient fits — half the transfer)."""
+        q, s, f, packed, fits8 = batched_search_and_quantize(
             jnp.asarray(imgs_np), targets, True)
-        q_h = np.asarray(q)
-        f_h = np.asarray(f)
-        qy_h = np.asarray(qy)
-        qcb_h = np.asarray(qcb)
-        qcr_h = np.asarray(qcr)
+        if bool(fits8):
+            packed_h = np.asarray(packed_to_int8(packed))
+        else:
+            packed_h = np.asarray(packed)
+        return np.asarray(q), np.asarray(s), np.asarray(f), packed_h
+
+    def host_phase(round_data):
+        q_h, s_h, f_h, packed_h = round_data
+        qy, qcb, qcr, ph, pw = split_packed(packed_h, H, W, True)
 
         def encode_one(i):
             quality = int(q_h[i]) if f_h[i] else 100
-            scan = encode_scan_from_quantized(qy_h[i], qcb_h[i], qcr_h[i],
-                                              ph, pw, True)
+            scan = encode_scan_from_quantized(
+                np.asarray(qy[i]), np.asarray(qcb[i]), np.asarray(qcr[i]),
+                ph, pw, True)
             return assemble_jpeg(W, H, all_quality_tables()[quality],
                                  scan, True)
 
-        datas = list(pool.map(encode_one, range(B)))
-        return datas, s
+        return list(pool.map(encode_one, range(B))), s_h
 
     # Warmup / compile.
-    run_round()
+    host_phase(device_phase())
 
-    rounds = 5
+    # Two-stage pipeline: while the host Huffman-codes round k, the device
+    # (and the tunnel transfers) work on round k+1.
+    rounds = 8
     start = time.perf_counter()
     total_images = 0
     total_bytes = 0
-    for _ in range(rounds):
-        datas, s = run_round()
+    fut = xfer.submit(device_phase)
+    s_h = None
+    for r in range(rounds):
+        data = fut.result()
+        if r + 1 < rounds:
+            fut = xfer.submit(device_phase)
+        datas, s_h = host_phase(data)
         total_bytes += sum(len(d) for d in datas)
         total_images += B
     elapsed = time.perf_counter() - start
 
     ips = total_images / elapsed
-    mean_ssim = float(np.mean(np.asarray(s)))
+    mean_ssim = float(np.mean(s_h))
     result = {
         "metric": "compress_image_balanced_500px_images_per_sec",
         "value": round(ips, 2),

@@ -1,0 +1,145 @@
+"""Extended benchmark suite (reference fennec_test.go:1127-1199 has 8 Go
+benchmarks; BASELINE.json lists the TPU configs).  Prints one JSON line
+per benchmark.  `bench.py` remains the driver's single headline metric.
+
+Usage: python benchmarks.py [name ...]   (default: all)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from bench import _enable_compile_cache, photo_batch
+
+
+def _time(fn, warmup=1, iters=5):
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_ssim_fast_1080p():
+    """SSIMFast on 1920×1080 pairs (baseline: ~8ms/MP-class on M2)."""
+    from fennec_tpu.ops.ssim import ssim_fast
+
+    a = photo_batch(1, 1920, 1080)[0].astype(np.uint8)
+    b = np.clip(a.astype(int) + 6, 0, 255).astype(np.uint8)
+    dt = _time(lambda: ssim_fast(a, b))
+    return {"metric": "ssim_fast_1080p_evals_per_sec", "value": round(1 / dt, 1),
+            "unit": "evals/sec", "vs_baseline": round((1 / dt) / 125.0, 2)}
+
+
+def bench_ssim_fast_4k_batched():
+    """Batched 4K SSIM evals/sec/chip (device arrays resident)."""
+    import jax.numpy as jnp
+
+    from fennec_tpu.ops.color import luminance_device
+    from fennec_tpu.ops.resize import box_resize_weights
+    from fennec_tpu.ops.ssim import ssim_fast_dims
+    from fennec_tpu.ops.ssim_pallas import (
+        batched_ssim_pallas,
+        pallas_ssim_available,
+    )
+    from fennec_tpu.parallel.batched import batched_ssim
+
+    B, W, H = 16, 3840, 2160
+    # SSIMFast path downsamples 4K → ≤512 first; model that cost too.
+    from fennec_tpu.ops.resize import box_downsample_device
+    dw, dh = ssim_fast_dims(W, H)
+    wh, wv = box_resize_weights(W, H, dw, dh)
+    wh_d = jnp.asarray(wh)
+    wv_d = jnp.asarray(wv)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 256, (B, H, W, 4)), dtype=jnp.float32)
+    b = jnp.clip(a + 5.0, 0, 255)
+
+    import jax
+
+    @jax.jit
+    def eval_batch(x, y):
+        def one(im1, im2):
+            d1 = box_downsample_device(im1, wh_d, wv_d)
+            d2 = box_downsample_device(im2, wh_d, wv_d)
+            from fennec_tpu.ops.ssim import windowed_ssim_device
+            return windowed_ssim_device(luminance_device(d1),
+                                        luminance_device(d2))
+        return jax.vmap(one)(x, y)
+
+    dt = _time(lambda: np.asarray(eval_batch(a, b)))
+    ips = B / dt
+    return {"metric": "ssim_fast_4k_evals_per_sec_chip", "value": round(ips, 1),
+            "unit": "evals/sec/chip", "vs_baseline": round(ips / 50.0, 2)}
+
+
+def bench_lanczos_resize():
+    """Lanczos-3 4032×3024 → 1920px + Gaussian blur σ=2 (BASELINE config 2)."""
+    from fennec_tpu.ops import gaussian_blur, lanczos_resize
+
+    img = photo_batch(1, 4032, 3024)[0].astype(np.uint8)
+    dt = _time(lambda: gaussian_blur(lanczos_resize(img, 1920, 1440), 2.0),
+               iters=3)
+    mpix = 4032 * 3024 / 1e6
+    return {"metric": "lanczos_resize_blur_megapixels_per_sec",
+            "value": round(mpix / dt, 1), "unit": "MP/sec",
+            "vs_baseline": round((mpix / dt) / 83.0, 2)}
+
+
+def bench_ms_ssim_4k():
+    """MS-SSIM 5-scale on 4K pair + AdaptiveSharpen (BASELINE config 3)."""
+    from fennec_tpu.ops import adaptive_sharpen, ms_ssim
+
+    img = photo_batch(1, 3840, 2160)[0].astype(np.uint8)
+    sharp = adaptive_sharpen(img, 0.3)
+    dt = _time(lambda: ms_ssim(img, sharp), iters=3)
+    return {"metric": "ms_ssim_4k_evals_per_sec", "value": round(1 / dt, 2),
+            "unit": "evals/sec", "vs_baseline": None}
+
+
+def bench_compress_balanced_100():
+    """CompressBytes Balanced on a 100-photo set (BASELINE config 4)."""
+    from fennec_tpu.engine.batched import compress_images_batched
+    from fennec_tpu.types import Format, Options
+
+    imgs = [photo_batch(1, 640, 480, seed=i)[0].astype(np.uint8)
+            for i in range(100)]
+    opts = Options(format=Format.JPEG)
+    compress_images_batched(None, imgs[:8], opts)  # warmup/compile
+
+    t0 = time.perf_counter()
+    results = compress_images_batched(None, imgs, opts)
+    dt = time.perf_counter() - t0
+    ips = len(imgs) / dt
+    mean_ssim = float(np.mean([r.ssim for r in results]))
+    return {"metric": "compress_balanced_640px_images_per_sec",
+            "value": round(ips, 1), "unit": "images/sec/chip",
+            "vs_baseline": round(ips / 22.0, 2),
+            "detail": {"mean_ssim": round(mean_ssim, 4)}}
+
+
+ALL = {
+    "ssim_fast_1080p": bench_ssim_fast_1080p,
+    "ssim_fast_4k": bench_ssim_fast_4k_batched,
+    "lanczos": bench_lanczos_resize,
+    "ms_ssim_4k": bench_ms_ssim_4k,
+    "compress_100": bench_compress_balanced_100,
+}
+
+
+def main():
+    _enable_compile_cache()
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        try:
+            print(json.dumps(ALL[name]()))
+        except Exception as e:
+            print(json.dumps({"metric": name, "error": str(e)}))
+
+
+if __name__ == "__main__":
+    main()

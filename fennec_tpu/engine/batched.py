@@ -118,16 +118,19 @@ def compress_images_batched(ctx: Optional[Context],
             for j in range(b, padded):
                 stack[j] = stack[0]
             targets = jnp.full((padded,), target, dtype=jnp.float32)
-            qs, ssims, found, qcoefs = batched_search_and_quantize(
+            qs, ssims, found, packed, fits8 = batched_search_and_quantize(
                 jnp.asarray(stack), targets, subsample)
             q_host = np.asarray(qs)
             s_host = np.asarray(ssims)
             f_host = np.asarray(found)
-            qy_h = np.asarray(qcoefs[0])
-            qcb_h = np.asarray(qcoefs[1])
-            qcr_h = np.asarray(qcoefs[2])
-            mult = 16 if subsample else 8
-            ph, pw = h + (-h) % mult, w + (-w) % mult
+            if bool(fits8):
+                from ..parallel.batched import packed_to_int8
+                packed_h = np.asarray(packed_to_int8(packed))
+            else:
+                packed_h = np.asarray(packed)
+            from ..parallel.batched import split_packed
+            qy_h, qcb_h, qcr_h, ph, pw = split_packed(packed_h, h, w,
+                                                      subsample)
 
             def encode_one(i: int, j: int) -> None:
                 # Pure host work: Huffman-code the device-quantized blocks.
@@ -137,7 +140,8 @@ def compress_images_batched(ctx: Optional[Context],
                 if not bool(f_host[j]):
                     quality, ssim_val = 100, 1.0  # compress.go fallback
                 scan = encode_scan_from_quantized(
-                    qy_h[j], qcb_h[j], qcr_h[j], ph, pw, subsample)
+                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
+                    np.asarray(qcr_h[j]), ph, pw, subsample)
                 data = assemble_jpeg(w, h, all_quality_tables()[quality],
                                      scan, subsample)
                 res.jpeg_quality = quality

@@ -216,10 +216,12 @@ def quality_search_quantize_device(img: jax.Array, target: jax.Array,
                              dtype=jnp.float32)
     qtab = jax.lax.dynamic_index_in_dim(all_tables, final_q, axis=0,
                                         keepdims=False)
-    qy = dct_ops.quantize_blocks(coefs[0], qtab[0]).astype(jnp.int16)
-    qcb = dct_ops.quantize_blocks(coefs[1], qtab[1]).astype(jnp.int16)
-    qcr = dct_ops.quantize_blocks(coefs[2], qtab[1]).astype(jnp.int16)
-    return best_q, best_ssim, found, (qy, qcb, qcr)
+    qy = dct_ops.quantize_blocks(coefs[0], qtab[0])
+    qcb = dct_ops.quantize_blocks(coefs[1], qtab[1])
+    qcr = dct_ops.quantize_blocks(coefs[2], qtab[1])
+    # One packed (Ny+2Nc, 64) int16 array → one host transfer per batch.
+    packed = jnp.concatenate([qy, qcb, qcr], axis=0).astype(jnp.int16)
+    return best_q, best_ssim, found, packed
 
 
 def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,

@@ -53,17 +53,57 @@ def _ctx_err(ctx: Optional[Context]) -> bool:
 
 
 class _JpegSizer:
-    """Cached forward-DCT for repeated quality→size probes on one image."""
+    """Cached forward-DCT + device size oracle for one image.
+
+    The reference re-encodes per bisection step (targetsize.go:146-166);
+    here the whole quality→size bisection is ONE device dispatch using the
+    exact Huffman bit count (ops/jpeg_size.py), and the host encodes only
+    the winner — verifying the real byte size, since stuffing adds a
+    data-dependent handful of bytes on top of the bit count.
+    """
 
     def __init__(self, src: np.ndarray):
         arr = to_nrgba_ref(src)
         self.h, self.w = arr.shape[:2]
         self.coefs = forward_dct_device(
             jnp.asarray(arr, dtype=jnp.float32), True)
+        self._header_len = None
 
     def encode(self, quality: int) -> bytes:
         return encode_jpeg_from_coefs(self.coefs, self.w, self.h,
                                       quality, True)
+
+    def header_len(self) -> int:
+        if self._header_len is None:
+            from ..codecs.jpeg import assemble_jpeg
+            from ..ops.dct import all_quality_tables
+            self._header_len = len(assemble_jpeg(
+                self.w, self.h, all_quality_tables()[50], b"", True))
+        return self._header_len
+
+    def search(self, target_bytes: int, lo: int, hi: int
+               ) -> Tuple[Optional[bytes], int]:
+        """Highest quality in [lo, hi] whose encoded size fits
+        target_bytes; returns (bytes, quality) or (None, 0)."""
+        from .size_search import size_bisect_device
+
+        mult = 16
+        ph, pw = self.h + (-self.h) % mult, self.w + (-self.w) % mult
+        best_q, found = size_bisect_device(
+            self.coefs, ph, pw, True,
+            target_bytes=jnp.int32(
+                max(0, target_bytes - self.header_len())),
+            lo0=jnp.int32(lo), hi0=jnp.int32(hi))
+        if not bool(found):
+            return None, 0
+        q = int(best_q)
+        # Verify against real bytes (stuffing); step down if needed.
+        while q >= lo:
+            data = self.encode(q)
+            if len(data) <= target_bytes:
+                return data, q
+            q -= 1
+        return None, 0
 
 
 def hit_target_size(ctx: Optional[Context], original: np.ndarray,
@@ -167,18 +207,7 @@ def jpeg_quality_search(src: np.ndarray, target_bytes: int,
 
     if sizer is None:
         sizer = _JpegSizer(arr)
-    best_buf: Optional[bytes] = None
-    best_q = 0
-
-    while lo <= hi:
-        mid = (lo + hi) // 2
-        buf = sizer.encode(mid)
-        if len(buf) <= target_bytes:
-            best_buf, best_q = buf, mid
-            lo = mid + 1
-        else:
-            hi = mid - 1
-
+    best_buf, best_q = sizer.search(target_bytes, lo, hi)
     if best_buf is None:
         return None
 

@@ -39,17 +39,44 @@ def batched_quality_search(imgs: jax.Array, targets: jax.Array,
 def batched_search_and_quantize(imgs: jax.Array, targets: jax.Array,
                                 subsample: bool = True):
     """(B, H, W, 4) images (any dtype; cast on device) + (B,) targets →
-    (qualities, ssims, found, (qy, qcb, qcr) int16 blocks).
+    (qualities, ssims, found, packed, fits_int8).
 
-    The full encode-side device work for a bucket in ONE dispatch: search
-    + final-quality quantization; the host only Huffman-codes the returned
-    int16 blocks.  uint8 input keeps the host→device transfer at 1 byte
-    per channel.
+    packed: (B, Ny+2Nc, 64) int16 quantized blocks at each image's winning
+    quality — y then cb then cr.  fits_int8: scalar bool, True when every
+    coefficient fits int8 (the host may then pull the int8 view instead,
+    halving the device→host transfer; see packed_to_int8).
+
+    The full encode-side device work for a bucket in ONE dispatch; the
+    host only Huffman-codes the blocks.  uint8 input keeps the
+    host→device transfer at 1 byte per channel.
     """
     imgs = imgs.astype(jnp.float32)
-    return jax.vmap(
+    q, s, f, packed = jax.vmap(
         lambda im, t: quality_search_quantize_device(im, t, subsample)
     )(imgs, targets)
+    fits_int8 = jnp.all(jnp.abs(packed) <= 127)
+    return q, s, f, packed, fits_int8
+
+
+@jax.jit
+def packed_to_int8(packed: jax.Array) -> jax.Array:
+    """Device-side downcast of packed int16 blocks to int8 (caller must
+    have checked fits_int8) — halves the device→host transfer."""
+    return packed.astype(jnp.int8)
+
+
+def split_packed(packed_host: np.ndarray, h: int, w: int,
+                 subsample: bool):
+    """Split a host (B, Ny+2Nc, 64) array into per-image (qy, qcb, qcr)
+    views (no copies)."""
+    mult = 16 if subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if subsample else ny
+    qy = packed_host[:, :ny]
+    qcb = packed_host[:, ny:ny + nc]
+    qcr = packed_host[:, ny + nc:ny + 2 * nc]
+    return qy, qcb, qcr, ph, pw
 
 
 def batched_quality_search_sharded(mesh: Mesh, imgs, targets,
