@@ -290,8 +290,10 @@ def parse_jpeg(data: bytes) -> JpegHeader:
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline)
             _parse_sof(seg, hdr)
         elif marker == 0xC2:
+            # Progressive: handled by codecs/progressive.py (decode_jpeg
+            # dispatches there before calling parse_jpeg).
             raise UnsupportedFormatError(
-                "fennec: progressive JPEG not supported")
+                "fennec: progressive JPEG requires the progressive decoder")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedFormatError(
@@ -384,8 +386,52 @@ def decode_jpeg_to_coefs(data: bytes):
     return hdr, coefs
 
 
+def is_progressive_jpeg(data: bytes) -> bool:
+    """True when the stream's frame header is SOF2 (progressive DCT)."""
+    if len(data) < 4 or data[:2] != b"\xFF\xD8":
+        return False
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        if marker == 0xC2:
+            return True
+        if marker in (0xC0, 0xC1, 0xDA):
+            return False
+        seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        pos += 2 + seg_len
+    return False
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    from .progressive import decode_progressive_to_coefs
+
+    dec, coefs = decode_progressive_to_coefs(data)
+    planes = []
+    for i, c in enumerate(dec.comps):
+        qt = jnp.asarray(dec.qtables[c["tq"]], dtype=jnp.float32)
+        plane = _decode_plane_device(
+            jnp.asarray(coefs[i], dtype=jnp.float32), qt,
+            c["bh"] * 8, c["bw"] * 8,
+            dec.hmax // c["h"], dec.vmax // c["v"])
+        planes.append(plane)
+    out = _combine_planes_device(tuple(planes), dec.height, dec.width,
+                                 len(dec.comps))
+    return np.asarray(out, dtype=np.uint8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (H, W, 4) uint8 NRGBA (alpha=255)."""
+    """Decode a baseline or progressive JPEG to (H, W, 4) uint8 NRGBA."""
+    if is_progressive_jpeg(data):
+        return _decode_progressive(data)
     hdr, coefs = decode_jpeg_to_coefs(data)
     hmax = max(c["h"] for c in hdr.comps)
     vmax = max(c["v"] for c in hdr.comps)

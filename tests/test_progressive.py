@@ -1,0 +1,89 @@
+"""Progressive JPEG decode tests (cross-validated against PIL encodes)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from conftest import make_noise_image, make_striped_image, make_test_image
+from fennec_tpu.codecs.jpeg import decode_jpeg, is_progressive_jpeg
+from fennec_tpu.ops import ssim
+
+try:
+    from PIL import Image as PILImage
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+pytestmark = pytest.mark.skipif(not HAVE_PIL, reason="PIL unavailable")
+
+
+def pil_progressive(img: np.ndarray, quality=90, subsampling=2,
+                    gray=False) -> bytes:
+    buf = io.BytesIO()
+    if gray:
+        PILImage.fromarray(img[:, :, 0], "L").save(
+            buf, "JPEG", quality=quality, progressive=True)
+    else:
+        PILImage.fromarray(img[:, :, :3], "RGB").save(
+            buf, "JPEG", quality=quality, progressive=True,
+            subsampling=subsampling)
+    return buf.getvalue()
+
+
+def pil_decode(data: bytes) -> np.ndarray:
+    return np.asarray(PILImage.open(io.BytesIO(data)).convert("RGBA"))
+
+
+class TestProgressiveDetection:
+    def test_detects_progressive(self):
+        img = make_test_image(48, 32)
+        assert is_progressive_jpeg(pil_progressive(img))
+
+    def test_baseline_not_progressive(self):
+        from fennec_tpu.codecs.jpeg import encode_jpeg
+        img = make_test_image(48, 32)
+        assert not is_progressive_jpeg(encode_jpeg(img, 90))
+
+
+class TestProgressiveDecode:
+    @pytest.mark.parametrize("subsampling", [0, 2])
+    def test_matches_pil_decode(self, subsampling):
+        img = make_test_image(96, 64)
+        data = pil_progressive(img, quality=90, subsampling=subsampling)
+        ours = decode_jpeg(data)
+        pil = pil_decode(data)
+        assert ours.shape == pil.shape
+        # Different chroma upsampling; compare perceptually + luminance.
+        assert ssim(ours, pil) > 0.97
+        assert np.abs(ours[..., :3].astype(int)
+                      - pil[..., :3].astype(int)).mean() < 4
+
+    def test_odd_dimensions(self):
+        img = make_noise_image(53, 37, seed=5)
+        data = pil_progressive(img, quality=92)
+        ours = decode_jpeg(data)
+        assert ours.shape == (37, 53, 4)
+        assert ssim(ours, pil_decode(data)) > 0.95
+
+    def test_grayscale_progressive(self):
+        img = make_test_image(40, 40)
+        data = pil_progressive(img, gray=True)
+        ours = decode_jpeg(data)
+        pil = pil_decode(data)
+        assert np.abs(ours[..., 0].astype(int)
+                      - pil[..., 0].astype(int)).mean() < 2
+
+    def test_low_quality(self):
+        img = make_striped_image(64, 64)
+        data = pil_progressive(img, quality=30)
+        ours = decode_jpeg(data)
+        assert ssim(ours, pil_decode(data)) > 0.9
+
+    def test_via_public_api(self):
+        import fennec_tpu as fennec
+        img = make_noise_image(80, 60, seed=9)
+        data = pil_progressive(img, quality=95)
+        res = fennec.compress_bytes(None, data, fennec.Options(
+            format=fennec.JPEG))
+        assert res.compressed_size > 0
