@@ -122,12 +122,47 @@ def bench_compress_balanced_100():
             "detail": {"mean_ssim": round(mean_ssim, 4)}}
 
 
+def bench_analyze():
+    """Analyze 1000×1000 (reference: ~5ms on M2, README.md:318)."""
+    from fennec_tpu.analyze import analyze
+
+    img = photo_batch(1, 1000, 1000)[0].astype(np.uint8)
+    dt = _time(lambda: analyze(img))
+    return {"metric": "analyze_1mp_per_sec", "value": round(1 / dt, 1),
+            "unit": "analyses/sec", "vs_baseline": round((1 / dt) / 200.0, 2)}
+
+
+def bench_gaussian_blur():
+    """GaussianBlur σ=2 on 500×500 (reference: ~3ms on M2, README.md:319)."""
+    from fennec_tpu.ops import gaussian_blur
+
+    img = photo_batch(1, 500, 500)[0].astype(np.uint8)
+    dt = _time(lambda: gaussian_blur(img, 2.0))
+    return {"metric": "gaussian_blur_500px_per_sec",
+            "value": round(1 / dt, 1), "unit": "ops/sec",
+            "vs_baseline": round((1 / dt) / 333.0, 2)}
+
+
+def bench_adaptive_sharpen():
+    """AdaptiveSharpen on 500×500 (reference benchmark set)."""
+    from fennec_tpu.ops import adaptive_sharpen
+
+    img = photo_batch(1, 500, 500)[0].astype(np.uint8)
+    dt = _time(lambda: adaptive_sharpen(img, 0.5))
+    return {"metric": "adaptive_sharpen_500px_per_sec",
+            "value": round(1 / dt, 1), "unit": "ops/sec",
+            "vs_baseline": None}
+
+
 ALL = {
     "ssim_fast_1080p": bench_ssim_fast_1080p,
     "ssim_fast_4k": bench_ssim_fast_4k_batched,
     "lanczos": bench_lanczos_resize,
     "ms_ssim_4k": bench_ms_ssim_4k,
     "compress_100": bench_compress_balanced_100,
+    "analyze": bench_analyze,
+    "blur": bench_gaussian_blur,
+    "adaptive_sharpen": bench_adaptive_sharpen,
 }
 
 

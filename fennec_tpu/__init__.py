@@ -33,6 +33,7 @@ from .api import (  # noqa: F401
     compress_bytes,
     compress_file,
     compress_image,
+    compress_images,
 )
 from .batch import (  # noqa: F401
     BatchItem,

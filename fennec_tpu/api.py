@@ -69,3 +69,15 @@ def compress_bytes(ctx: Optional[Context], data: bytes,
     """bytes → compressed bytes; the common server-side API
     (reference fennec.go:102-104)."""
     return compress(ctx, data, opts)
+
+
+def compress_images(ctx: Optional[Context], images,
+                    opts: Optional[Options] = None) -> list:
+    """Compress many decoded images with shared options — the TPU-native
+    mega-batch API (no reference equivalent; CompressBatch works on
+    files).  Same-shape images batch into single device programs; results
+    keep input order."""
+    from .engine.batched import compress_images_batched
+
+    opts = opts if opts is not None else Options()
+    return compress_images_batched(ctx, list(images), opts)

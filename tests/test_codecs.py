@@ -189,6 +189,15 @@ class TestJPEGCrossValidation:
         out = decode_jpeg(buf.getvalue())
         assert ssim(img, out) > 0.93
 
+    def test_we_decode_pil_422(self):
+        img = make_test_image(50, 34)
+        buf = io.BytesIO()
+        PILImage.fromarray(img[:, :, :3], "RGB").save(
+            buf, "JPEG", quality=92, subsampling=1)  # 4:2:2 (2x1)
+        out = decode_jpeg(buf.getvalue())
+        assert out.shape == (34, 50, 4)
+        assert ssim(img, out) > 0.93
+
     def test_we_decode_pil_444(self):
         img = make_striped_image(40, 40)
         buf = io.BytesIO()
