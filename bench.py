@@ -57,7 +57,7 @@ def main():
 
     from fennec_tpu.codecs.jpeg import (
         assemble_jpeg,
-        encode_scan_from_quantized,
+        encode_scan_optimized,
     )
     from fennec_tpu.ops.dct import all_quality_tables
     from fennec_tpu.parallel.batched import (
@@ -93,11 +93,11 @@ def main():
 
         def encode_one(i):
             quality = int(q_h[i]) if f_h[i] else 100
-            scan = encode_scan_from_quantized(
+            scan, dht = encode_scan_optimized(
                 np.asarray(qy[i]), np.asarray(qcb[i]), np.asarray(qcr[i]),
                 ph, pw, True)
             return assemble_jpeg(W, H, all_quality_tables()[quality],
-                                 scan, True)
+                                 scan, True, dht=dht)
 
         return list(pool.map(encode_one, range(B))), s_h
 

@@ -180,14 +180,17 @@ class ComponentSpec:
     """
 
     def __init__(self, qcoefs: np.ndarray, blocks_w: int, blocks_h: int,
-                 h: int, v: int, chroma: bool = False):
+                 h: int, v: int, chroma: bool = False, codes=None):
         self.qcoefs = qcoefs  # (nblocks, 64) int, natural order, raster
         self.bw = blocks_w
         self.bh = blocks_h
         self.h = h
         self.v = v
         self.chroma = chroma
-        self.dc_codes, self.ac_codes = _std_codes(chroma)
+        if codes is not None:
+            self.dc_codes, self.ac_codes = codes
+        else:
+            self.dc_codes, self.ac_codes = _std_codes(chroma)
 
 
 def encode_scan(comps: List[ComponentSpec],
@@ -258,6 +261,54 @@ def _encode_block(w: BitWriter, block: np.ndarray, zz: np.ndarray,
         code, length = ac_codes[0x00]  # EOB
         w.write(code, length)
     return dc
+
+
+def count_symbols(comps: List[ComponentSpec],
+                  restart_interval: int = 0):
+    """Tally DC-size and AC-RS symbol frequencies per table class.
+
+    Returns ((2, 16), (2, 256)) int64 arrays [luma, chroma] — input to the
+    optimal Huffman construction (codecs/huffopt.py).
+    """
+    dc_freq = np.zeros((2, 16), dtype=np.int64)
+    ac_freq = np.zeros((2, 256), dtype=np.int64)
+    mcus_x = comps[0].bw // comps[0].h
+    mcus_y = comps[0].bh // comps[0].v
+    zz = ZIGZAG
+    dc_pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count == restart_interval:
+                dc_pred = [0] * len(comps)
+                mcu_count = 0
+            for ci, c in enumerate(comps):
+                cls = 1 if c.chroma else 0
+                for dy in range(c.v):
+                    for dx in range(c.h):
+                        by = my * c.v + dy
+                        bx = mx * c.h + dx
+                        block = c.qcoefs[by * c.bw + bx]
+                        dc = int(block[0])
+                        size, _ = _magnitude_bits(dc - dc_pred[ci])
+                        dc_pred[ci] = dc
+                        dc_freq[cls, size] += 1
+                        run = 0
+                        for i in range(1, 64):
+                            v = int(block[zz[i]])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                ac_freq[cls, 0xF0] += 1
+                                run -= 16
+                            s, _ = _magnitude_bits(v)
+                            ac_freq[cls, (run << 4) | s] += 1
+                            run = 0
+                        if run > 0:
+                            ac_freq[cls, 0x00] += 1
+            mcu_count += 1
+    return dc_freq, ac_freq
 
 
 # ── Scan decoding ───────────────────────────────────────────────────────────

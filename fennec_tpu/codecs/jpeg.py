@@ -143,6 +143,17 @@ def _dht_segment() -> bytes:
     return _marker(0xC4, payload)
 
 
+def _dht_segment_custom(dc_specs, ac_specs, ncomp: int = 3) -> bytes:
+    """DHT for per-image optimized tables ([luma, chroma] spec pairs)."""
+    entries = [(0x00, dc_specs[0]), (0x10, ac_specs[0])]
+    if ncomp > 1:
+        entries += [(0x01, dc_specs[1]), (0x11, ac_specs[1])]
+    payload = b""
+    for tc_th, (bits, vals) in entries:
+        payload += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return _marker(0xC4, payload)
+
+
 def _sof0_segment(w: int, h: int, ncomp: int, subsample: bool) -> bytes:
     payload = struct.pack(">BHHB", 8, h, w, ncomp)
     if ncomp == 1:
@@ -170,11 +181,13 @@ _APP0_JFIF = _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
 
 def assemble_jpeg(w: int, h: int, qtables: np.ndarray,
                   scan_data: bytes, subsample: bool,
-                  ncomp: int = 3) -> bytes:
-    """Wrap an entropy-coded scan in a JFIF container with standard
-    Huffman tables."""
+                  ncomp: int = 3,
+                  dht: Optional[bytes] = None) -> bytes:
+    """Wrap an entropy-coded scan in a JFIF container (standard Huffman
+    tables unless a custom DHT segment is supplied)."""
     return (_marker(0xD8) + _APP0_JFIF + _dqt_segment(qtables)
-            + _sof0_segment(w, h, ncomp, subsample) + _dht_segment()
+            + _sof0_segment(w, h, ncomp, subsample)
+            + (dht if dht is not None else _dht_segment())
             + _sos_segment(ncomp) + scan_data + _marker(0xD9))
 
 
@@ -185,25 +198,49 @@ def encode_scan_from_quantized(
         qy: np.ndarray, qcb: Optional[np.ndarray],
         qcr: Optional[np.ndarray], padded_h: int, padded_w: int,
         subsample: bool) -> bytes:
-    """Entropy-code quantized coefficient blocks (natural order, raster)."""
+    """Entropy-code quantized coefficient blocks (natural order, raster)
+    with the standard Annex-K tables."""
     from .. import native
 
+    comps = _build_comps(qy, qcb, qcr, padded_h, padded_w, subsample)
+    return native.jpeg_encode_scan(comps)
+
+
+def _build_comps(qy, qcb, qcr, padded_h: int, padded_w: int,
+                 subsample: bool):
     by, bx = padded_h // 8, padded_w // 8
     if qcb is None:
-        comps = [entropy_py.ComponentSpec(qy, bx, by, 1, 1, chroma=False)]
-        return native.jpeg_encode_scan(comps)
+        return [entropy_py.ComponentSpec(qy, bx, by, 1, 1, chroma=False)]
     if subsample:
         cby, cbx = padded_h // 16, padded_w // 16
         yh = yv = 2
     else:
         cby, cbx = by, bx
         yh = yv = 1
-    comps = [
+    return [
         entropy_py.ComponentSpec(qy, bx, by, yh, yv, chroma=False),
         entropy_py.ComponentSpec(qcb, cbx, cby, 1, 1, chroma=True),
         entropy_py.ComponentSpec(qcr, cbx, cby, 1, 1, chroma=True),
     ]
-    return native.jpeg_encode_scan(comps)
+
+
+def encode_scan_optimized(qy, qcb, qcr, padded_h: int, padded_w: int,
+                          subsample: bool):
+    """Two-pass entropy coding with per-image optimal Huffman tables.
+
+    Returns (scan_bytes, dht_segment) — typically 3-8% smaller than the
+    standard Annex-K tables at identical pixels (the reference cannot do
+    this; Go stdlib has no optimizer).
+    """
+    from .. import native
+    from .huffopt import specs_from_frequencies
+
+    comps = _build_comps(qy, qcb, qcr, padded_h, padded_w, subsample)
+    dc_freq, ac_freq = native.jpeg_count_symbols(comps)
+    dc_specs, ac_specs = specs_from_frequencies(dc_freq, ac_freq)
+    scan = native.jpeg_encode_scan_custom(comps, dc_specs, ac_specs)
+    dht = _dht_segment_custom(dc_specs, ac_specs, ncomp=len(comps))
+    return scan, dht
 
 
 def encode_jpeg(img: np.ndarray, quality: int,
@@ -225,8 +262,12 @@ def encode_jpeg(img: np.ndarray, quality: int,
 
 
 def encode_jpeg_from_coefs(coefs, w: int, h: int, quality: int,
-                           subsample: bool) -> bytes:
-    """Entropy-encode precomputed DCT coefficients at the given quality."""
+                           subsample: bool,
+                           optimize: bool = False) -> bytes:
+    """Entropy-encode precomputed DCT coefficients at the given quality.
+
+    optimize=True builds per-image optimal Huffman tables (two host
+    passes; ~3-8% smaller files)."""
     quality = min(100, max(1, int(quality)))
     qtables = dct_ops.all_quality_tables()[quality]
     qcoefs = quantize_coefs_device(coefs, jnp.asarray(qtables),
@@ -236,6 +277,9 @@ def encode_jpeg_from_coefs(coefs, w: int, h: int, quality: int,
     qcr = np.asarray(qcoefs[2], dtype=np.int32)
     mult = 16 if subsample else 8
     ph, pw = h + (-h) % mult, w + (-w) % mult
+    if optimize:
+        scan, dht = encode_scan_optimized(qy, qcb, qcr, ph, pw, subsample)
+        return assemble_jpeg(w, h, qtables, scan, subsample, dht=dht)
     scan = encode_scan_from_quantized(qy, qcb, qcr, ph, pw, subsample)
     return assemble_jpeg(w, h, qtables, scan, subsample)
 

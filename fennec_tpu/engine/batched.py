@@ -26,7 +26,11 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.jpeg import assemble_jpeg, encode_scan_from_quantized
+from ..codecs.jpeg import (
+    assemble_jpeg,
+    encode_scan_from_quantized,
+    encode_scan_optimized,
+)
 from ..image import analyze_format, to_nrgba, validate_image
 from ..ops.dct import all_quality_tables
 from ..ops.resize import smart_resize
@@ -139,11 +143,20 @@ def compress_images_batched(ctx: Optional[Context],
                 ssim_val = float(s_host[j])
                 if not bool(f_host[j]):
                     quality, ssim_val = 100, 1.0  # compress.go fallback
-                scan = encode_scan_from_quantized(
-                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
-                    np.asarray(qcr_h[j]), ph, pw, subsample)
-                data = assemble_jpeg(w, h, all_quality_tables()[quality],
-                                     scan, subsample)
+                if opts.optimize_huffman:
+                    scan, dht = encode_scan_optimized(
+                        np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
+                        np.asarray(qcr_h[j]), ph, pw, subsample)
+                    data = assemble_jpeg(
+                        w, h, all_quality_tables()[quality], scan,
+                        subsample, dht=dht)
+                else:
+                    scan = encode_scan_from_quantized(
+                        np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
+                        np.asarray(qcr_h[j]), ph, pw, subsample)
+                    data = assemble_jpeg(
+                        w, h, all_quality_tables()[quality], scan,
+                        subsample)
                 res.jpeg_quality = quality
                 res.ssim = ssim_val
                 res.compressed_data = data

@@ -263,7 +263,8 @@ def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,
         # initial hi (Q=100) and reports bestSSIM=1.0 (compress.go:29-32,82-86).
         quality, ssim_val = 100, 1.0
 
-    data = encode_jpeg_from_coefs(coefs, w, h, quality, subsample)
+    data = encode_jpeg_from_coefs(coefs, w, h, quality, subsample,
+                                  optimize=opts.optimize_huffman)
     return quality, ssim_val, data
 
 

@@ -62,16 +62,18 @@ class _JpegSizer:
     data-dependent handful of bytes on top of the bit count.
     """
 
-    def __init__(self, src: np.ndarray):
+    def __init__(self, src: np.ndarray, optimize: bool = True):
         arr = to_nrgba_ref(src)
         self.h, self.w = arr.shape[:2]
+        self.optimize = optimize
         self.coefs = forward_dct_device(
             jnp.asarray(arr, dtype=jnp.float32), True)
         self._header_len = None
 
     def encode(self, quality: int) -> bytes:
         return encode_jpeg_from_coefs(self.coefs, self.w, self.h,
-                                      quality, True)
+                                      quality, True,
+                                      optimize=self.optimize)
 
     def header_len(self) -> int:
         if self._header_len is None:
@@ -98,12 +100,23 @@ class _JpegSizer:
             return None, 0
         q = int(best_q)
         # Verify against real bytes (stuffing); step down if needed.
+        data = None
         while q >= lo:
             data = self.encode(q)
             if len(data) <= target_bytes:
-                return data, q
+                break
             q -= 1
-        return None, 0
+            data = None
+        if data is None:
+            return None, 0
+        # Optimized Huffman shrinks files below the standard-table oracle,
+        # so a higher quality may fit — restore maximality by probing up.
+        while q < hi:
+            nxt = self.encode(q + 1)
+            if len(nxt) > target_bytes:
+                break
+            data, q = nxt, q + 1
+        return data, q
 
 
 def hit_target_size(ctx: Optional[Context], original: np.ndarray,

@@ -71,6 +71,39 @@ def jpeg_decode_scan(data: bytes, pos: int,
     return out
 
 
+def jpeg_count_symbols(comps: List["entropy_py.ComponentSpec"],
+                       restart_interval: int = 0):
+    from ..codecs import entropy_py
+    lib = _load_native()
+    if lib is not None:
+        try:
+            return lib.count_symbols(comps, restart_interval)
+        except Exception:
+            pass
+    return entropy_py.count_symbols(comps, restart_interval)
+
+
+def jpeg_encode_scan_custom(comps: List["entropy_py.ComponentSpec"],
+                            dc_specs, ac_specs,
+                            restart_interval: int = 0) -> bytes:
+    """Encode with custom per-class (BITS, VALS) Huffman specs
+    ([luma, chroma])."""
+    from ..codecs import entropy_py
+    lib = _load_native()
+    if lib is not None:
+        try:
+            return lib.encode_scan_custom(comps, dc_specs, ac_specs,
+                                          restart_interval)
+        except Exception:
+            pass
+    # Python fallback: attach explicit codes to the specs.
+    for c in comps:
+        cls = 1 if c.chroma else 0
+        c.dc_codes = entropy_py.build_codes(*dc_specs[cls])
+        c.ac_codes = entropy_py.build_codes(*ac_specs[cls])
+    return entropy_py.encode_scan(comps, restart_interval)
+
+
 # ── PNG scanline filtering ──────────────────────────────────────────────────
 
 

@@ -58,6 +58,24 @@ class NativeLib:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
+        lib.fennec_jpeg_count_symbols.restype = ctypes.c_long
+        lib.fennec_jpeg_count_symbols.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.fennec_jpeg_encode_scan_custom.restype = ctypes.c_long
+        lib.fennec_jpeg_encode_scan_custom.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_long,
+        ]
         lib.fennec_png_unfilter.restype = ctypes.c_int
         lib.fennec_png_unfilter.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -70,6 +88,55 @@ class NativeLib:
         ]
 
     # ── JPEG ────────────────────────────────────────────────────────────
+
+    @staticmethod
+    def _comp_geometry(comps):
+        n = len(comps)
+        arrays = [np.ascontiguousarray(c.qcoefs, dtype=np.int32)
+                  for c in comps]
+        ptrs = (ctypes.c_void_p * n)(
+            *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrays])
+        bw = (ctypes.c_int * n)(*[c.bw for c in comps])
+        bh = (ctypes.c_int * n)(*[c.bh for c in comps])
+        hs = (ctypes.c_int * n)(*[c.h for c in comps])
+        vs = (ctypes.c_int * n)(*[c.v for c in comps])
+        chroma = (ctypes.c_int * n)(
+            *[1 if getattr(c, "chroma", False) else 0 for c in comps])
+        return n, arrays, ptrs, bw, bh, hs, vs, chroma
+
+    def count_symbols(self, comps, restart_interval: int = 0):
+        n, arrays, ptrs, bw, bh, hs, vs, chroma = self._comp_geometry(comps)
+        dc_freq = np.zeros((2, 16), dtype=np.int64)
+        ac_freq = np.zeros((2, 256), dtype=np.int64)
+        rc = self._lib.fennec_jpeg_count_symbols(
+            n, ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+            bw, bh, hs, vs, chroma, restart_interval,
+            dc_freq.ctypes.data_as(ctypes.c_void_p),
+            ac_freq.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise RuntimeError("fennec native: count_symbols failed")
+        return dc_freq, ac_freq
+
+    def encode_scan_custom(self, comps, dc_specs, ac_specs,
+                           restart_interval: int = 0) -> bytes:
+        n, arrays, ptrs, bw, bh, hs, vs, chroma = self._comp_geometry(comps)
+        dc_bits = b"".join(bytes(s[0]) for s in dc_specs)
+        ac_bits = b"".join(bytes(s[0]) for s in ac_specs)
+        dc_vals = b"".join(bytes(s[1]) for s in dc_specs)
+        ac_vals = b"".join(bytes(s[1]) for s in ac_specs)
+        dc_nvals = (ctypes.c_int * 2)(*[len(s[1]) for s in dc_specs])
+        ac_nvals = (ctypes.c_int * 2)(*[len(s[1]) for s in ac_specs])
+        total_blocks = sum(a.shape[0] for a in arrays)
+        cap = total_blocks * 64 * 4 + 65536
+        out = ctypes.create_string_buffer(cap)
+        written = self._lib.fennec_jpeg_encode_scan_custom(
+            n, ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+            bw, bh, hs, vs, chroma, restart_interval,
+            dc_bits, dc_vals, dc_nvals, ac_bits, ac_vals, ac_nvals,
+            out, cap)
+        if written < 0:
+            raise RuntimeError("fennec native: encode_scan_custom failed")
+        return out.raw[:written]
 
     def encode_scan(self, comps, restart_interval: int = 0) -> bytes:
         n = len(comps)

@@ -310,6 +310,113 @@ inline int extend(int v, int size) {
 
 extern "C" {
 
+// Count DC-size and AC-RS symbol frequencies for one scan, per table
+// class (0 = luma, 1 = chroma selected by chroma[c]).  dc_freq: 2x16,
+// ac_freq: 2x256 (int64, caller-zeroed). Returns 0, or -1 on geometry.
+long fennec_jpeg_count_symbols(int ncomp, const int32_t **coefs,
+                               const int *bw, const int *bh, const int *hs,
+                               const int *vs, const int *chroma,
+                               int restart_interval, int64_t *dc_freq,
+                               int64_t *ac_freq) {
+  if (ncomp < 1 || ncomp > 4) return -1;
+  int mcus_x = hs[0] ? bw[0] / hs[0] : 0;
+  int mcus_y = vs[0] ? bh[0] / vs[0] : 0;
+  for (int c = 0; c < ncomp; c++) {
+    if (bw[c] != mcus_x * hs[c] || bh[c] != mcus_y * vs[c]) return -1;
+  }
+  int pred[4] = {0, 0, 0, 0};
+  int mcu_count = 0;
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && mcu_count == restart_interval) {
+        mcu_count = 0;
+        pred[0] = pred[1] = pred[2] = pred[3] = 0;
+      }
+      for (int c = 0; c < ncomp; c++) {
+        int cls = chroma[c] ? 1 : 0;
+        int64_t *dcf = dc_freq + cls * 16;
+        int64_t *acf = ac_freq + cls * 256;
+        for (int dy = 0; dy < vs[c]; dy++) {
+          for (int dx = 0; dx < hs[c]; dx++) {
+            int by = my * vs[c] + dy;
+            int bx = mx * hs[c] + dx;
+            const int32_t *block = coefs[c] + ((long)by * bw[c] + bx) * 64;
+            int dc = block[0];
+            dcf[magnitude_size(dc - pred[c])]++;
+            pred[c] = dc;
+            int run = 0;
+            for (int i = 1; i < 64; i++) {
+              int v = block[kZigzag[i]];
+              if (v == 0) { run++; continue; }
+              while (run >= 16) { acf[0xF0]++; run -= 16; }
+              acf[(run << 4) | magnitude_size(v)]++;
+              run = 0;
+            }
+            if (run > 0) acf[0x00]++;
+          }
+        }
+      }
+      mcu_count++;
+    }
+  }
+  return 0;
+}
+
+// Encode an interleaved baseline scan with custom Huffman specs.
+// dc_bits/ac_bits: 2x16 BITS arrays, dc_vals/ac_vals: flattened VALS with
+// per-class counts dc_nvals/ac_nvals (class 0 = luma, 1 = chroma).
+long fennec_jpeg_encode_scan_custom(
+    int ncomp, const int32_t **coefs, const int *bw, const int *bh,
+    const int *hs, const int *vs, const int *chroma, int restart_interval,
+    const uint8_t *dc_bits, const uint8_t *dc_vals, const int *dc_nvals,
+    const uint8_t *ac_bits, const uint8_t *ac_vals, const int *ac_nvals,
+    uint8_t *out, long out_cap) {
+  if (ncomp < 1 || ncomp > 4) return -1;
+  EncTable dc_t[2], ac_t[2];
+  int dc_off = 0, ac_off = 0;
+  for (int cls = 0; cls < 2; cls++) {
+    build_enc_table(dc_bits + cls * 16, dc_vals + dc_off, &dc_t[cls]);
+    build_enc_table(ac_bits + cls * 16, ac_vals + ac_off, &ac_t[cls]);
+    dc_off += dc_nvals[cls];
+    ac_off += ac_nvals[cls];
+  }
+  int mcus_x = hs[0] ? bw[0] / hs[0] : 0;
+  int mcus_y = vs[0] ? bh[0] / vs[0] : 0;
+  for (int c = 0; c < ncomp; c++) {
+    if (bw[c] != mcus_x * hs[c] || bh[c] != mcus_y * vs[c]) return -1;
+  }
+  BitWriter w(out, out_cap);
+  int pred[4] = {0, 0, 0, 0};
+  int rst_idx = 0;
+  int mcu_count = 0;
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && mcu_count == restart_interval) {
+        w.emit_marker((uint8_t)(0xD0 + (rst_idx & 7)));
+        rst_idx++;
+        mcu_count = 0;
+        pred[0] = pred[1] = pred[2] = pred[3] = 0;
+      }
+      for (int c = 0; c < ncomp; c++) {
+        int cls = chroma[c] ? 1 : 0;
+        for (int dy = 0; dy < vs[c]; dy++) {
+          for (int dx = 0; dx < hs[c]; dx++) {
+            int by = my * vs[c] + dy;
+            int bx = mx * hs[c] + dx;
+            const int32_t *block = coefs[c] + ((long)by * bw[c] + bx) * 64;
+            pred[c] = encode_block(w, block, pred[c], dc_t[cls], ac_t[cls]);
+          }
+        }
+      }
+      mcu_count++;
+      if (w.overflow) return -1;
+    }
+  }
+  w.flush();
+  if (w.overflow) return -1;
+  return w.pos;
+}
+
 // Encode an interleaved baseline scan with the standard tables.
 // coefs[c]: int32 (bw*bh, 64) natural order raster. Returns bytes written,
 // or -1 on overflow / bad geometry.

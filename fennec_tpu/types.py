@@ -252,6 +252,10 @@ class Options:
     target_size: int = 0  # target file size in bytes; 0 = no target
     auto_orient: bool = True  # apply EXIF orientation
     on_progress: Optional[ProgressFunc] = None
+    # Build per-image optimal Huffman tables at final encode (~3-8%
+    # smaller files at identical pixels).  Beyond the reference, whose
+    # stdlib encoder is fixed to the Annex-K tables.
+    optimize_huffman: bool = True
 
     def validate(self) -> None:
         # reference types.go:185-202

@@ -1,0 +1,94 @@
+"""Per-image optimal Huffman tables: size wins at identical pixels."""
+
+import io
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import make_noise_image, make_solid_image, make_test_image
+from fennec_tpu.codecs.huffopt import optimal_spec
+from fennec_tpu.codecs.jpeg import (
+    decode_jpeg,
+    encode_jpeg_from_coefs,
+    forward_dct_device,
+)
+
+try:
+    from PIL import Image as PILImage
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def encode_both(img, quality=60):
+    h, w = img.shape[:2]
+    coefs = forward_dct_device(jnp.asarray(img, dtype=jnp.float32), True)
+    std = encode_jpeg_from_coefs(coefs, w, h, quality, True, optimize=False)
+    opt = encode_jpeg_from_coefs(coefs, w, h, quality, True, optimize=True)
+    return std, opt
+
+
+class TestOptimalSpec:
+    def test_valid_kraft_inequality(self):
+        rng = np.random.default_rng(0)
+        freq = rng.integers(0, 1000, 256).astype(np.int64)
+        bits, vals = optimal_spec(freq)
+        assert len(bits) == 16
+        assert sum(bits) == len(vals)
+        assert sum(bits) == int((freq > 0).sum())
+        # Kraft: strictly decodable prefix code within 16 bits.
+        kraft = sum(n * 2.0 ** -(i + 1) for i, n in enumerate(bits))
+        assert kraft < 1.0  # strict: the all-ones code stays reserved
+
+    def test_single_symbol(self):
+        freq = np.zeros(16, dtype=np.int64)
+        freq[5] = 100
+        bits, vals = optimal_spec(freq)
+        assert vals == [5]
+        assert sum(bits) == 1
+
+    def test_skewed_gets_short_codes(self):
+        freq = np.ones(256, dtype=np.int64)
+        freq[0] = 1_000_000
+        bits, vals = optimal_spec(freq)
+        assert vals[0] == 0  # most frequent symbol listed first
+
+
+class TestOptimizedEncoding:
+    @pytest.mark.parametrize("maker,seed", [("noise", 3), ("grad", 0),
+                                            ("solid", 0)])
+    def test_smaller_and_pixel_identical(self, maker, seed):
+        img = {"noise": lambda: make_noise_image(100, 80, seed=seed),
+               "grad": lambda: make_test_image(160, 120),
+               "solid": lambda: make_solid_image(64, 64, 90, 20, 220),
+               }[maker]()
+        std, opt = encode_both(img)
+        assert len(opt) <= len(std)
+        np.testing.assert_array_equal(decode_jpeg(std), decode_jpeg(opt))
+
+    @pytest.mark.skipif(not HAVE_PIL, reason="PIL unavailable")
+    def test_pil_decodes_optimized(self):
+        img = make_test_image(96, 64)
+        _, opt = encode_both(img, quality=80)
+        std, _ = encode_both(img, quality=80)[0], None
+        pil_opt = np.asarray(PILImage.open(io.BytesIO(opt)).convert("RGBA"))
+        pil_std = np.asarray(PILImage.open(io.BytesIO(std)).convert("RGBA"))
+        # The optimized bitstream carries identical coefficients: PIL must
+        # decode both files to the same pixels.
+        np.testing.assert_array_equal(pil_opt, pil_std)
+        # Our decoder differs from PIL only in chroma-upsampling rounding.
+        ours = decode_jpeg(opt)
+        d = np.abs(pil_opt[..., :3].astype(int) - ours[..., :3].astype(int))
+        assert d.max() <= 8 and d.mean() < 1.5
+
+    def test_engine_uses_optimization_by_default(self):
+        import fennec_tpu as fennec
+        img = make_test_image(128, 96)
+        res_opt = fennec.compress_image(None, img, fennec.Options(
+            format=fennec.JPEG))
+        res_std = fennec.compress_image(None, img, fennec.Options(
+            format=fennec.JPEG, optimize_huffman=False))
+        assert res_opt.jpeg_quality == res_std.jpeg_quality
+        assert res_opt.ssim == res_std.ssim
+        assert res_opt.compressed_size <= res_std.compressed_size
