@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import io as _io
 from typing import BinaryIO, Optional, Union
 
 import numpy as np

@@ -6,7 +6,6 @@ Usage: python -m fennec_tpu [options] <input> [output]
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import time
 from typing import Optional

@@ -14,13 +14,12 @@ bounded by the file size.
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
 from ..ops.dct import ZIGZAG
 from ..types import UnsupportedFormatError
-from . import entropy_py
 from .entropy_py import BitReader, _decode_huffman, _extend, build_decode_table
 
 

@@ -34,13 +34,9 @@ from ..codecs.jpeg import (
 )
 from ..image import is_grayscale, to_gray, to_nrgba_ref
 from ..ops import dct as dct_ops
-from ..ops.color import clamp_u8_device, luminance_device, ycbcr_to_rgb
+from ..ops.color import clamp_u8_device, ycbcr_to_rgb
 from ..ops.resize import box_resize_weights
-from ..ops.ssim import (
-    pixel_ssim_device,
-    ssim_fast_dims,
-    ssim_map_device,
-)
+from ..ops.ssim import ssim_fast_dims, ssim_map_device
 from ..types import Options
 
 MAX_BISECT_STEPS = 7  # ceil(log2(100)) — covers any [lo, hi] ⊆ [1, 100]

@@ -30,7 +30,7 @@ from ..codecs.jpeg import encode_jpeg_from_coefs, forward_dct_device
 from ..image import is_opaque, to_nrgba_ref
 from ..ops.quantize import apply_palette, median_cut, palette_to_nrgba
 from ..ops.resize import box_downsample, lanczos_resize
-from ..ops.ssim import compute_ssim_nrgba, ssim_fast
+from ..ops.ssim import compute_ssim_nrgba
 from ..types import Context, Format, Options
 from .compress import compress_png
 

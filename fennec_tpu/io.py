@@ -7,11 +7,11 @@ extension, EXIF orientation read before decode.
 from __future__ import annotations
 
 import os
-from typing import BinaryIO, Optional, Tuple, Union
+from typing import BinaryIO, Optional, Tuple
 
 import numpy as np
 
-from .codecs import decode_image, sniff_format
+from .codecs import decode_image
 from .codecs import png as png_codec
 from .engine.compress import compress_jpeg_optimal, compress_png
 from .exif import Orientation, apply_orientation, read_orientation

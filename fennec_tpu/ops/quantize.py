@@ -10,7 +10,6 @@ approximate.  Box splitting (targetsize.go:422-486) is host numpy over a
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ scores downsampled uint8 images.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Tuple, Union
 

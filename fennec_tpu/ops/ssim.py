@@ -23,9 +23,8 @@ Window semantics replicate the reference exactly:
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

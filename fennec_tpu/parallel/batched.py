@@ -10,7 +10,6 @@ batch axis shards across chips over a Mesh('data') axis via pjit.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,9 +47,13 @@ def batched_search_and_quantize(imgs: jax.Array, targets: jax.Array,
 
     The full encode-side device work for a bucket in ONE dispatch; the
     host only Huffman-codes the blocks.  uint8 input keeps the
-    host→device transfer at 1 byte per channel.
+    host→device transfer at 1 byte per channel; 3-channel input (opaque
+    images) saves another 25% — alpha is synthesized on device.
     """
     imgs = imgs.astype(jnp.float32)
+    if imgs.shape[-1] == 3:
+        alpha = jnp.full(imgs.shape[:-1] + (1,), 255.0, dtype=jnp.float32)
+        imgs = jnp.concatenate([imgs, alpha], axis=-1)
     q, s, f, packed = jax.vmap(
         lambda im, t: quality_search_quantize_device(im, t, subsample)
     )(imgs, targets)
