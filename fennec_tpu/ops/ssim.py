@@ -212,13 +212,9 @@ def ssim_fast(img1: Array, img2: Array, max_dim: int = 512) -> float:
     return float(ssim_images_device(_device_f32(a), _device_f32(b)))
 
 
-def ms_ssim(img1: Array, img2: Array) -> float:
-    """Multi-scale SSIM, 5 scales (reference ssim.go:313-365)."""
-    a, b = _prep(img1), _prep(img2)
-    h, w = a.shape[:2]
-    if (b.shape[0], b.shape[1]) != (h, w):
-        b = lanczos_resize(b, w, h)
-
+def _msssim_plan(w: int, h: int):
+    """Static per-shape plan: effective weights (with the reference's
+    renormalization, ssim.go:327-342) and the per-level image dims."""
     weights = list(MSSSIM_WEIGHTS)
     levels = len(weights)
     ww, hh = w, h
@@ -231,20 +227,88 @@ def ms_ssim(img1: Array, img2: Array) -> float:
         ww //= 2
         hh //= 2
 
-    result = 0.0
-    cur_a, cur_b = a, b
-    for i, wt in enumerate(weights):
-        s = ssim_fast(cur_a, cur_b)
-        result += wt * math.log(max(s, 1e-10))
-        if i < len(weights) - 1:
-            nw = cur_a.shape[1] // 2
-            nh = cur_a.shape[0] // 2
-            if nw < 8 or nh < 8:
+    dims = [(w, h)]
+    for i in range(len(weights) - 1):
+        nw, nh = dims[-1][0] // 2, dims[-1][1] // 2
+        if nw < 8 or nh < 8:
+            break
+        dims.append((nw, nh))
+    return weights, dims
+
+
+def _ms_ssim_device_factory(w: int, h: int):
+    """Build a jitted device MS-SSIM for one input shape: every scale's
+    box downsample (uint8-rounded like the reference's level images),
+    SSIMFast, and the weighted log combination run in ONE dispatch."""
+    weights, dims = _msssim_plan(w, h)
+
+    level_consts = []
+    for i, (lw, lh) in enumerate(dims):
+        fw, fh = ssim_fast_dims(lw, lh)
+        fast_wts = None
+        if (fw, fh) != (lw, lh):
+            fast_wts = box_resize_weights(lw, lh, fw, fh)
+        down_wts = None
+        if i + 1 < len(dims):
+            down_wts = box_resize_weights(lw, lh, dims[i + 1][0],
+                                          dims[i + 1][1])
+        level_consts.append((weights[i] if i < len(weights) else 0.0,
+                             (fw, fh), fast_wts, down_wts))
+
+    @jax.jit
+    def fn(a: jax.Array, b: jax.Array) -> jax.Array:  # (H, W, 4) f32
+        total = jnp.float32(0.0)
+        cur_a, cur_b = a, b
+        for i, (wt, (fw, fh), fast_wts, down_wts) in enumerate(
+                level_consts):
+            if i >= len(weights):
                 break
-            from .resize import box_downsample  # local import to avoid cycle
-            cur_a = box_downsample(cur_a, nw, nh)
-            cur_b = box_downsample(cur_b, nw, nh)
-    return math.exp(result)
+            if fast_wts is not None:
+                sa = box_downsample_device(cur_a, jnp.asarray(fast_wts[0]),
+                                           jnp.asarray(fast_wts[1]))
+                sb = box_downsample_device(cur_b, jnp.asarray(fast_wts[0]),
+                                           jnp.asarray(fast_wts[1]))
+            else:
+                sa, sb = cur_a, cur_b
+            if fw < 8 or fh < 8:
+                s = pixel_ssim_device(sa, sb)
+            elif fw <= 8 or fh <= 8:
+                s = jnp.float32(1.0)
+            else:
+                s = windowed_ssim_device(luminance_device(sa),
+                                         luminance_device(sb))
+            total = total + np.float32(wt) * jnp.log(
+                jnp.maximum(s, 1e-10))
+            if down_wts is not None:
+                cur_a = box_downsample_device(
+                    cur_a, jnp.asarray(down_wts[0]),
+                    jnp.asarray(down_wts[1]))
+                cur_b = box_downsample_device(
+                    cur_b, jnp.asarray(down_wts[0]),
+                    jnp.asarray(down_wts[1]))
+        return jnp.exp(total)
+
+    return fn
+
+
+_MSSSIM_CACHE: dict = {}
+
+
+def ms_ssim(img1: Array, img2: Array) -> float:
+    """Multi-scale SSIM, 5 scales (reference ssim.go:313-365).
+
+    The whole scale pyramid — downsampling, per-scale SSIMFast, weighted
+    log combination — executes as one device program per input shape.
+    """
+    a, b = _prep(img1), _prep(img2)
+    h, w = a.shape[:2]
+    if (b.shape[0], b.shape[1]) != (h, w):
+        b = lanczos_resize(b, w, h)
+    fn = _MSSSIM_CACHE.get((w, h))
+    if fn is None:
+        fn = _ms_ssim_device_factory(w, h)
+        _MSSSIM_CACHE[(w, h)] = fn
+    return float(fn(_device_f32(a), _device_f32(b)))
 
 
 def compute_ssim_nrgba(a: Array, b: Array) -> float:
