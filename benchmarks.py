@@ -154,6 +154,42 @@ def bench_adaptive_sharpen():
             "vs_baseline": None}
 
 
+def bench_compress_batch_files(n_files: int = 200):
+    """CompressBatch over real files: decode → search → encode → write
+    (BASELINE config 5, scaled to n_files for wall-clock sanity)."""
+    import tempfile
+
+    import fennec_tpu as fennec
+    from fennec_tpu.codecs.jpeg import encode_jpeg
+
+    with tempfile.TemporaryDirectory() as tmp:
+        items = []
+        for i in range(n_files):
+            img = photo_batch(1, 500, 500, seed=i)[0].astype(np.uint8)
+            src = os.path.join(tmp, f"in{i}.jpg")
+            with open(src, "wb") as f:
+                f.write(encode_jpeg(img, 92))
+            items.append(fennec.BatchItem(
+                src=src, dst=os.path.join(tmp, f"out{i}.jpg")))
+
+        # Warm the compile caches on a small prefix.
+        fennec.compress_batch(None, items[:8],
+                              fennec.BatchOptions(fused=True))
+
+        t0 = time.time()
+        results = fennec.compress_batch(None, items,
+                                        fennec.BatchOptions(fused=True))
+        dt = time.time() - t0
+        summary = fennec.summarize(results)
+        ips = n_files / dt
+        return {"metric": "compress_batch_files_images_per_sec",
+                "value": round(ips, 1), "unit": "images/sec/chip",
+                "vs_baseline": round(ips / 22.0, 2),
+                "detail": {"n": n_files,
+                           "succeeded": summary.succeeded,
+                           "avg_ssim": round(summary.avg_ssim, 4)}}
+
+
 ALL = {
     "ssim_fast_1080p": bench_ssim_fast_1080p,
     "ssim_fast_4k": bench_ssim_fast_4k_batched,
@@ -163,6 +199,7 @@ ALL = {
     "analyze": bench_analyze,
     "blur": bench_gaussian_blur,
     "adaptive_sharpen": bench_adaptive_sharpen,
+    "compress_batch_files": bench_compress_batch_files,
 }
 
 

@@ -128,16 +128,20 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                           batch_opts: BatchOptions) -> List[BatchResult]:
     """Mega-batch path: parallel host decode → device-batched lockstep
     quality search → parallel host entropy encode + write."""
-    from .engine.batched import compress_images_batched
-    from .exif import Orientation, apply_orientation
+    from .codecs import decode_image
+    from .engine.batched import (
+        compress_images_batched,
+        compress_jpeg_bytes_batched,
+    )
+    from .exif import Orientation, apply_orientation, read_orientation
     from .image import to_nrgba
-    from .io import open_with_orientation
 
     opts = batch_opts.default_opts
     n = len(items)
     results: List[BatchResult] = [
         BatchResult(item=it, index=i) for i, it in enumerate(items)]
-    decoded: List[Optional[object]] = [None] * n
+    raw: List[Optional[bytes]] = [None] * n
+    orients: List[int] = [1] * n
     sizes = [0] * n
 
     skipped = [False] * n
@@ -150,11 +154,11 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
             skipped[i] = True
             return
         try:
-            img, orient, fsize = open_with_orientation(items[i].src)
-            if opts.auto_orient and int(orient) > int(Orientation.NORMAL):
-                img = apply_orientation(to_nrgba(img), orient)
-            decoded[i] = img
-            sizes[i] = fsize
+            with open(items[i].src, "rb") as f:
+                data = f.read()
+            raw[i] = data
+            sizes[i] = len(data)
+            orients[i] = int(read_orientation(data))
         except Exception as e:
             results[i].err = e
 
@@ -166,12 +170,27 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
     live = [i for i in range(n)
             if results[i].err is None and not skipped[i]]
     if live:
-        # auto_orient already applied above; avoid double application.
         sub_opts = dataclasses.replace(opts, auto_orient=False)
         try:
-            compressed = compress_images_batched(
-                ctx, [decoded[i] for i in live], sub_opts,
-                workers=batch_opts.workers)
+            compressed = None
+            # All-device JPEG→JPEG fast path: applicable when orientation
+            # is moot and the caller asked for JPEG output without resize.
+            upright = all(orients[i] <= int(Orientation.NORMAL)
+                          for i in live) or not opts.auto_orient
+            if upright:
+                compressed = compress_jpeg_bytes_batched(
+                    ctx, [raw[i] for i in live], sub_opts)
+            if compressed is None:
+                decoded = []
+                for i in live:
+                    img = decode_image(raw[i])
+                    if opts.auto_orient and \
+                            orients[i] > int(Orientation.NORMAL):
+                        img = apply_orientation(
+                            to_nrgba(img), Orientation(orients[i]))
+                    decoded.append(img)
+                compressed = compress_images_batched(
+                    ctx, decoded, sub_opts, workers=batch_opts.workers)
         except Exception:
             # Fall back to the per-file pool on any fused-path failure.
             fallback = dataclasses.replace(batch_opts, fused=False)

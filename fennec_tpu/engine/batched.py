@@ -48,6 +48,143 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def compress_jpeg_bytes_batched(ctx: Optional[Context],
+                                datas: List[bytes],
+                                opts: Options) -> Optional[List[Result]]:
+    """All-on-device JPEG→JPEG batch: host entropy-decodes inputs to
+    coefficients, ships coefficients up, the device reconstructs pixels,
+    runs the SSIM-guided search, and re-quantizes — pixels never cross the
+    host↔device boundary.  The winning coefficients come back for host
+    Huffman coding.
+
+    Returns None when the inputs don't qualify (non-JPEG, progressive,
+    mixed geometry, unusual sampling/tables) — callers fall back to the
+    pixel path.  Requires opts.format == JPEG and no resize.
+    """
+    from ..codecs import sniff_format
+    from ..codecs.jpeg import (
+        decode_jpeg_to_coefs,
+        is_progressive_jpeg,
+    )
+    from ..parallel.batched import batched_decode_search_quantize
+
+    if opts.format != Format.JPEG or opts.max_width or opts.max_height:
+        return None
+    if opts.target_size > 0:
+        return None
+
+    # Parse + qualify every input.
+    from ..codecs.jpeg import parse_jpeg
+
+    headers = []
+    for d in datas:
+        if sniff_format(d) != "jpeg" or is_progressive_jpeg(d):
+            return None
+        try:
+            hdr = parse_jpeg(d)
+        except Exception:
+            return None
+        if hdr.ncomp != 3 or len(hdr.scan_comps) != 3:
+            return None
+        samp = [(c["h"], c["v"]) for c in hdr.comps]
+        if samp == [(2, 2), (1, 1), (1, 1)]:
+            in_sub = True
+        elif samp == [(1, 1), (1, 1), (1, 1)]:
+            in_sub = False
+        else:
+            return None
+        if hdr.comps[1]["tq"] != hdr.comps[2]["tq"]:
+            return None
+        headers.append((hdr, in_sub))
+    first = headers[0]
+    if any(h.width != first[0].width or h.height != first[0].height
+           or sub != first[1] for h, sub in headers):
+        return None
+
+    hdr0, in_sub = first
+    h, w = hdr0.height, hdr0.width
+    target = opts.quality.target_ssim()
+    if 0.0 < opts.target_ssim <= 1.0:
+        target = opts.target_ssim
+    subsample = bool(opts.subsample)
+
+    # Host entropy decode (C++; GIL released).
+    decoded = []
+    for d in datas:
+        if ctx is not None:
+            ctx.raise_if_done()
+        hdr, coefs = decode_jpeg_to_coefs(d)
+        qt = np.stack([hdr.qtables[hdr.comps[0]["tq"]],
+                       hdr.qtables[hdr.comps[1]["tq"]]]).astype(np.int32)
+        decoded.append((coefs, qt))
+
+    n = len(datas)
+    results: List[Result] = [
+        Result(original_dimensions=(w, h), final_dimensions=(w, h),
+               format=Format.JPEG) for _ in range(n)]
+
+    nworkers = min(16, os.cpu_count() or 4)
+    pool = concurrent.futures.ThreadPoolExecutor(nworkers)
+    pending = []
+    for start in range(0, n, BATCH_CHUNK):
+        if ctx is not None:
+            ctx.raise_if_done()
+        chunk = list(range(start, min(start + BATCH_CHUNK, n)))
+        b = len(chunk)
+        padded = _next_pow2(b)
+        ys = np.stack([decoded[chunk[j % b]][0][0] for j in range(padded)])
+        cbs = np.stack([decoded[chunk[j % b]][0][1] for j in range(padded)])
+        crs = np.stack([decoded[chunk[j % b]][0][2] for j in range(padded)])
+        qts = np.stack([decoded[chunk[j % b]][1] for j in range(padded)])
+        targets = jnp.full((padded,), target, dtype=jnp.float32)
+
+        qs, ssims, found, packed, fits8 = batched_decode_search_quantize(
+            jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+            jnp.asarray(qts), h, w, in_sub, subsample, targets=targets)
+        q_host = np.asarray(qs)
+        s_host = np.asarray(ssims)
+        f_host = np.asarray(found)
+        if bool(fits8):
+            from ..parallel.batched import packed_to_int8
+            packed_h = np.asarray(packed_to_int8(packed))
+        else:
+            packed_h = np.asarray(packed)
+        from ..parallel.batched import split_packed
+        qy_h, qcb_h, qcr_h, ph, pw = split_packed(packed_h, h, w, subsample)
+
+        def encode_one(i: int, j: int) -> None:
+            res = results[i]
+            quality = int(q_host[j])
+            ssim_val = float(s_host[j])
+            if not bool(f_host[j]):
+                quality, ssim_val = 100, 1.0
+            if opts.optimize_huffman:
+                scan, dht = encode_scan_optimized(
+                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
+                    np.asarray(qcr_h[j]), ph, pw, subsample)
+                data = assemble_jpeg(w, h, all_quality_tables()[quality],
+                                     scan, subsample, dht=dht)
+            else:
+                scan = encode_scan_from_quantized(
+                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
+                    np.asarray(qcr_h[j]), ph, pw, subsample)
+                data = assemble_jpeg(w, h, all_quality_tables()[quality],
+                                     scan, subsample)
+            res.jpeg_quality = quality
+            res.ssim = ssim_val
+            res.compressed_data = data
+            res.compressed_size = len(data)
+            res.compute_stats()
+
+        for j, i in enumerate(chunk):
+            pending.append(pool.submit(encode_one, i, j))
+
+    for fut in pending:
+        fut.result()
+    pool.shutdown()
+    return results
+
+
 def compress_images_batched(ctx: Optional[Context],
                             images: List[np.ndarray],
                             opts: Options,

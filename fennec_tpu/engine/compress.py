@@ -194,6 +194,36 @@ def quality_search_device(img: jax.Array, target: jax.Array,
                           lo0=lo0.astype(jnp.int32))
 
 
+def decode_jpeg_image_device(in_y: jax.Array, in_cb: jax.Array,
+                             in_cr: jax.Array, qtabs: jax.Array,
+                             h: int, w: int, in_subsample: bool):
+    """Reconstruct one image from decoded quantized coefficients.
+
+    in_*: (N, 64) float32 quantized blocks (MCU-padded grids); qtabs:
+    (2, 64) [luma, chroma] float32.  Traceable/vmappable — the decode half
+    of the all-on-device batch pipeline.
+    """
+    mult = 16 if in_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    y = dct_ops.from_blocks(
+        dct_ops.idct2d_blocks(dct_ops.dequantize_blocks(in_y, qtabs[0])),
+        ph, pw) + 128.0
+    ch, cw = (ph // 2, pw // 2) if in_subsample else (ph, pw)
+    cb = dct_ops.from_blocks(
+        dct_ops.idct2d_blocks(dct_ops.dequantize_blocks(in_cb, qtabs[1])),
+        ch, cw) + 128.0
+    cr = dct_ops.from_blocks(
+        dct_ops.idct2d_blocks(dct_ops.dequantize_blocks(in_cr, qtabs[1])),
+        ch, cw) + 128.0
+    if in_subsample:
+        cb = dct_ops.upsample_420(cb)
+        cr = dct_ops.upsample_420(cr)
+    ycc = jnp.stack([y[:h, :w], cb[:h, :w], cr[:h, :w]], axis=-1)
+    rgb = clamp_u8_device(ycbcr_to_rgb(ycc))
+    alpha = jnp.full((h, w, 1), 255.0, dtype=jnp.float32)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
 def quality_search_quantize_device(img: jax.Array, target: jax.Array,
                                    subsample: bool = True):
     """Search + quantize in one traced program.

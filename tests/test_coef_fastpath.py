@@ -1,0 +1,96 @@
+"""All-device JPEG→JPEG batch fast path: equivalence with the pixel path."""
+
+import numpy as np
+import pytest
+
+import fennec_tpu as fennec
+from conftest import make_noise_image, make_test_image
+from fennec_tpu.codecs.jpeg import encode_jpeg
+from fennec_tpu.codecs.png import encode_png_rgba
+from fennec_tpu.engine.batched import compress_jpeg_bytes_batched
+
+
+def jpeg_bytes(w, h, seed, quality=92):
+    return encode_jpeg(make_noise_image(w, h, seed=seed), quality)
+
+
+class TestQualification:
+    def test_rejects_png(self):
+        data = [encode_png_rgba(make_test_image(32, 32))]
+        assert compress_jpeg_bytes_batched(
+            None, data, fennec.Options(format=fennec.JPEG)) is None
+
+    def test_rejects_auto_format(self):
+        assert compress_jpeg_bytes_batched(
+            None, [jpeg_bytes(32, 32, 1)], fennec.Options()) is None
+
+    def test_rejects_resize(self):
+        assert compress_jpeg_bytes_batched(
+            None, [jpeg_bytes(32, 32, 1)],
+            fennec.Options(format=fennec.JPEG, max_width=16)) is None
+
+    def test_rejects_mixed_dims(self):
+        datas = [jpeg_bytes(32, 32, 1), jpeg_bytes(48, 32, 2)]
+        assert compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG)) is None
+
+    def test_rejects_grayscale_jpeg(self):
+        try:
+            from PIL import Image as PILImage
+        except ImportError:
+            pytest.skip("PIL unavailable")
+        import io
+        buf = io.BytesIO()
+        g = np.asarray(make_test_image(32, 32))[:, :, 0]
+        PILImage.fromarray(g, "L").save(buf, "JPEG")
+        assert compress_jpeg_bytes_batched(
+            None, [buf.getvalue()],
+            fennec.Options(format=fennec.JPEG)) is None
+
+
+class TestEquivalence:
+    def test_matches_pixel_path(self):
+        datas = [jpeg_bytes(64, 48, s) for s in range(5)]
+        opts = fennec.Options(format=fennec.JPEG)
+        fast = compress_jpeg_bytes_batched(None, datas, opts)
+        assert fast is not None
+        for data, got in zip(datas, fast):
+            want = fennec.compress_bytes(None, data, fennec.Options(
+                format=fennec.JPEG))
+            assert got.jpeg_quality == want.jpeg_quality
+            assert got.ssim == pytest.approx(want.ssim, abs=1e-5)
+            assert got.compressed_data == want.compressed_data
+
+    def test_444_inputs(self):
+        datas = [encode_jpeg(make_noise_image(40, 40, seed=s), 90,
+                             subsample=False) for s in range(2)]
+        fast = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG))
+        assert fast is not None
+        want = fennec.compress_bytes(None, datas[0], fennec.Options(
+            format=fennec.JPEG))
+        assert fast[0].compressed_data == want.compressed_data
+
+    def test_file_batch_uses_fast_path(self, tmp_path):
+        paths = []
+        for i in range(4):
+            p = tmp_path / f"f{i}.jpg"
+            p.write_bytes(jpeg_bytes(48, 48, i))
+            paths.append(str(p))
+        items = [fennec.BatchItem(src=p, dst=str(tmp_path / f"o{i}.jpg"))
+                 for i, p in enumerate(paths)]
+        res = fennec.compress_batch(
+            None, items,
+            fennec.BatchOptions(fused=True, default_opts=fennec.Options(
+                format=fennec.JPEG)))
+        assert all(r.err is None for r in res)
+        # Equivalent to the unfused path byte-for-byte.
+        items2 = [fennec.BatchItem(src=p, dst=str(tmp_path / f"p{i}.jpg"))
+                  for i, p in enumerate(paths)]
+        res2 = fennec.compress_batch(
+            None, items2,
+            fennec.BatchOptions(fused=False, default_opts=fennec.Options(
+                format=fennec.JPEG)))
+        for a, b in zip(res, res2):
+            assert a.result.compressed_size == b.result.compressed_size
+            assert a.result.jpeg_quality == b.result.jpeg_quality
