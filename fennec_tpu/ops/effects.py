@@ -51,6 +51,7 @@ def _blur3x3_rgb(img: jax.Array) -> jax.Array:
 @jax.jit
 def sharpen_device(img: jax.Array, strength: jax.Array) -> jax.Array:
     """Unsharp mask over the full image (reference effects.go:10-45)."""
+    img = img.astype(jnp.float32)
     blurred = _blur3x3_rgb(img)
     amount = 1.0 + strength * 1.5
     rgb = img[..., :3]
@@ -75,6 +76,7 @@ def adaptive_sharpen_device(img: jax.Array,
                             strength: jax.Array) -> jax.Array:
     """Edge-aware unsharp mask; smooth regions untouched
     (reference effects.go:49-90)."""
+    img = img.astype(jnp.float32)
     blurred = _blur3x3_rgb(img)
     amount = 1.0 + strength * 2.0
     edge = _sobel_edge_strength(luminance_device(img))  # (H-2, W-2)
@@ -88,7 +90,8 @@ def adaptive_sharpen_device(img: jax.Array,
 
 def _gaussian_blur_device(img: jax.Array, kernel: jax.Array) -> jax.Array:
     """Separable Gaussian blur of RGB with edge-clamped borders
-    (reference effects.go:146-220).  img: (H, W, 4) f32."""
+    (reference effects.go:146-220).  img: (H, W, 4) any dtype."""
+    img = img.astype(jnp.float32)
     radius = kernel.shape[0] // 2
     rgb = img[..., :3]
     padded = jnp.pad(rgb, ((0, 0), (radius, radius), (0, 0)), mode="edge")
@@ -136,7 +139,7 @@ def sharpen(img: Array, strength: float) -> Array:
     if w < 3 or h < 3:
         return img
     s = _clamped_strength(strength)
-    out = sharpen_device(jnp.asarray(arr, dtype=jnp.float32),
+    out = sharpen_device(jnp.asarray(arr),
                          jnp.float32(s))
     return np.asarray(out, dtype=np.uint8)
 
@@ -151,7 +154,7 @@ def adaptive_sharpen(img: Array, strength: float) -> Array:
     if w < 3 or h < 3:
         return img
     s = _clamped_strength(strength)
-    out = adaptive_sharpen_device(jnp.asarray(arr, dtype=jnp.float32),
+    out = adaptive_sharpen_device(jnp.asarray(arr),
                                   jnp.float32(s))
     return np.asarray(out, dtype=np.uint8)
 
@@ -164,5 +167,5 @@ def gaussian_blur(img: Array, sigma: float) -> Array:
     arr = to_nrgba_ref(np.asarray(img))
     kernel = jnp.asarray(gaussian_blur_kernel(float(sigma)),
                          dtype=jnp.float32)
-    out = _blur_jit(jnp.asarray(arr, dtype=jnp.float32), kernel)
+    out = _blur_jit(jnp.asarray(arr), kernel)
     return np.asarray(out, dtype=np.uint8)

@@ -44,6 +44,7 @@ def lanczos_resize_device(img: jax.Array, wh: jax.Array,
     wh: (W', W) horizontal weights; wv: (H', H) vertical weights.
     Premultiplied-alpha filtering per reference resize.go:96-113.
     """
+    img = img.astype(jnp.float32)
     alpha = img[..., 3:4]
     premul = jnp.concatenate([img[..., :3] * alpha, alpha], axis=-1)
     # Horizontal then vertical pass — two matmuls on the MXU.  HIGHEST
@@ -66,6 +67,7 @@ def box_downsample_device(img: jax.Array, wh: jax.Array,
                           wv: jax.Array) -> jax.Array:
     """Box-filter downsample, channels averaged independently
     (reference ssim.go:244-309), rounded to integral float32 values."""
+    img = img.astype(jnp.float32)
     tmp = jnp.einsum("hwc,Dw->hDc", img, wh,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
@@ -110,7 +112,7 @@ def lanczos_resize(img: Array, dst_w: int, dst_h: int) -> np.ndarray:
     if src_w == dst_w and src_h == dst_h:
         return arr.copy()
     wh, wv = resize_weights(src_w, src_h, dst_w, dst_h)
-    out = lanczos_resize_device(jnp.asarray(arr, dtype=jnp.float32),
+    out = lanczos_resize_device(jnp.asarray(arr),
                                 jnp.asarray(wh), jnp.asarray(wv))
     return np.asarray(out, dtype=np.uint8)
 
@@ -122,7 +124,7 @@ def box_downsample(img: Array, dst_w: int, dst_h: int) -> np.ndarray:
     if src_w <= 0 or src_h <= 0 or dst_w <= 0 or dst_h <= 0:
         return np.zeros((0, 0, 4), dtype=np.uint8)
     wh, wv = box_resize_weights(src_w, src_h, dst_w, dst_h)
-    out = box_downsample_device(jnp.asarray(arr, dtype=jnp.float32),
+    out = box_downsample_device(jnp.asarray(arr),
                                 jnp.asarray(wh), jnp.asarray(wv))
     return np.asarray(out, dtype=np.uint8)
 

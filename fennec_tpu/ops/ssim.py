@@ -110,10 +110,11 @@ def windowed_ssim_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
 def pixel_ssim_device(img_a: jax.Array, img_b: jax.Array) -> jax.Array:
     """Global-moment SSIM for tiny images (reference ssim.go:169-204).
 
-    Inputs: (H, W, 4) float32; luminance over RGB, population statistics.
+    Inputs: (H, W, 4) float or uint8; luminance over RGB, population
+    statistics.
     """
-    la = luminance_device(img_a)
-    lb = luminance_device(img_b)
+    la = luminance_device(img_a.astype(jnp.float32))
+    lb = luminance_device(img_b.astype(jnp.float32))
     mu_a = jnp.mean(la)
     mu_b = jnp.mean(lb)
     da = la - mu_a
@@ -128,9 +129,10 @@ def pixel_ssim_device(img_a: jax.Array, img_b: jax.Array) -> jax.Array:
 
 @jax.jit
 def ssim_images_device(img_a: jax.Array, img_b: jax.Array) -> jax.Array:
-    """Windowed SSIM of two (H, W, 4) float32 images (fused luminance)."""
-    return windowed_ssim_device(luminance_device(img_a),
-                                luminance_device(img_b))
+    """Windowed SSIM of two (H, W, 4) images (fused luminance)."""
+    return windowed_ssim_device(
+        luminance_device(img_a.astype(jnp.float32)),
+        luminance_device(img_b.astype(jnp.float32)))
 
 
 def ssim_fast_dims(w: int, h: int, max_dim: int = 512) -> Tuple[int, int]:
@@ -148,8 +150,8 @@ def ssim_fast_downsampled_device(img_a: jax.Array, img_b: jax.Array,
                                  wh: jax.Array, wv: jax.Array) -> jax.Array:
     """SSIMFast inner: box-downsample both (H,W,4) images with the given
     weight matrices, then windowed SSIM on luminance."""
-    a = box_downsample_device(img_a, wh, wv)
-    b = box_downsample_device(img_b, wh, wv)
+    a = box_downsample_device(img_a.astype(jnp.float32), wh, wv)
+    b = box_downsample_device(img_b.astype(jnp.float32), wh, wv)
     return windowed_ssim_device(luminance_device(a), luminance_device(b))
 
 
@@ -161,7 +163,8 @@ def _prep(img: Array) -> np.ndarray:
 
 
 def _device_f32(arr: np.ndarray) -> jax.Array:
-    return jnp.asarray(arr, dtype=jnp.float32)
+    # Ship uint8 over the wire; device casts to f32 (4x less transfer).
+    return jnp.asarray(arr)
 
 
 def pixel_ssim(img_a: Array, img_b: Array) -> float:
@@ -256,9 +259,9 @@ def _ms_ssim_device_factory(w: int, h: int):
                              (fw, fh), fast_wts, down_wts))
 
     @jax.jit
-    def fn(a: jax.Array, b: jax.Array) -> jax.Array:  # (H, W, 4) f32
+    def fn(a: jax.Array, b: jax.Array) -> jax.Array:  # (H, W, 4) any dtype
         total = jnp.float32(0.0)
-        cur_a, cur_b = a, b
+        cur_a, cur_b = a.astype(jnp.float32), b.astype(jnp.float32)
         for i, (wt, (fw, fh), fast_wts, down_wts) in enumerate(
                 level_consts):
             if i >= len(weights):
