@@ -25,14 +25,39 @@ def _time(fn, warmup=1, iters=5):
 
 
 def bench_ssim_fast_1080p():
-    """SSIMFast on 1920×1080 pairs (baseline: ~8ms/MP-class on M2)."""
-    from fennec_tpu.ops.ssim import ssim_fast
+    """SSIMFast on 1920×1080 pairs, batched device-resident (BASELINE
+    config 1 throughput; parity itself is tests/test_parity_1080p.py)."""
+    import jax
+    import jax.numpy as jnp
 
-    a = photo_batch(1, 1920, 1080)[0].astype(np.uint8)
-    b = np.clip(a.astype(int) + 6, 0, 255).astype(np.uint8)
-    dt = _time(lambda: ssim_fast(a, b))
-    return {"metric": "ssim_fast_1080p_evals_per_sec", "value": round(1 / dt, 1),
-            "unit": "evals/sec", "vs_baseline": round((1 / dt) / 125.0, 2)}
+    from fennec_tpu.ops.color import luminance_device
+    from fennec_tpu.ops.resize import box_downsample_device, box_resize_weights
+    from fennec_tpu.ops.ssim import ssim_fast_dims, windowed_ssim_device
+
+    B, W, H = 16, 1920, 1080
+    dw, dh = ssim_fast_dims(W, H)
+    wh, wv = box_resize_weights(W, H, dw, dh)
+    wh_d = jnp.asarray(wh)
+    wv_d = jnp.asarray(wv)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 256, (B, H, W, 4), dtype=np.uint8))
+    b = jnp.asarray(
+        np.clip(np.asarray(a).astype(np.int16) + 6, 0, 255).astype(np.uint8))
+
+    @jax.jit
+    def eval_batch(x, y):
+        def one(im1, im2):
+            d1 = box_downsample_device(im1, wh_d, wv_d)
+            d2 = box_downsample_device(im2, wh_d, wv_d)
+            return windowed_ssim_device(luminance_device(d1),
+                                        luminance_device(d2))
+        return jax.vmap(one)(x, y)
+
+    dt = _time(lambda: np.asarray(eval_batch(a, b)))
+    ips = B / dt
+    return {"metric": "ssim_fast_1080p_evals_per_sec_chip",
+            "value": round(ips, 1), "unit": "evals/sec/chip",
+            "vs_baseline": round(ips / 125.0, 2)}
 
 
 def bench_ssim_fast_4k_batched():
