@@ -66,9 +66,13 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         decode_jpeg_to_coefs,
         is_progressive_jpeg,
     )
-    from ..parallel.batched import batched_decode_search_quantize
+    from ..ops.resize import resize_weights, smart_resize_dims
+    from ..parallel.batched import (
+        batched_decode_resize_search_quantize,
+        batched_decode_search_quantize,
+    )
 
-    if opts.format != Format.JPEG or opts.max_width or opts.max_height:
+    if opts.format != Format.JPEG:
         return None
     if opts.target_size > 0:
         return None
@@ -108,6 +112,16 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         target = opts.target_ssim
     subsample = bool(opts.subsample)
 
+    # Optional on-device smart resize between decode and search.
+    dst_w, dst_h = w, h
+    rwh = rwv = None
+    if opts.max_width > 0 or opts.max_height > 0:
+        dst_w, dst_h = smart_resize_dims(w, h, opts.max_width,
+                                         opts.max_height)
+        if (dst_w, dst_h) != (w, h):
+            wts = resize_weights(w, h, dst_w, dst_h)
+            rwh, rwv = jnp.asarray(wts[0]), jnp.asarray(wts[1])
+
     # Host entropy decode (C++; GIL released).
     decoded = []
     for d in datas:
@@ -120,7 +134,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
     n = len(datas)
     results: List[Result] = [
-        Result(original_dimensions=(w, h), final_dimensions=(w, h),
+        Result(original_dimensions=(w, h), final_dimensions=(dst_w, dst_h),
                format=Format.JPEG) for _ in range(n)]
 
     nworkers = min(16, os.cpu_count() or 4)
@@ -138,9 +152,16 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         qts = np.stack([decoded[chunk[j % b]][1] for j in range(padded)])
         targets = jnp.full((padded,), target, dtype=jnp.float32)
 
-        qs, ssims, found, packed, fits8 = batched_decode_search_quantize(
-            jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
-            jnp.asarray(qts), h, w, in_sub, subsample, targets=targets)
+        if rwh is not None:
+            qs, ssims, found, packed, fits8 = \
+                batched_decode_resize_search_quantize(
+                    jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+                    jnp.asarray(qts), h, w, in_sub, subsample,
+                    resize_wh=rwh, resize_wv=rwv, targets=targets)
+        else:
+            qs, ssims, found, packed, fits8 = batched_decode_search_quantize(
+                jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+                jnp.asarray(qts), h, w, in_sub, subsample, targets=targets)
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
         f_host = np.asarray(found)
@@ -150,7 +171,8 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         else:
             packed_h = np.asarray(packed)
         from ..parallel.batched import split_packed
-        qy_h, qcb_h, qcr_h, ph, pw = split_packed(packed_h, h, w, subsample)
+        qy_h, qcb_h, qcr_h, ph, pw = split_packed(packed_h, dst_h, dst_w,
+                                                  subsample)
 
         def encode_one(i: int, j: int) -> None:
             res = results[i]
@@ -162,13 +184,13 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 scan, dht = encode_scan_optimized(
                     np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
                     np.asarray(qcr_h[j]), ph, pw, subsample)
-                data = assemble_jpeg(w, h, all_quality_tables()[quality],
+                data = assemble_jpeg(dst_w, dst_h, all_quality_tables()[quality],
                                      scan, subsample, dht=dht)
             else:
                 scan = encode_scan_from_quantized(
                     np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
                     np.asarray(qcr_h[j]), ph, pw, subsample)
-                data = assemble_jpeg(w, h, all_quality_tables()[quality],
+                data = assemble_jpeg(dst_w, dst_h, all_quality_tables()[quality],
                                      scan, subsample)
             res.jpeg_quality = quality
             res.ssim = ssim_val

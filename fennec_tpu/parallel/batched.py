@@ -91,6 +91,36 @@ def batched_decode_search_quantize(in_y: jax.Array, in_cb: jax.Array,
     return q, s, f, packed, fits_int8
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def batched_decode_resize_search_quantize(
+        in_y: jax.Array, in_cb: jax.Array, in_cr: jax.Array,
+        in_qtabs: jax.Array, h: int, w: int, in_subsample: bool,
+        out_subsample: bool, *, resize_wh: jax.Array,
+        resize_wv: jax.Array, targets: jax.Array):
+    """JPEG-in → Lanczos resize → JPEG-out, all on device.
+
+    Same as batched_decode_search_quantize plus a smart-resize between
+    reconstruction and the quality search (weight matrices precomputed on
+    host, ops/resize.py)."""
+    from ..engine.compress import (
+        decode_jpeg_image_device,
+        quality_search_quantize_device,
+    )
+    from ..ops.resize import lanczos_resize_device
+
+    def one(y, cb, cr, qt, t):
+        img = decode_jpeg_image_device(
+            y.astype(jnp.float32), cb.astype(jnp.float32),
+            cr.astype(jnp.float32), qt.astype(jnp.float32),
+            h, w, in_subsample)
+        img = lanczos_resize_device(img, resize_wh, resize_wv)
+        return quality_search_quantize_device(img, t, out_subsample)
+
+    q, s, f, packed = jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+    fits_int8 = jnp.all(jnp.abs(packed) <= 127)
+    return q, s, f, packed, fits_int8
+
+
 @jax.jit
 def packed_to_int8(packed: jax.Array) -> jax.Array:
     """Device-side downcast of packed int16 blocks to int8 (caller must
