@@ -87,6 +87,13 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--no-orient", action="store_true",
                    help="Don't auto-rotate")
     p.add_argument("--analyze", action="store_true", help="Analyze image")
+    p.add_argument("--batch", action="store_true",
+                   help="Treat input/output as directories; compress every "
+                        "image via the device mega-batch engine")
+    p.add_argument("--workers", type=int, default=0,
+                   help="Batch worker threads (0 = cpu count)")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="Batch mode: skip files whose output already exists")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Verbose output")
     p.add_argument("input", help="Input image path")
@@ -95,7 +102,51 @@ def main(argv: Optional[list] = None) -> int:
 
     if args.analyze:
         return run_analyze(args.input)
+    if args.batch:
+        return run_batch(args)
     return run_compression(args)
+
+
+def run_batch(args) -> int:
+    """Directory batch mode (beyond the reference CLI; wraps
+    compress_batch and the fused device engine)."""
+    import os
+
+    from . import BatchItem, BatchOptions, compress_batch, summarize
+
+    opts = _build_options(args)
+    if opts is None:
+        return 1
+    in_dir, out_dir = args.input, args.output or args.input + "_fennec"
+    if not os.path.isdir(in_dir):
+        print(f"Error: {in_dir!r} is not a directory", file=sys.stderr)
+        return 1
+    os.makedirs(out_dir, exist_ok=True)
+    exts = (".jpg", ".jpeg", ".png")
+    names = sorted(n for n in os.listdir(in_dir)
+                   if n.lower().endswith(exts))
+    if not names:
+        print("Error: no images found", file=sys.stderr)
+        return 1
+    items = [BatchItem(src=os.path.join(in_dir, n),
+                       dst=os.path.join(out_dir, n)) for n in names]
+
+    def on_item(done, total):
+        if args.verbose:
+            print(f"  [{done}/{total}]", file=sys.stderr)
+
+    start = time.monotonic()
+    results = compress_batch(Context.background(), items, BatchOptions(
+        workers=args.workers, default_opts=opts, on_item=on_item,
+        skip_existing=args.skip_existing))
+    elapsed = time.monotonic() - start
+    summary = summarize(results)
+    for r in results:
+        if r.err is not None:
+            print(f"  failed: {r.item.src}: {r.err}", file=sys.stderr)
+    rate = summary.total / elapsed if elapsed > 0 else 0.0
+    print(f"{summary} | {elapsed:.1f}s ({rate:.1f} images/sec)")
+    return 0 if summary.failed == 0 else 1
 
 
 def run_analyze(input_path: str) -> int:
@@ -118,8 +169,9 @@ def run_analyze(input_path: str) -> int:
     return 0
 
 
-def run_compression(args) -> int:
-    # reference cmd/fennec/main.go:114-158
+def _build_options(args) -> Optional[Options]:
+    """Shared Options construction (reference cmd/fennec/main.go:131-158).
+    Returns None (after printing) on invalid flags."""
     opts = Options()
     opts.max_width = args.max_width
     opts.max_height = args.max_height
@@ -128,16 +180,25 @@ def run_compression(args) -> int:
     if args.ssim > 0:
         if args.ssim > 1.0:
             print("Error: --ssim must be in (0, 1]", file=sys.stderr)
-            return 1
+            return None
         opts.target_ssim = args.ssim
     if args.target_size:
         try:
             opts.target_size = parse_size(args.target_size)
         except ValueError as e:
             print(f"Error: {e}", file=sys.stderr)
-            return 1
+            return None
     opts.quality = parse_quality(args.quality)
     opts.format = parse_format(args.format)
+    return opts
+
+
+def run_compression(args) -> int:
+    # reference cmd/fennec/main.go:114-158
+    built = _build_options(args)
+    if built is None:
+        return 1
+    opts = built
     if args.verbose:
         def on_progress(stage: ProgressStage, pct: float):
             print(f"  [{stage.value}] {pct * 100:.0f}%", file=sys.stderr)

@@ -124,3 +124,37 @@ class TestCLIEndToEnd:
     def test_no_args_usage(self):
         r = run_cli()
         assert r.returncode != 0
+
+
+@pytest.mark.slow
+class TestCLIBatchMode:
+    def test_batch_directory(self, tmp_path):
+        from fennec_tpu.codecs.jpeg import encode_jpeg
+        indir = tmp_path / "in"
+        indir.mkdir()
+        for i in range(3):
+            (indir / f"p{i}.jpg").write_bytes(
+                encode_jpeg(make_noise_image(48, 48, seed=i), 92))
+        outdir = tmp_path / "out"
+        r = run_cli("--batch", "--format", "jpeg", str(indir), str(outdir))
+        assert r.returncode == 0, r.stderr
+        assert "3/3 succeeded" in r.stdout
+        assert sorted(os.listdir(outdir)) == ["p0.jpg", "p1.jpg", "p2.jpg"]
+
+    def test_batch_skip_existing(self, tmp_path):
+        from fennec_tpu.codecs.jpeg import encode_jpeg
+        indir = tmp_path / "in"
+        indir.mkdir()
+        (indir / "a.jpg").write_bytes(
+            encode_jpeg(make_noise_image(32, 32, seed=0), 92))
+        outdir = tmp_path / "out"
+        outdir.mkdir()
+        (outdir / "a.jpg").write_bytes(b"placeholder")
+        r = run_cli("--batch", "--skip-existing", "--format", "jpeg",
+                    str(indir), str(outdir))
+        assert r.returncode == 0, r.stderr
+        assert (outdir / "a.jpg").read_bytes() == b"placeholder"
+
+    def test_batch_not_a_directory(self, tmp_path):
+        r = run_cli("--batch", str(tmp_path / "nope"), str(tmp_path / "o"))
+        assert r.returncode == 1
