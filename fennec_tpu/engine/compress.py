@@ -104,7 +104,11 @@ def _bisect_device(coefs, img_rgb_ds_lum, box_wh, box_wv,
     """
     all_tables = jnp.asarray(dct_ops.all_quality_tables(),
                              dtype=jnp.float32)  # (101, 2, 64)
-    use_windowed = img_rgb_ds_lum.shape[0] > 8 and img_rgb_ds_lum.shape[1] > 8
+    ds_h, ds_w = img_rgb_ds_lum.shape
+    use_windowed = ds_h > 8 and ds_w > 8
+    # Exactly-8px dims: the reference's window set is empty and
+    # windowedSSIM returns 1.0 (ssim.go:162-164) — every quality accepts.
+    constant_one = (ds_h == 8 or ds_w == 8) and ds_h >= 8 and ds_w >= 8
     # Static at trace time: identity box weights (image already ≤ 512px)
     # mean the downsample matmuls can be skipped entirely.
     needs_ds = (box_wh.shape[0] != w) or (box_wv.shape[0] != h)
@@ -124,6 +128,8 @@ def _bisect_device(coefs, img_rgb_ds_lum, box_wh, box_wv,
                    + 0.114 * rgb[..., 2])
         if use_windowed:
             return jnp.mean(ssim_map_device(img_rgb_ds_lum, lum))
+        if constant_one:
+            return jnp.float32(1.0)
         # tiny image: global-moment pixelSSIM on luminance
         mu_a = jnp.mean(img_rgb_ds_lum)
         mu_b = jnp.mean(lum)
