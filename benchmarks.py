@@ -220,13 +220,16 @@ def bench_compress_batch_files(n_files: int = 200):
             items.append(fennec.BatchItem(
                 src=src, dst=os.path.join(tmp, f"out{i}.jpg")))
 
-        # Warm the compile caches on a small prefix.
-        fennec.compress_batch(None, items[:8],
-                              fennec.BatchOptions(fused=True))
+        # format=JPEG routes the all-device coefficient fast path
+        # (AUTO needs per-image pixel analysis).  Warm the compile cache
+        # on a small prefix first.
+        bopts = fennec.BatchOptions(
+            fused=True,
+            default_opts=fennec.Options(format=fennec.Format.JPEG))
+        fennec.compress_batch(None, items[:8], bopts)
 
         t0 = time.time()
-        results = fennec.compress_batch(None, items,
-                                        fennec.BatchOptions(fused=True))
+        results = fennec.compress_batch(None, items, bopts)
         dt = time.time() - t0
         summary = fennec.summarize(results)
         ips = n_files / dt

@@ -118,3 +118,49 @@ class TestFusedFileBatch:
             fennec.BatchOptions(fused=True,
                                 on_item=lambda c, t: seen.append((c, t))))
         assert len(seen) == 3
+
+
+class TestFusedOrientation:
+    def test_exif_oriented_jpeg_in_fused_batch(self, tmp_path):
+        """EXIF-rotated JPEGs must disqualify the coefficient fast path and
+        come out upright via the pixel path."""
+        from fennec_tpu.codecs.jpeg import encode_jpeg
+        from fennec_tpu.exif import Orientation, write_exif_orientation
+
+        img = photo(48, 32, 3)  # landscape 48x32
+        data = encode_jpeg(img, 92)
+        tagged = data[:2] + write_exif_orientation(
+            Orientation.ROTATE_90_CW) + data[2:]
+        srcs = []
+        for i in range(3):
+            p = tmp_path / f"r{i}.jpg"
+            p.write_bytes(tagged)
+            srcs.append(str(p))
+        items = [fennec.BatchItem(src=s, dst=str(tmp_path / f"o{i}.jpg"))
+                 for i, s in enumerate(srcs)]
+        res = fennec.compress_batch(
+            None, items, fennec.BatchOptions(
+                fused=True,
+                default_opts=fennec.Options(format=fennec.JPEG)))
+        for r in res:
+            assert r.err is None
+            assert r.result.final_dimensions == (32, 48)  # rotated upright
+
+    def test_no_orient_keeps_fast_path_dims(self, tmp_path):
+        from fennec_tpu.codecs.jpeg import encode_jpeg
+        from fennec_tpu.exif import Orientation, write_exif_orientation
+
+        img = photo(48, 32, 3)
+        data = encode_jpeg(img, 92)
+        tagged = data[:2] + write_exif_orientation(
+            Orientation.ROTATE_90_CW) + data[2:]
+        p = tmp_path / "x.jpg"
+        p.write_bytes(tagged)
+        items = [fennec.BatchItem(src=str(p), dst=str(tmp_path / "y.jpg"))]
+        res = fennec.compress_batch(
+            None, items, fennec.BatchOptions(
+                fused=True,
+                default_opts=fennec.Options(format=fennec.JPEG,
+                                            auto_orient=False)))
+        assert res[0].err is None
+        assert res[0].result.final_dimensions == (48, 32)
