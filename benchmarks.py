@@ -226,7 +226,8 @@ def bench_compress_batch_files(n_files: int = 200):
         bopts = fennec.BatchOptions(
             fused=True,
             default_opts=fennec.Options(format=fennec.Format.JPEG))
-        fennec.compress_batch(None, items[:8], bopts)
+        # Warm ALL chunk shapes the timed run uses (full pass once).
+        fennec.compress_batch(None, items, bopts)
 
         t0 = time.time()
         results = fennec.compress_batch(None, items, bopts)
