@@ -202,23 +202,68 @@ def bench_adaptive_sharpen():
             "vs_baseline": None}
 
 
+def _make_jpeg_fixtures(tmp, n_files, w=500, h=500, quality=92):
+    """Write n_files JPEGs using ONE batched device pass (per-image
+    encode_jpeg pays a multi-second per-dispatch RPC tax on the axon
+    tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fennec_tpu.codecs.jpeg import (
+        assemble_jpeg,
+        encode_scan_from_quantized,
+        forward_dct_device,
+    )
+    from fennec_tpu.ops.dct import all_quality_tables, quantize_blocks
+
+    qtabs = all_quality_tables()[quality]
+    qt_dev = jnp.asarray(qtabs, dtype=jnp.float32)
+
+    @jax.jit
+    def encode_batch(imgs):
+        def one(im):
+            cy, ccb, ccr = forward_dct_device(im.astype(jnp.float32), True)
+            return jnp.concatenate([
+                quantize_blocks(cy, qt_dev[0]),
+                quantize_blocks(ccb, qt_dev[1]),
+                quantize_blocks(ccr, qt_dev[1])], axis=0).astype(jnp.int16)
+        return jax.vmap(one)(imgs)
+
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16)
+    paths = []
+    chunk = 32
+    for start in range(0, n_files, chunk):
+        idxs = list(range(start, min(start + chunk, n_files)))
+        imgs = np.stack([photo_batch(1, w, h, seed=i)[0].astype(np.uint8)
+                         for i in idxs])
+        packed = np.asarray(encode_batch(jnp.asarray(imgs)))
+        for j, i in enumerate(idxs):
+            qy = packed[j, :ny].astype(np.int32)
+            qcb = packed[j, ny:ny + nc].astype(np.int32)
+            qcr = packed[j, ny + nc:].astype(np.int32)
+            scan = encode_scan_from_quantized(qy, qcb, qcr, ph, pw, True)
+            data = assemble_jpeg(w, h, qtabs, scan, True)
+            p = os.path.join(tmp, f"in{i}.jpg")
+            with open(p, "wb") as f:
+                f.write(data)
+            paths.append(p)
+    return paths
+
+
 def bench_compress_batch_files(n_files: int = 200):
     """CompressBatch over real files: decode → search → encode → write
     (BASELINE config 5, scaled to n_files for wall-clock sanity)."""
     import tempfile
 
     import fennec_tpu as fennec
-    from fennec_tpu.codecs.jpeg import encode_jpeg
 
     with tempfile.TemporaryDirectory() as tmp:
-        items = []
-        for i in range(n_files):
-            img = photo_batch(1, 500, 500, seed=i)[0].astype(np.uint8)
-            src = os.path.join(tmp, f"in{i}.jpg")
-            with open(src, "wb") as f:
-                f.write(encode_jpeg(img, 92))
-            items.append(fennec.BatchItem(
-                src=src, dst=os.path.join(tmp, f"out{i}.jpg")))
+        srcs = _make_jpeg_fixtures(tmp, n_files)
+        items = [fennec.BatchItem(
+            src=s, dst=os.path.join(tmp, f"out{i}.jpg"))
+            for i, s in enumerate(srcs)]
 
         # format=JPEG routes the all-device coefficient fast path
         # (AUTO needs per-image pixel analysis).  Warm the compile cache
