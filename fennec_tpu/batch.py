@@ -180,6 +180,11 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
             if upright:
                 compressed = compress_jpeg_bytes_batched(
                     ctx, [raw[i] for i in live], sub_opts)
+            if os.environ.get("FENNEC_DEBUG_BATCH"):
+                path = "coef-fastpath" if compressed is not None \
+                    else "pixel"
+                print(f"fennec: fused batch via {path} "
+                      f"(n={len(live)})", flush=True)
             if compressed is None:
                 decoded = []
                 for i in live:
@@ -191,7 +196,13 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                     decoded.append(img)
                 compressed = compress_images_batched(
                     ctx, decoded, sub_opts, workers=batch_opts.workers)
-        except Exception:
+        except Exception as e:
+            if os.environ.get("FENNEC_DEBUG_BATCH"):
+                import traceback
+
+                print(f"fennec: fused path failed ({e!r}); falling back",
+                      flush=True)
+                traceback.print_exc()
             # Fall back to the per-file pool on any fused-path failure.
             fallback = dataclasses.replace(batch_opts, fused=False)
             return compress_batch(ctx, items, fallback)
