@@ -203,53 +203,9 @@ def bench_adaptive_sharpen():
 
 
 def _make_jpeg_fixtures(tmp, n_files, w=500, h=500, quality=92):
-    """Write n_files JPEGs using ONE batched device pass (per-image
-    encode_jpeg pays a multi-second per-dispatch RPC tax on the axon
-    tunnel)."""
-    import jax
-    import jax.numpy as jnp
+    from bench import write_jpeg_fixtures
 
-    from fennec_tpu.codecs.jpeg import (
-        assemble_jpeg,
-        encode_scan_from_quantized,
-        forward_dct_device,
-    )
-    from fennec_tpu.ops.dct import all_quality_tables, quantize_blocks
-
-    qtabs = all_quality_tables()[quality]
-    qt_dev = jnp.asarray(qtabs, dtype=jnp.float32)
-
-    @jax.jit
-    def encode_batch(imgs):
-        def one(im):
-            cy, ccb, ccr = forward_dct_device(im.astype(jnp.float32), True)
-            return jnp.concatenate([
-                quantize_blocks(cy, qt_dev[0]),
-                quantize_blocks(ccb, qt_dev[1]),
-                quantize_blocks(ccr, qt_dev[1])], axis=0).astype(jnp.int16)
-        return jax.vmap(one)(imgs)
-
-    ph, pw = h + (-h) % 16, w + (-w) % 16
-    ny = (ph // 8) * (pw // 8)
-    nc = (ph // 16) * (pw // 16)
-    paths = []
-    chunk = 32
-    for start in range(0, n_files, chunk):
-        idxs = list(range(start, min(start + chunk, n_files)))
-        imgs = np.stack([photo_batch(1, w, h, seed=i)[0].astype(np.uint8)
-                         for i in idxs])
-        packed = np.asarray(encode_batch(jnp.asarray(imgs)))
-        for j, i in enumerate(idxs):
-            qy = packed[j, :ny].astype(np.int32)
-            qcb = packed[j, ny:ny + nc].astype(np.int32)
-            qcr = packed[j, ny + nc:].astype(np.int32)
-            scan = encode_scan_from_quantized(qy, qcb, qcr, ph, pw, True)
-            data = assemble_jpeg(w, h, qtabs, scan, True)
-            p = os.path.join(tmp, f"in{i}.jpg")
-            with open(p, "wb") as f:
-                f.write(data)
-            paths.append(p)
-    return paths
+    return write_jpeg_fixtures(tmp, n_files, w, h, quality)
 
 
 def bench_compress_batch_files(n_files: int = 200):
