@@ -38,7 +38,7 @@ from ..parallel.batched import batched_search_and_quantize
 from ..types import Context, Format, Options, Result
 from .compress import compress_png
 
-BATCH_CHUNK = int(os.environ.get("FENNEC_BATCH_CHUNK", "32"))
+BATCH_CHUNK = int(os.environ.get("FENNEC_BATCH_CHUNK", "64"))
 
 
 def _next_pow2(n: int) -> int:
