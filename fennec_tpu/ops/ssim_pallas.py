@@ -110,8 +110,8 @@ def batched_ssim_pallas(lum_a: jax.Array, lum_b: jax.Array,
         kernel,
         grid=(bsz,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         # (B, 1) result: one whole-array block revisited by every grid
         # step (Mosaic disallows 1x1 sub-blocks).
