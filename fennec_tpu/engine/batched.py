@@ -140,6 +140,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     nworkers = min(16, os.cpu_count() or 4)
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     pending = []
+    use_device_entropy = (opts.device_entropy and rwh is None)
     for start in range(0, n, BATCH_CHUNK):
         if ctx is not None:
             ctx.raise_if_done()
@@ -151,6 +152,48 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         crs = np.stack([decoded[chunk[j % b]][0][2] for j in range(padded)])
         qts = np.stack([decoded[chunk[j % b]][1] for j in range(padded)])
         targets = jnp.full((padded,), target, dtype=jnp.float32)
+
+        if use_device_entropy:
+            from ..ops.jpeg_emit import finalize_scan_host
+            from ..parallel.batched import batched_decode_search_emit
+
+            mult = 16 if subsample else 8
+            ph = h + (-h) % mult
+            pw = w + (-w) % mult
+            n_blocks = ((ph // 8) * (pw // 8)
+                        + 2 * ((ph // 16) * (pw // 16)
+                               if subsample else (ph // 8) * (pw // 8)))
+            max_words = n_blocks * 64 + 64
+            qs, ssims, found, words, bits = batched_decode_search_emit(
+                jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+                jnp.asarray(qts), h, w, in_sub, subsample, max_words,
+                targets=targets)
+            q_host = np.asarray(qs)
+            s_host = np.asarray(ssims)
+            f_host = np.asarray(found)
+            bits_h = np.asarray(bits)
+            used = int(bits_h.max()) // 32 + 2
+            words_h = np.asarray(words[:, :used])
+
+            def emit_one(i: int, j: int) -> None:
+                res = results[i]
+                quality = int(q_host[j])
+                ssim_val = float(s_host[j])
+                if not bool(f_host[j]):
+                    quality, ssim_val = 100, 1.0
+                scan = finalize_scan_host(words_h[j], int(bits_h[j]))
+                data = assemble_jpeg(dst_w, dst_h,
+                                     all_quality_tables()[quality],
+                                     scan, subsample)
+                res.jpeg_quality = quality
+                res.ssim = ssim_val
+                res.compressed_data = data
+                res.compressed_size = len(data)
+                res.compute_stats()
+
+            for j, i in enumerate(chunk):
+                pending.append(pool.submit(emit_one, i, j))
+            continue
 
         if rwh is not None:
             qs, ssims, found, packed, fits8 = \

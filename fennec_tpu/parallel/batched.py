@@ -121,6 +121,45 @@ def batched_decode_resize_search_quantize(
     return q, s, f, packed, fits_int8
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def batched_decode_search_emit(in_y: jax.Array, in_cb: jax.Array,
+                               in_cr: jax.Array, in_qtabs: jax.Array,
+                               h: int, w: int, in_subsample: bool,
+                               out_subsample: bool, max_words: int, *,
+                               targets: jax.Array):
+    """JPEG-in → JPEG-out with the entropy bitstream ASSEMBLED ON DEVICE.
+
+    Like batched_decode_search_quantize, but the winning coefficients are
+    Huffman-emitted on device (ops/jpeg_emit.py, standard tables) — the
+    device→host transfer shrinks to ≈ the size of the output files.
+    Returns (q, ssim, found, words (B, max_words) u32, bits (B,) i32).
+    """
+    from ..engine.compress import (
+        decode_jpeg_image_device,
+        quality_search_quantize_device,
+    )
+    from ..ops.jpeg_emit import emit_scan_device
+
+    mult = 16 if out_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if out_subsample else ny
+
+    def one(y, cb, cr, qt, t):
+        img = decode_jpeg_image_device(
+            y.astype(jnp.float32), cb.astype(jnp.float32),
+            cr.astype(jnp.float32), qt.astype(jnp.float32),
+            h, w, in_subsample)
+        q, s, f, packed = quality_search_quantize_device(img, t,
+                                                         out_subsample)
+        words, bits = emit_scan_device(
+            packed[:ny], packed[ny:ny + nc], packed[ny + nc:],
+            ph, pw, out_subsample, max_words)
+        return q, s, f, words, bits
+
+    return jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+
+
 @jax.jit
 def packed_to_int8(packed: jax.Array) -> jax.Array:
     """Device-side downcast of packed int16 blocks to int8 (caller must

@@ -256,6 +256,11 @@ class Options:
     # smaller files at identical pixels).  Beyond the reference, whose
     # stdlib encoder is fixed to the Annex-K tables.
     optimize_huffman: bool = True
+    # Assemble the entropy bitstream ON DEVICE (standard tables) in the
+    # batch engines — maximum throughput mode: the device→host transfer
+    # shrinks to roughly the output file size.  Mutually exclusive with
+    # optimize_huffman's size win (standard tables are used when set).
+    device_entropy: bool = False
 
     def validate(self) -> None:
         # reference types.go:185-202

@@ -120,3 +120,35 @@ class TestEquivalence:
             assert abs(a.result.compressed_size
                        - b.result.compressed_size) <= 16
             assert a.result.jpeg_quality == b.result.jpeg_quality
+
+
+class TestDeviceEntropy:
+    def test_device_entropy_matches_standard_tables(self):
+        """device_entropy output must byte-match the pixel path with
+        optimize_huffman disabled (same standard tables, same search)."""
+        datas = [jpeg_bytes(64, 48, s) for s in range(3)]
+        fast = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG,
+                                        device_entropy=True))
+        assert fast is not None
+        for data, got in zip(datas, fast):
+            want = fennec.compress_bytes(
+                None, data, fennec.Options(format=fennec.JPEG,
+                                           optimize_huffman=False))
+            assert got.jpeg_quality == want.jpeg_quality
+            assert got.ssim == pytest.approx(want.ssim, abs=1e-5)
+            from fennec_tpu.codecs import decode_image
+            a = decode_image(got.compressed_data).astype(int)
+            b = decode_image(want.compressed_data).astype(int)
+            assert np.abs(a - b).max() <= 3
+
+    def test_device_entropy_decodable(self):
+        from fennec_tpu.codecs import decode_image
+        from fennec_tpu.ops import ssim_fast
+        datas = [jpeg_bytes(48, 48, 7)]
+        orig = decode_image(datas[0])
+        fast = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG,
+                                        device_entropy=True))
+        out = decode_image(fast[0].compressed_data)
+        assert ssim_fast(orig, out) == pytest.approx(fast[0].ssim, abs=0.01)
