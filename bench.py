@@ -207,7 +207,8 @@ def main():
         srcs = write_jpeg_fixtures(tmp, batch_n)
         bopts = fennec.BatchOptions(
             fused=True,
-            default_opts=fennec.Options(format=fennec.Format.JPEG))
+            default_opts=fennec.Options(format=fennec.Format.JPEG,
+                                        device_entropy=True))
 
         def run_batch(tag):
             its = [fennec.BatchItem(
