@@ -207,8 +207,7 @@ def main():
         srcs = write_jpeg_fixtures(tmp, batch_n)
         bopts = fennec.BatchOptions(
             fused=True,
-            default_opts=fennec.Options(format=fennec.Format.JPEG,
-                                        device_entropy=True))
+            default_opts=fennec.Options(format=fennec.Format.JPEG))
 
         def run_batch(tag):
             its = [fennec.BatchItem(
