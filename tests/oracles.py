@@ -136,3 +136,30 @@ def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
         out[y, :, :3] = np.clip(np.floor(acc + 0.5), 0, 255)
         out[y, :, 3] = img[y, :, 3]
     return out.astype(np.uint8)
+
+
+def ms_ssim(a: np.ndarray, b: np.ndarray) -> float:
+    """5-scale MS-SSIM oracle (reference ssim.go:313-365 semantics)."""
+    h, w = a.shape[:2]
+    weights = [0.0448, 0.2856, 0.3001, 0.2363, 0.1333]
+    ww, hh = w, h
+    for i in range(len(weights) - 1):
+        if min(ww, hh) < 8:
+            weights = weights[: i + 1]
+            s = sum(weights)
+            weights = [x / s for x in weights]
+            break
+        ww //= 2
+        hh //= 2
+    result = 0.0
+    cur_a, cur_b = a, b
+    for i, wt in enumerate(weights):
+        s = ssim_fast(cur_a, cur_b)
+        result += wt * math.log(max(s, 1e-10))
+        if i < len(weights) - 1:
+            nw, nh = cur_a.shape[1] // 2, cur_a.shape[0] // 2
+            if nw < 8 or nh < 8:
+                break
+            cur_a = box_downsample(cur_a, nw, nh)
+            cur_b = box_downsample(cur_b, nw, nh)
+    return math.exp(result)

@@ -153,3 +153,20 @@ class TestBoxDownsampleParity:
         diff = np.abs(got.astype(int) - want.astype(int))
         assert diff.max() <= 1
         assert (diff > 0).mean() < 0.01
+
+
+class TestMSSSIMParity:
+    @pytest.mark.parametrize("shape", [(64, 64), (96, 72), (33, 47)])
+    def test_oracle_parity(self, shape):
+        w, h = shape
+        a = make_noise_image(w, h, seed=21)
+        b = perturb(a, amount=18, seed=22)
+        got = ms_ssim(a, b)
+        want = oracles.ms_ssim(a, b)
+        assert got == pytest.approx(want, abs=2e-4)
+
+    def test_oracle_parity_gradient(self):
+        a = make_test_image(120, 90)
+        b = perturb(a, amount=8, seed=30)
+        assert ms_ssim(a, b) == pytest.approx(oracles.ms_ssim(a, b),
+                                              abs=2e-4)
