@@ -104,6 +104,25 @@ def jpeg_encode_scan_custom(comps: List["entropy_py.ComponentSpec"],
     return entropy_py.encode_scan(comps, restart_interval)
 
 
+def int16_to_int8_exc(arr: np.ndarray):
+    """int16 → (int8, exception idx/val) split for compact device uploads."""
+    lib = _load_native()
+    if lib is not None:
+        try:
+            return lib.int16_to_int8_exc(arr)
+        except ValueError:
+            raise
+        except Exception:
+            pass
+    flat = np.ascontiguousarray(arr, dtype=np.int16).ravel()
+    big = np.abs(flat) > 127
+    exc_idx = np.nonzero(big)[0].astype(np.int32)
+    exc_val = flat[exc_idx]
+    out = np.clip(flat, -127, 127).astype(np.int8)
+    out[exc_idx] = 0
+    return out.reshape(arr.shape), exc_idx, exc_val
+
+
 # ── PNG scanline filtering ──────────────────────────────────────────────────
 
 

@@ -76,6 +76,11 @@ class NativeLib:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
             ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.fennec_int16_to_int8_exc.restype = ctypes.c_long
+        lib.fennec_int16_to_int8_exc.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ]
         lib.fennec_png_unfilter.restype = ctypes.c_int
         lib.fennec_png_unfilter.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -201,6 +206,24 @@ class NativeLib:
         if rc < 0:
             raise ValueError("fennec native: corrupt JPEG scan")
         return outs
+
+    def int16_to_int8_exc(self, arr: np.ndarray):
+        """Clip int16 → int8 with an exception list for |v| > 127.
+        Returns (int8 array same shape, exc_idx int32, exc_val int16)."""
+        flat = np.ascontiguousarray(arr, dtype=np.int16).ravel()
+        out = np.empty(flat.shape, dtype=np.int8)
+        max_exc = max(1024, flat.size // 16)
+        exc_idx = np.empty(max_exc, dtype=np.int32)
+        exc_val = np.empty(max_exc, dtype=np.int16)
+        ne = self._lib.fennec_int16_to_int8_exc(
+            flat.ctypes.data_as(ctypes.c_void_p), flat.size,
+            out.ctypes.data_as(ctypes.c_void_p),
+            exc_idx.ctypes.data_as(ctypes.c_void_p),
+            exc_val.ctypes.data_as(ctypes.c_void_p), max_exc)
+        if ne < 0:
+            raise ValueError("fennec native: too many int8 exceptions")
+        return (out.reshape(arr.shape), exc_idx[:ne].copy(),
+                exc_val[:ne].copy())
 
     # ── PNG ─────────────────────────────────────────────────────────────
 

@@ -533,6 +533,27 @@ long fennec_jpeg_decode_scan(const uint8_t *data, long len, long pos,
   return r.pos;
 }
 
+// Pack int16 coefficients to int8 with an exception list for |v| > 127.
+// Returns the exception count, or -1 if it exceeds max_exc.
+long fennec_int16_to_int8_exc(const int16_t *in, long n, int8_t *out,
+                              int32_t *exc_idx, int16_t *exc_val,
+                              long max_exc) {
+  long ne = 0;
+  for (long i = 0; i < n; i++) {
+    int v = in[i];
+    if (v > 127 || v < -127) {
+      if (ne >= max_exc) return -1;
+      exc_idx[ne] = (int32_t)i;
+      exc_val[ne] = (int16_t)v;
+      ne++;
+      out[i] = 0;
+    } else {
+      out[i] = (int8_t)v;
+    }
+  }
+  return ne;
+}
+
 // ── PNG scanline filters ────────────────────────────────────────────────────
 
 static inline int paeth(int a, int b, int c) {

@@ -121,6 +121,51 @@ def batched_decode_resize_search_quantize(
     return q, s, f, packed, fits_int8
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def batched_decode_search_quantize_i8(packed_i8: jax.Array,
+                                      exc_idx: jax.Array,
+                                      exc_val: jax.Array,
+                                      in_qtabs: jax.Array,
+                                      targets: jax.Array,
+                                      h: int, w: int, in_subsample: bool,
+                                      out_subsample: bool):
+    """Compact-upload variant of batched_decode_search_quantize.
+
+    packed_i8: (B, NT, 64) int8 input coefficients (y|cb|cr concatenated),
+    with |v| > 127 entries zeroed and carried in (exc_idx, exc_val) as
+    flat indices into the whole tensor (~0.5% of coefficients for typical
+    photographic JPEGs) — halves the host→device transfer.
+    """
+    dense = packed_i8.astype(jnp.int32)
+    flat = dense.reshape(-1).at[exc_idx].set(
+        exc_val.astype(jnp.int32), mode="drop")
+    dense = flat.reshape(packed_i8.shape)
+
+    mult = 16 if in_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if in_subsample else ny
+    in_y = dense[:, :ny]
+    in_cb = dense[:, ny:ny + nc]
+    in_cr = dense[:, ny + nc:]
+
+    from ..engine.compress import (
+        decode_jpeg_image_device,
+        quality_search_quantize_device,
+    )
+
+    def one(y, cb, cr, qt, t):
+        img = decode_jpeg_image_device(
+            y.astype(jnp.float32), cb.astype(jnp.float32),
+            cr.astype(jnp.float32), qt.astype(jnp.float32),
+            h, w, in_subsample)
+        return quality_search_quantize_device(img, t, out_subsample)
+
+    q, s, f, packed = jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+    fits_int8 = jnp.all(jnp.abs(packed) <= 127)
+    return q, s, f, packed, fits_int8
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def batched_decode_search_emit(in_y: jax.Array, in_cb: jax.Array,
                                in_cr: jax.Array, in_qtabs: jax.Array,
