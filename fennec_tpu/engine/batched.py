@@ -210,19 +210,29 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             )
 
             cat = np.concatenate([ys, cbs, crs], axis=1)  # (B, NT, 64) i16
-            i8, exc_idx, exc_val = native.int16_to_int8_exc(cat)
-            pad = _next_pow2(max(int(exc_idx.size), 1))
-            if pad != exc_idx.size:
-                fill = np.full(pad - exc_idx.size, cat.size,
-                               dtype=np.int32)  # OOB → dropped on device
-                exc_idx = np.concatenate([exc_idx, fill])
-                exc_val = np.concatenate(
-                    [exc_val, np.zeros(pad - exc_val.size, np.int16)])
-            qs, ssims, found, packed, fits8 = \
-                batched_decode_search_quantize_i8(
-                    jnp.asarray(i8), jnp.asarray(exc_idx),
-                    jnp.asarray(exc_val), jnp.asarray(qts), targets,
-                    h, w, in_sub, subsample)
+            try:
+                i8, exc_idx, exc_val = native.int16_to_int8_exc(cat)
+            except ValueError:
+                i8 = None  # dense int16 path (too many large coefs)
+            if i8 is not None:
+                pad = _next_pow2(max(int(exc_idx.size), 1))
+                if pad != exc_idx.size:
+                    fill = np.full(pad - exc_idx.size, cat.size,
+                                   dtype=np.int32)  # OOB → dropped
+                    exc_idx = np.concatenate([exc_idx, fill])
+                    exc_val = np.concatenate(
+                        [exc_val, np.zeros(pad - exc_val.size, np.int16)])
+                qs, ssims, found, packed, fits8 = \
+                    batched_decode_search_quantize_i8(
+                        jnp.asarray(i8), jnp.asarray(exc_idx),
+                        jnp.asarray(exc_val), jnp.asarray(qts), targets,
+                        h, w, in_sub, subsample)
+            else:
+                qs, ssims, found, packed, fits8 = \
+                    batched_decode_search_quantize(
+                        jnp.asarray(ys), jnp.asarray(cbs),
+                        jnp.asarray(crs), jnp.asarray(qts), h, w,
+                        in_sub, subsample, targets=targets)
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
         f_host = np.asarray(found)

@@ -152,3 +152,49 @@ class TestDeviceEntropy:
                                         device_entropy=True))
         out = decode_image(fast[0].compressed_data)
         assert ssim_fast(orig, out) == pytest.approx(fast[0].ssim, abs=0.01)
+
+
+class TestInt8Exceptions:
+    def test_pack_roundtrip(self):
+        from fennec_tpu import native
+        rng = np.random.default_rng(1)
+        arr = rng.integers(-400, 400, size=(3, 7, 64)).astype(np.int16)
+        i8, idx, val = native.int16_to_int8_exc(arr)
+        restored = i8.astype(np.int32).ravel()
+        restored[idx] = val
+        np.testing.assert_array_equal(restored.reshape(arr.shape), arr)
+
+    def test_pack_no_exceptions(self):
+        from fennec_tpu import native
+        arr = np.arange(-100, 100, dtype=np.int16).reshape(2, -1)
+        i8, idx, val = native.int16_to_int8_exc(arr)
+        assert idx.size == 0
+        np.testing.assert_array_equal(i8.astype(np.int16), arr)
+
+    def test_python_fallback_matches_native(self):
+        import fennec_tpu.native as nat
+        if not nat.native_available():
+            pytest.skip("native unavailable")
+        rng = np.random.default_rng(2)
+        arr = rng.integers(-300, 300, size=(5, 64)).astype(np.int16)
+        lib_out = nat.int16_to_int8_exc(arr)
+        os_env = __import__("os").environ
+        os_env["FENNEC_NO_NATIVE"] = "1"
+        try:
+            nat._lib, nat._lib_tried = None, True
+            py_out = nat.int16_to_int8_exc(arr)
+        finally:
+            del os_env["FENNEC_NO_NATIVE"]
+            nat._lib_tried = False
+        np.testing.assert_array_equal(lib_out[0], py_out[0])
+        np.testing.assert_array_equal(lib_out[1], py_out[1])
+        np.testing.assert_array_equal(lib_out[2], py_out[2])
+
+    def test_high_quality_noisy_inputs_still_work(self):
+        # Q99 noise → many |coef| > 127; must degrade gracefully.
+        datas = [encode_jpeg(make_noise_image(48, 48, seed=s), 99)
+                 for s in range(2)]
+        out = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG))
+        assert out is not None
+        assert all(r.compressed_size > 0 for r in out)
