@@ -141,6 +141,52 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     pending = []
     use_device_entropy = (opts.device_entropy and rwh is None)
+    inflight = []
+
+    def _collect(entry):
+        """Pull a dispatched chunk's results and queue host encodes."""
+        from ..parallel.batched import packed_to_int8, split_packed
+
+        chunk_ids, (qs, ssims, found, packed, fits8) = entry
+        q_host = np.asarray(qs)
+        s_host = np.asarray(ssims)
+        f_host = np.asarray(found)
+        if bool(fits8):
+            packed_h = np.asarray(packed_to_int8(packed))
+        else:
+            packed_h = np.asarray(packed)
+        qy_h, qcb_h, qcr_h, ph, pw = split_packed(packed_h, dst_h, dst_w,
+                                                  subsample)
+
+        def encode_one(i: int, j: int) -> None:
+            res = results[i]
+            quality = int(q_host[j])
+            ssim_val = float(s_host[j])
+            if not bool(f_host[j]):
+                quality, ssim_val = 100, 1.0
+            if opts.optimize_huffman:
+                scan, dht = encode_scan_optimized(
+                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
+                    np.asarray(qcr_h[j]), ph, pw, subsample)
+                data = assemble_jpeg(dst_w, dst_h,
+                                     all_quality_tables()[quality],
+                                     scan, subsample, dht=dht)
+            else:
+                scan = encode_scan_from_quantized(
+                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
+                    np.asarray(qcr_h[j]), ph, pw, subsample)
+                data = assemble_jpeg(dst_w, dst_h,
+                                     all_quality_tables()[quality],
+                                     scan, subsample)
+            res.jpeg_quality = quality
+            res.ssim = ssim_val
+            res.compressed_data = data
+            res.compressed_size = len(data)
+            res.compute_stats()
+
+        for j, i in enumerate(chunk_ids):
+            pending.append(pool.submit(encode_one, i, j))
+
     for start in range(0, n, BATCH_CHUNK):
         if ctx is not None:
             ctx.raise_if_done()
@@ -195,12 +241,12 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 pending.append(pool.submit(emit_one, i, j))
             continue
 
+        # ── dispatch (async): device call enqueued, handles kept ──
         if rwh is not None:
-            qs, ssims, found, packed, fits8 = \
-                batched_decode_resize_search_quantize(
-                    jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
-                    jnp.asarray(qts), h, w, in_sub, subsample,
-                    resize_wh=rwh, resize_wv=rwv, targets=targets)
+            handles = batched_decode_resize_search_quantize(
+                jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+                jnp.asarray(qts), h, w, in_sub, subsample,
+                resize_wh=rwh, resize_wv=rwv, targets=targets)
         else:
             # Compact upload: int8 + sparse exceptions (~0.5% of coefs),
             # halving host→device bytes.
@@ -222,56 +268,24 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     exc_idx = np.concatenate([exc_idx, fill])
                     exc_val = np.concatenate(
                         [exc_val, np.zeros(pad - exc_val.size, np.int16)])
-                qs, ssims, found, packed, fits8 = \
-                    batched_decode_search_quantize_i8(
-                        jnp.asarray(i8), jnp.asarray(exc_idx),
-                        jnp.asarray(exc_val), jnp.asarray(qts), targets,
-                        h, w, in_sub, subsample)
+                handles = batched_decode_search_quantize_i8(
+                    jnp.asarray(i8), jnp.asarray(exc_idx),
+                    jnp.asarray(exc_val), jnp.asarray(qts), targets,
+                    h, w, in_sub, subsample)
             else:
-                qs, ssims, found, packed, fits8 = \
-                    batched_decode_search_quantize(
-                        jnp.asarray(ys), jnp.asarray(cbs),
-                        jnp.asarray(crs), jnp.asarray(qts), h, w,
-                        in_sub, subsample, targets=targets)
-        q_host = np.asarray(qs)
-        s_host = np.asarray(ssims)
-        f_host = np.asarray(found)
-        if bool(fits8):
-            from ..parallel.batched import packed_to_int8
-            packed_h = np.asarray(packed_to_int8(packed))
-        else:
-            packed_h = np.asarray(packed)
-        from ..parallel.batched import split_packed
-        qy_h, qcb_h, qcr_h, ph, pw = split_packed(packed_h, dst_h, dst_w,
-                                                  subsample)
+                handles = batched_decode_search_quantize(
+                    jnp.asarray(ys), jnp.asarray(cbs),
+                    jnp.asarray(crs), jnp.asarray(qts), h, w,
+                    in_sub, subsample, targets=targets)
 
-        def encode_one(i: int, j: int) -> None:
-            res = results[i]
-            quality = int(q_host[j])
-            ssim_val = float(s_host[j])
-            if not bool(f_host[j]):
-                quality, ssim_val = 100, 1.0
-            if opts.optimize_huffman:
-                scan, dht = encode_scan_optimized(
-                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
-                    np.asarray(qcr_h[j]), ph, pw, subsample)
-                data = assemble_jpeg(dst_w, dst_h, all_quality_tables()[quality],
-                                     scan, subsample, dht=dht)
-            else:
-                scan = encode_scan_from_quantized(
-                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
-                    np.asarray(qcr_h[j]), ph, pw, subsample)
-                data = assemble_jpeg(dst_w, dst_h, all_quality_tables()[quality],
-                                     scan, subsample)
-            res.jpeg_quality = quality
-            res.ssim = ssim_val
-            res.compressed_data = data
-            res.compressed_size = len(data)
-            res.compute_stats()
+        # Pipeline: keep up to two chunks in flight; collect the oldest
+        # while the device works on the newest.
+        inflight.append((chunk, handles))
+        if len(inflight) >= 2:
+            _collect(inflight.pop(0))
 
-        for j, i in enumerate(chunk):
-            pending.append(pool.submit(encode_one, i, j))
-
+    while inflight:
+        _collect(inflight.pop(0))
     for fut in pending:
         fut.result()
     pool.shutdown()
