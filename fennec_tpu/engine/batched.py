@@ -350,6 +350,51 @@ def compress_images_batched(ctx: Optional[Context],
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     subsample = bool(opts.subsample)
     pending = []
+    inflight = []
+
+    def _collect(entry):
+        from ..parallel.batched import packed_to_int8, split_packed
+
+        chunk_ids, (h, w), (qs, ssims, found, packed, fits8) = entry
+        q_host = np.asarray(qs)
+        s_host = np.asarray(ssims)
+        f_host = np.asarray(found)
+        if bool(fits8):
+            packed_h = np.asarray(packed_to_int8(packed))
+        else:
+            packed_h = np.asarray(packed)
+        qy_h, qcb_h, qcr_h, ph, pw = split_packed(packed_h, h, w,
+                                                  subsample)
+
+        def encode_one(i: int, j: int) -> None:
+            # Pure host work: Huffman-code the device-quantized blocks.
+            res = results[i]
+            quality = int(q_host[j])
+            ssim_val = float(s_host[j])
+            if not bool(f_host[j]):
+                quality, ssim_val = 100, 1.0  # compress.go fallback
+            if opts.optimize_huffman:
+                scan, dht = encode_scan_optimized(
+                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
+                    np.asarray(qcr_h[j]), ph, pw, subsample)
+                data = assemble_jpeg(
+                    w, h, all_quality_tables()[quality], scan,
+                    subsample, dht=dht)
+            else:
+                scan = encode_scan_from_quantized(
+                    np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
+                    np.asarray(qcr_h[j]), ph, pw, subsample)
+                data = assemble_jpeg(
+                    w, h, all_quality_tables()[quality], scan,
+                    subsample)
+            res.jpeg_quality = quality
+            res.ssim = ssim_val
+            res.compressed_data = data
+            res.compressed_size = len(data)
+            res.compute_stats()
+
+        for j, i in enumerate(chunk_ids):
+            pending.append(pool.submit(encode_one, i, j))
 
     for (h, w), idxs in jpeg_buckets.items():
         for start in range(0, len(idxs), BATCH_CHUNK):
@@ -366,50 +411,16 @@ def compress_images_batched(ctx: Optional[Context],
             for j in range(b, padded):
                 stack[j] = stack[0]
             targets = jnp.full((padded,), target, dtype=jnp.float32)
-            qs, ssims, found, packed, fits8 = batched_search_and_quantize(
+            handles = batched_search_and_quantize(
                 jnp.asarray(stack), targets, subsample)
-            q_host = np.asarray(qs)
-            s_host = np.asarray(ssims)
-            f_host = np.asarray(found)
-            if bool(fits8):
-                from ..parallel.batched import packed_to_int8
-                packed_h = np.asarray(packed_to_int8(packed))
-            else:
-                packed_h = np.asarray(packed)
-            from ..parallel.batched import split_packed
-            qy_h, qcb_h, qcr_h, ph, pw = split_packed(packed_h, h, w,
-                                                      subsample)
+            # Two chunks in flight: collect the oldest while the device
+            # works on the newest.
+            inflight.append((chunk, (h, w), handles))
+            if len(inflight) >= 2:
+                _collect(inflight.pop(0))
 
-            def encode_one(i: int, j: int) -> None:
-                # Pure host work: Huffman-code the device-quantized blocks.
-                res = results[i]
-                quality = int(q_host[j])
-                ssim_val = float(s_host[j])
-                if not bool(f_host[j]):
-                    quality, ssim_val = 100, 1.0  # compress.go fallback
-                if opts.optimize_huffman:
-                    scan, dht = encode_scan_optimized(
-                        np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
-                        np.asarray(qcr_h[j]), ph, pw, subsample)
-                    data = assemble_jpeg(
-                        w, h, all_quality_tables()[quality], scan,
-                        subsample, dht=dht)
-                else:
-                    scan = encode_scan_from_quantized(
-                        np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
-                        np.asarray(qcr_h[j]), ph, pw, subsample)
-                    data = assemble_jpeg(
-                        w, h, all_quality_tables()[quality], scan,
-                        subsample)
-                res.jpeg_quality = quality
-                res.ssim = ssim_val
-                res.compressed_data = data
-                res.compressed_size = len(data)
-                res.compute_stats()
-
-            for j, i in enumerate(chunk):
-                pending.append(pool.submit(encode_one, i, j))
-
+    while inflight:
+        _collect(inflight.pop(0))
     for fut in pending:
         fut.result()
     pool.shutdown()
