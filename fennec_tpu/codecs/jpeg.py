@@ -410,7 +410,10 @@ def decode_jpeg_to_coefs(data: bytes):
     """Decode a baseline JPEG to quantized coefficients + metadata.
 
     Returns (hdr, coefs) where coefs[i] is an (nblocks, 64) int16 array in
-    natural order for scan component i; block grids tile the MCU lattice.
+    natural order for component i of the frame; block grids tile the MCU
+    lattice.  Handles both the common single interleaved scan (C++ fast
+    path) and multi-scan non-interleaved files (one scan per component,
+    Python path — Go's stdlib also supports these).
     """
     from .. import native
 
@@ -419,6 +422,9 @@ def decode_jpeg_to_coefs(data: bytes):
     vmax = max(c["v"] for c in hdr.comps)
     mcus_x = -(-hdr.width // (8 * hmax))
     mcus_y = -(-hdr.height // (8 * vmax))
+    if len(hdr.scan_comps) != hdr.ncomp:
+        return _decode_multiscan_to_coefs(data, hdr, mcus_x, mcus_y,
+                                          hmax, vmax)
     specs = []
     for sc in hdr.scan_comps:
         c = hdr.comps[sc["comp"]]
@@ -428,6 +434,86 @@ def decode_jpeg_to_coefs(data: bytes):
     coefs = native.jpeg_decode_scan(data, hdr.scan_offset, specs,
                                     hdr.restart_interval)
     return hdr, coefs
+
+
+def _decode_multiscan_to_coefs(data: bytes, hdr: JpegHeader,
+                               mcus_x: int, mcus_y: int,
+                               hmax: int, vmax: int):
+    """Baseline multi-scan decode: one (or a subset of) component(s) per
+    SOS.  Non-interleaved scans cover only the component's own
+    ceil(dim/8) block grid (T.81 A.2.2); results land in the MCU-padded
+    grids the device reconstruction expects."""
+    out = []
+    for c in hdr.comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        out.append(np.zeros((bw * bh, 64), dtype=np.int16))
+
+    pos = hdr.scan_offset
+    scan_comps = hdr.scan_comps
+    while True:
+        if len(scan_comps) == 1:
+            sc = scan_comps[0]
+            c = hdr.comps[sc["comp"]]
+            comp_w = -(-hdr.width * c["h"] // hmax)
+            comp_h = -(-hdr.height * c["v"] // vmax)
+            nbw, nbh = -(-comp_w // 8), -(-comp_h // 8)
+            spec = entropy_py.DecodeComponentSpec(
+                nbw, nbh, 1, 1, hdr.dc_tables[sc["td"]],
+                hdr.ac_tables[sc["ta"]])
+            blocks, pos = entropy_py.decode_scan(
+                data, pos, [spec], hdr.restart_interval)
+            # Copy the component grid rows into the MCU-padded grid.
+            bw = mcus_x * c["h"]
+            dst = out[sc["comp"]].reshape(-1, 64)
+            src = blocks[0]
+            for by in range(nbh):
+                dst[by * bw:by * bw + nbw] = src[by * nbw:(by + 1) * nbw]
+        else:
+            specs = []
+            for sc in scan_comps:
+                c = hdr.comps[sc["comp"]]
+                specs.append(entropy_py.DecodeComponentSpec(
+                    mcus_x * c["h"], mcus_y * c["v"], c["h"], c["v"],
+                    hdr.dc_tables[sc["td"]], hdr.ac_tables[sc["ta"]]))
+            blocks, pos = entropy_py.decode_scan(
+                data, pos, specs, hdr.restart_interval)
+            for sc, blk in zip(scan_comps, blocks):
+                out[sc["comp"]][:] = blk
+
+        # Advance to the next SOS (tables may appear between scans).
+        scan_comps = None
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF or data[pos + 1] == 0x00:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+            seg = data[pos + 4:pos + 2 + seg_len]
+            if marker == 0xC4:
+                _parse_dht(seg, hdr)
+            elif marker == 0xDB:
+                _parse_dqt(seg, hdr)
+            elif marker == 0xDD:
+                hdr.restart_interval = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:
+                hdr.scan_comps = []
+                _parse_sos(seg, hdr)
+                scan_comps = hdr.scan_comps
+                pos = pos + 2 + seg_len
+                break
+            pos += 2 + seg_len
+        if scan_comps is None:
+            break
+    # Downstream consumers iterate hdr.scan_comps zipped with coefs;
+    # normalize to frame order covering every component.
+    hdr.scan_comps = [{"comp": i, "td": 0, "ta": 0}
+                      for i in range(hdr.ncomp)]
+    return hdr, out
 
 
 def is_progressive_jpeg(data: bytes) -> bool:
