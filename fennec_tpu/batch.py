@@ -170,32 +170,53 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
     live = [i for i in range(n)
             if results[i].err is None and not skipped[i]]
     if live:
+        from .engine.batched import qualify_jpeg_bytes
+
         sub_opts = dataclasses.replace(opts, auto_orient=False)
         try:
-            compressed = None
-            # All-device JPEG→JPEG fast path: applicable when orientation
-            # is moot and the caller asked for JPEG output without resize.
-            upright = all(orients[i] <= int(Orientation.NORMAL)
-                          for i in live) or not opts.auto_orient
-            if upright:
-                compressed = compress_jpeg_bytes_batched(
-                    ctx, [raw[i] for i in live], sub_opts)
-            if os.environ.get("FENNEC_DEBUG_BATCH"):
-                path = "coef-fastpath" if compressed is not None \
-                    else "pixel"
-                print(f"fennec: fused batch via {path} "
-                      f"(n={len(live)})", flush=True)
-            if compressed is None:
-                decoded = []
+            compressed_by_index = {}
+            pixel_items = list(live)
+            # All-device JPEG→JPEG fast path, grouped by geometry: every
+            # upright qualifying JPEG goes through the coefficient path;
+            # the rest (PNGs, rotated, odd layouts) take the pixel path.
+            if opts.format == Format.JPEG and opts.target_size == 0:
+                groups = {}
+                rest = []
                 for i in live:
+                    upright = (orients[i] <= int(Orientation.NORMAL)
+                               or not opts.auto_orient)
+                    key = qualify_jpeg_bytes(raw[i]) if upright else None
+                    if key is not None:
+                        groups.setdefault(key, []).append(i)
+                    else:
+                        rest.append(i)
+                for key, idxs in groups.items():
+                    rs = compress_jpeg_bytes_batched(
+                        ctx, [raw[i] for i in idxs], sub_opts)
+                    if rs is None:
+                        rest.extend(idxs)
+                        continue
+                    for i, r in zip(idxs, rs):
+                        compressed_by_index[i] = r
+                pixel_items = rest
+            if os.environ.get("FENNEC_DEBUG_BATCH"):
+                print(f"fennec: fused batch coef-fastpath="
+                      f"{len(compressed_by_index)} pixel="
+                      f"{len(pixel_items)}", flush=True)
+            if pixel_items:
+                decoded = []
+                for i in pixel_items:
                     img = decode_image(raw[i])
                     if opts.auto_orient and \
                             orients[i] > int(Orientation.NORMAL):
                         img = apply_orientation(
                             to_nrgba(img), Orientation(orients[i]))
                     decoded.append(img)
-                compressed = compress_images_batched(
+                pixel_results = compress_images_batched(
                     ctx, decoded, sub_opts, workers=batch_opts.workers)
+                for i, r in zip(pixel_items, pixel_results):
+                    compressed_by_index[i] = r
+            compressed = [compressed_by_index[i] for i in live]
         except Exception as e:
             if os.environ.get("FENNEC_DEBUG_BATCH"):
                 import traceback

@@ -48,6 +48,33 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def qualify_jpeg_bytes(data: bytes):
+    """Fast-path qualification key for one JPEG: (w, h, in_subsample), or
+    None when the coefficient path can't handle it (non-JPEG, progressive,
+    unusual sampling, per-component chroma tables, multi-scan)."""
+    from ..codecs import sniff_format
+    from ..codecs.jpeg import is_progressive_jpeg, parse_jpeg
+
+    if sniff_format(data) != "jpeg" or is_progressive_jpeg(data):
+        return None
+    try:
+        hdr = parse_jpeg(data)
+    except Exception:
+        return None
+    if hdr.ncomp != 3 or len(hdr.scan_comps) != 3:
+        return None
+    samp = [(c["h"], c["v"]) for c in hdr.comps]
+    if samp == [(2, 2), (1, 1), (1, 1)]:
+        in_sub = True
+    elif samp == [(1, 1), (1, 1), (1, 1)]:
+        in_sub = False
+    else:
+        return None
+    if hdr.comps[1]["tq"] != hdr.comps[2]["tq"]:
+        return None
+    return (hdr.width, hdr.height, in_sub)
+
+
 def compress_jpeg_bytes_batched(ctx: Optional[Context],
                                 datas: List[bytes],
                                 opts: Options) -> Optional[List[Result]]:

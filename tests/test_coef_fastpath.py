@@ -198,3 +198,48 @@ class TestInt8Exceptions:
             None, datas, fennec.Options(format=fennec.JPEG))
         assert out is not None
         assert all(r.compressed_size > 0 for r in out)
+
+
+class TestMixedGeometryBatch:
+    def test_mixed_sizes_grouped_through_fast_path(self, tmp_path):
+        """Mixed-dimension JPEG folders: each geometry group rides the
+        coefficient path; results match the per-file pool."""
+        sizes = [(64, 48), (48, 48), (64, 48), (32, 32), (48, 48)]
+        paths = []
+        for i, (w, h) in enumerate(sizes):
+            p = tmp_path / f"m{i}.jpg"
+            p.write_bytes(jpeg_bytes(w, h, i))
+            paths.append(str(p))
+        opts = fennec.Options(format=fennec.JPEG)
+        fused = fennec.compress_batch(
+            None,
+            [fennec.BatchItem(src=p, dst=str(tmp_path / f"fo{i}.jpg"))
+             for i, p in enumerate(paths)],
+            fennec.BatchOptions(fused=True, default_opts=opts))
+        pooled = fennec.compress_batch(
+            None,
+            [fennec.BatchItem(src=p, dst=str(tmp_path / f"po{i}.jpg"))
+             for i, p in enumerate(paths)],
+            fennec.BatchOptions(fused=False, default_opts=opts))
+        for (w, h), a, b in zip(sizes, fused, pooled):
+            assert a.err is None and b.err is None
+            assert a.result.final_dimensions == (w, h)
+            assert a.result.jpeg_quality == b.result.jpeg_quality
+            assert abs(a.result.compressed_size
+                       - b.result.compressed_size) <= 16
+
+    def test_mixed_jpeg_and_png_sources(self, tmp_path):
+        from fennec_tpu.codecs.png import encode_png_rgba
+        from conftest import make_noise_image
+        jp = tmp_path / "a.jpg"
+        jp.write_bytes(jpeg_bytes(48, 48, 1))
+        pp = tmp_path / "b.png"
+        pp.write_bytes(encode_png_rgba(make_noise_image(48, 48, seed=2)))
+        res = fennec.compress_batch(
+            None,
+            [fennec.BatchItem(src=str(jp), dst=str(tmp_path / "a.out.jpg")),
+             fennec.BatchItem(src=str(pp), dst=str(tmp_path / "b.out.jpg"))],
+            fennec.BatchOptions(fused=True, default_opts=fennec.Options(
+                format=fennec.JPEG)))
+        assert all(r.err is None for r in res)
+        assert all(r.result.compressed_size > 0 for r in res)
