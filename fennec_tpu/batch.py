@@ -22,7 +22,7 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, List, Optional
 
 from .api import compress_file
-from .types import Context, Options, Result, human_bytes
+from .types import Context, Format, Options, Result, human_bytes
 
 
 @dataclasses.dataclass
@@ -218,11 +218,15 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                     compressed_by_index[i] = r
             compressed = [compressed_by_index[i] for i in live]
         except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"fennec: fused batch path failed ({e!r}); falling back "
+                f"to the per-file pool (set FENNEC_DEBUG_BATCH=1 for a "
+                f"traceback)", RuntimeWarning)
             if os.environ.get("FENNEC_DEBUG_BATCH"):
                 import traceback
 
-                print(f"fennec: fused path failed ({e!r}); falling back",
-                      flush=True)
                 traceback.print_exc()
             # Fall back to the per-file pool on any fused-path failure.
             fallback = dataclasses.replace(batch_opts, fused=False)

@@ -243,3 +243,36 @@ class TestMixedGeometryBatch:
                 format=fennec.JPEG)))
         assert all(r.err is None for r in res)
         assert all(r.result.compressed_size > 0 for r in res)
+
+
+class TestFastPathActuallyTaken:
+    def test_file_batch_routes_through_coef_path(self, tmp_path,
+                                                 monkeypatch):
+        """Guard against silent fallback: the fused file batch must invoke
+        the coefficient path (a NameError once degraded it to the slow
+        pool while all result-based tests still passed)."""
+        import fennec_tpu.engine.batched as eb
+
+        calls = []
+        orig = eb.compress_jpeg_bytes_batched
+
+        def spy(ctx, datas, opts):
+            out = orig(ctx, datas, opts)
+            calls.append((len(datas), out is not None))
+            return out
+
+        monkeypatch.setattr(eb, "compress_jpeg_bytes_batched", spy)
+        paths = []
+        for i in range(3):
+            p = tmp_path / f"s{i}.jpg"
+            p.write_bytes(jpeg_bytes(48, 48, i))
+            paths.append(str(p))
+        items = [fennec.BatchItem(src=p, dst=str(tmp_path / f"d{i}.jpg"))
+                 for i, p in enumerate(paths)]
+        res = fennec.compress_batch(
+            None, items, fennec.BatchOptions(
+                fused=True,
+                default_opts=fennec.Options(format=fennec.JPEG)))
+        assert all(r.err is None for r in res)
+        assert calls == [(3, True)], \
+            f"coef fast path not taken or failed: {calls}"
