@@ -146,14 +146,40 @@ class ProgressiveDecoder:
         ss, se, a = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
         ah, al = a >> 4, a & 0x0F
 
-        r = BitReader(self.data, pos)
-        self.eobrun = 0
-        if ss == 0:
-            self._dc_scan(r, scomps, ah, al)
-        else:
-            self._ac_scan(r, scomps[0], ss, se, ah, al)
-        # Resync to the next marker.
-        p = r.pos
+        end = self._scan_native(scomps, ss, se, ah, al, pos)
+        if end is None:
+            r = BitReader(self.data, pos)
+            self.eobrun = 0
+            if ss == 0:
+                self._dc_scan(r, scomps, ah, al)
+            else:
+                self._ac_scan(r, scomps[0], ss, se, ah, al)
+            end = r.pos
+        return self._resync(end)
+
+    def _scan_native(self, scomps, ss, se, ah, al, pos):
+        """C++ fast path for one scan; None → use the Python decoder."""
+        from .. import native
+
+        try:
+            dc_specs = None
+            ac_spec = None
+            if ss == 0 and ah == 0:
+                dc_specs = [self.dc_specs[sc["td"]] for sc in scomps]
+            if ss > 0:
+                ac_spec = self.ac_specs[scomps[0]["ta"]]
+        except KeyError:
+            return None  # missing table: let the Python path raise
+        cs = [self.comps[sc["comp"]] for sc in scomps]
+        return native.jpeg_decode_progressive_scan(
+            self.data, pos, [self.coefs[sc["comp"]] for sc in scomps],
+            [c["bw"] for c in cs], [c["h"] for c in cs],
+            [c["v"] for c in cs], self.mcus_x, self.mcus_y,
+            [c["nbw"] for c in cs], [c["nbh"] for c in cs],
+            ss, se, ah, al, dc_specs, ac_spec, self.restart_interval)
+
+    def _resync(self, p: int) -> int:
+        """Advance from byte offset p to the next real marker."""
         while p + 1 < len(self.data):
             if self.data[p] == 0xFF and self.data[p + 1] != 0x00 and \
                     not (0xD0 <= self.data[p + 1] <= 0xD7):

@@ -104,6 +104,30 @@ def jpeg_encode_scan_custom(comps: List["entropy_py.ComponentSpec"],
     return entropy_py.encode_scan(comps, restart_interval)
 
 
+def jpeg_decode_progressive_scan(data: bytes, pos: int,
+                                 coefs: List[np.ndarray],
+                                 bw, hs, vs, mcus_x: int, mcus_y: int,
+                                 nbw, nbh, ss: int, se: int,
+                                 ah: int, al: int, dc_specs, ac_spec,
+                                 restart_interval: int) -> Optional[int]:
+    """Apply one progressive (SOF2) scan in place via the C++ decoder.
+
+    Returns the byte offset past the scan, or None when the native library
+    is unavailable or rejected the data — `coefs` are guaranteed untouched
+    in that case, so the caller can rerun the pure-Python scan decoder
+    (codecs/progressive.py) from the same state.
+    """
+    lib = _load_native()
+    if lib is None:
+        return None
+    try:
+        return lib.decode_progressive_scan(
+            data, pos, coefs, bw, hs, vs, mcus_x, mcus_y, nbw, nbh,
+            ss, se, ah, al, dc_specs, ac_spec, restart_interval)
+    except Exception:
+        return None
+
+
 def int16_to_int8_exc(arr: np.ndarray):
     """int16 → (int8, exception idx/val) split for compact device uploads."""
     lib = _load_native()

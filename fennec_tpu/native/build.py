@@ -76,6 +76,19 @@ class NativeLib:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
             ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.fennec_jpeg_decode_progressive_scan.restype = ctypes.c_long
+        lib.fennec_jpeg_decode_progressive_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int,
+        ]
         lib.fennec_int16_to_int8_exc.restype = ctypes.c_long
         lib.fennec_int16_to_int8_exc.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
@@ -206,6 +219,63 @@ class NativeLib:
         if rc < 0:
             raise ValueError("fennec native: corrupt JPEG scan")
         return outs
+
+    def decode_progressive_scan(self, data: bytes, pos: int,
+                                coefs: List[np.ndarray],
+                                bw: List[int], hs: List[int], vs: List[int],
+                                mcus_x: int, mcus_y: int,
+                                nbw: List[int], nbh: List[int],
+                                ss: int, se: int, ah: int, al: int,
+                                dc_specs, ac_spec,
+                                restart_interval: int) -> int:
+        """Apply one progressive scan in place to the per-scan-component
+        int32 coefficient arrays.  Returns the byte offset past the scan.
+        Raises ValueError on corrupt data WITHOUT modifying `coefs` (a
+        snapshot is restored), so callers can retry with the Python path."""
+        n = len(coefs)
+        for c in coefs:
+            assert c.dtype == np.int32 and c.flags.c_contiguous
+        ptrs = (ctypes.c_void_p * n)(
+            *[c.ctypes.data_as(ctypes.c_void_p).value for c in coefs])
+        bw_a = (ctypes.c_int * n)(*bw)
+        hs_a = (ctypes.c_int * n)(*hs)
+        vs_a = (ctypes.c_int * n)(*vs)
+        nbw_a = (ctypes.c_int * n)(*nbw)
+        nbh_a = (ctypes.c_int * n)(*nbh)
+        if ss == 0 and ah == 0:
+            dc_bits = b"".join(bytes(s[0]) for s in dc_specs)
+            dc_vals_list = [bytes(s[1]) for s in dc_specs]
+            dc_vals = b"".join(dc_vals_list)
+            dc_nvals = (ctypes.c_int * n)(*[len(v) for v in dc_vals_list])
+            offs, off = [], 0
+            for v in dc_vals_list:
+                offs.append(off)
+                off += len(v)
+            dc_voff = (ctypes.c_int * n)(*offs)
+        else:
+            dc_bits = bytes(16 * n)
+            dc_vals = b""
+            dc_nvals = (ctypes.c_int * n)(*([0] * n))
+            dc_voff = (ctypes.c_int * n)(*([0] * n))
+        if ss > 0:
+            ac_bits = bytes(ac_spec[0])
+            ac_vals = bytes(ac_spec[1])
+        else:
+            ac_bits, ac_vals = bytes(16), b""
+
+        snapshot = [c.copy() for c in coefs]
+        rc = self._lib.fennec_jpeg_decode_progressive_scan(
+            data, len(data), pos, n,
+            ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+            bw_a, hs_a, vs_a, mcus_x, mcus_y, nbw_a, nbh_a,
+            ss, se, ah, al,
+            dc_bits, dc_vals, dc_nvals, dc_voff,
+            ac_bits, ac_vals, len(ac_vals), restart_interval)
+        if rc < 0:
+            for c, snap in zip(coefs, snapshot):
+                np.copyto(c, snap)
+            raise ValueError("fennec native: corrupt progressive scan")
+        return int(rc)
 
     def int16_to_int8_exc(self, arr: np.ndarray):
         """Clip int16 → int8 with an exception list for |v| > 127.

@@ -298,6 +298,21 @@ struct BitReader {
     }
     bad = true;
   }
+
+  // Permissive variant used by the progressive decoder: discard buffered
+  // bits and consume the next marker, whatever it is (mirrors the Python
+  // BitReader.align_to_marker / ProgressiveDecoder._restart semantics).
+  void align_any() {
+    acc = 0;
+    nbits = 0;
+    while (pos + 1 < len) {
+      if (data[pos] == 0xFF && data[pos + 1] != 0x00) {
+        pos += 2;
+        return;
+      }
+      pos++;
+    }
+  }
 };
 
 inline int extend(int v, int size) {
@@ -525,6 +540,181 @@ long fennec_jpeg_decode_scan(const uint8_t *data, long len, long pos,
             }
             if (r.bad) return -1;
           }
+        }
+      }
+      mcu_count++;
+    }
+  }
+  return r.pos;
+}
+
+// Decode one progressive (SOF2) scan — spectral selection + successive
+// approximation per ITU T.81 G.2.  Behaviour mirrors the Python oracle in
+// codecs/progressive.py bit for bit (including permissive restart-marker
+// resync), so the two paths are interchangeable.
+//
+// coef[i]: int32 natural-order blocks for scan component i, row stride
+// bw[i] (the interleaved grid width); accumulated across scans, updated in
+// place.  DC scans (ss == 0) may interleave ns components over the
+// mcus_x * mcus_y grid; a single-component scan walks its own
+// non-interleaved nbw[0] * nbh[0] grid.  AC scans always have ns == 1.
+// Huffman specs: per-scan-component DC (used only when ss==0 && ah==0);
+// one AC table (used only when ss>0).
+//
+// Returns the reader's byte offset after the scan (the caller resyncs to
+// the next marker from there), or -1 on corrupt data — the caller then
+// restores the coefficient snapshot and falls back to the Python decoder.
+long fennec_jpeg_decode_progressive_scan(
+    const uint8_t *data, long len, long pos, int ns, int32_t **coef,
+    const int *bw, const int *hs, const int *vs, int mcus_x, int mcus_y,
+    const int *nbw, const int *nbh, int ss, int se, int ah, int al,
+    const uint8_t *dc_bits, const uint8_t *dc_vals, const int *dc_nvals,
+    const int *dc_voff, const uint8_t *ac_bits, const uint8_t *ac_vals,
+    int ac_nvals, int restart_interval) {
+  if (ns < 1 || ns > 4 || ss < 0 || se > 63 || al < 0 || al > 13) return -1;
+  BitReader r(data, len, pos);
+
+  if (ss == 0) {
+    // ── DC scan ──
+    DecTable dct[4];
+    if (ah == 0) {
+      for (int c = 0; c < ns; c++) {
+        dct[c].build(dc_bits + c * 16, dc_vals + dc_voff[c], dc_nvals[c]);
+      }
+    }
+    int pred[4] = {0, 0, 0, 0};
+    bool interleaved = ns > 1;
+    int gx = interleaved ? mcus_x : nbw[0];
+    int gy = interleaved ? mcus_y : nbh[0];
+    int mcu_count = 0;
+    for (int my = 0; my < gy; my++) {
+      for (int mx = 0; mx < gx; mx++) {
+        if (restart_interval && mcu_count == restart_interval) {
+          r.align_any();
+          pred[0] = pred[1] = pred[2] = pred[3] = 0;
+          mcu_count = 0;
+        }
+        for (int si = 0; si < ns; si++) {
+          int rv = interleaved ? vs[si] : 1;
+          int rh = interleaved ? hs[si] : 1;
+          for (int dy = 0; dy < rv; dy++) {
+            for (int dx = 0; dx < rh; dx++) {
+              long by = interleaved ? (long)my * vs[si] + dy : my;
+              long bx = interleaved ? (long)mx * hs[si] + dx : mx;
+              int32_t *blk = coef[si] + (by * bw[si] + bx) * 64;
+              if (ah == 0) {
+                int size = r.decode(dct[si]);
+                if (r.bad || size > 16) return -1;
+                int diff = extend((int)r.read_bits(size), size);
+                pred[si] += diff;
+                blk[0] = pred[si] * (1 << al);
+              } else {
+                if (r.read_bits(1)) blk[0] |= (1 << al);
+              }
+            }
+          }
+        }
+        mcu_count++;
+      }
+    }
+    return r.pos;
+  }
+
+  // ── AC scan (always single component, non-interleaved grid) ──
+  if (ns != 1) return -1;
+  DecTable act;
+  act.build(ac_bits, ac_vals, ac_nvals);
+  const int stride = bw[0];
+  const int gw = nbw[0], gh = nbh[0];
+  const int plus1 = 1 << al;
+  const int minus1 = -(1 << al);
+  long eobrun = 0;
+  int mcu_count = 0;
+  for (int by = 0; by < gh; by++) {
+    for (int bx = 0; bx < gw; bx++) {
+      if (restart_interval && mcu_count == restart_interval) {
+        r.align_any();
+        eobrun = 0;
+        mcu_count = 0;
+      }
+      int32_t *blk = coef[0] + ((long)by * stride + bx) * 64;
+      if (ah == 0) {
+        // First AC pass for this band.
+        if (eobrun > 0) {
+          eobrun--;
+        } else {
+          int k = ss;
+          while (k <= se) {
+            int rs = r.decode(act);
+            if (r.bad) return -1;
+            int run = rs >> 4, size = rs & 0x0F;
+            if (size == 0) {
+              if (run < 15) {
+                eobrun = (1L << run) - 1;
+                if (run) eobrun += r.read_bits(run);
+                break;
+              }
+              k += 16;  // ZRL
+              continue;
+            }
+            k += run;
+            if (k > se) break;
+            blk[kZigzag[k]] =
+                extend((int)r.read_bits(size), size) * (1 << al);
+            k++;
+          }
+        }
+      } else {
+        // AC refinement pass.
+        int k = ss;
+        if (eobrun <= 0) {
+          while (k <= se) {
+            int rs = r.decode(act);
+            if (r.bad) return -1;
+            int run = rs >> 4, size = rs & 0x0F;
+            int value = 0;
+            if (size == 0) {
+              if (run < 15) {
+                eobrun = (1L << run);
+                if (run) eobrun += r.read_bits(run);
+                break;
+              }
+              // ZRL: skip 16 zero-history coefficients.
+            } else {
+              value = r.read_bits(1) ? plus1 : minus1;
+            }
+            // Advance over `run` zero-history coefficients, applying
+            // correction bits to nonzero-history ones on the way.
+            while (k <= se) {
+              int32_t &c = blk[kZigzag[k]];
+              if (c != 0) {
+                if (r.read_bits(1) && (c & plus1) == 0) {
+                  c += (c >= 0) ? plus1 : minus1;
+                }
+              } else {
+                if (run == 0) {
+                  if (value != 0) c = value;
+                  k++;
+                  break;
+                }
+                run--;
+              }
+              k++;
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // Correction bits for the remainder of the band.
+          while (k <= se) {
+            int32_t &c = blk[kZigzag[k]];
+            if (c != 0) {
+              if (r.read_bits(1) && (c & plus1) == 0) {
+                c += (c >= 0) ? plus1 : minus1;
+              }
+            }
+            k++;
+          }
+          eobrun--;
         }
       }
       mcu_count++;

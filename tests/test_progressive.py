@@ -87,3 +87,54 @@ class TestProgressiveDecode:
         res = fennec.compress_bytes(None, data, fennec.Options(
             format=fennec.JPEG))
         assert res.compressed_size > 0
+
+
+class TestNativeProgressiveParity:
+    """The C++ scan decoder must produce bit-identical coefficients to the
+    pure-Python oracle on every scan of real progressive files."""
+
+    def _decode_both(self, data):
+        import fennec_tpu.native as native
+        from fennec_tpu.codecs.progressive import ProgressiveDecoder
+
+        if not native.native_available():
+            pytest.skip("native library unavailable")
+        fast = ProgressiveDecoder(data).decode()
+        orig = native.jpeg_decode_progressive_scan
+        native.jpeg_decode_progressive_scan = \
+            lambda *a, **k: None  # force the Python path
+        try:
+            slow = ProgressiveDecoder(data).decode()
+        finally:
+            native.jpeg_decode_progressive_scan = orig
+        return fast, slow
+
+    @pytest.mark.parametrize("quality,subsampling",
+                             [(90, 2), (90, 0), (35, 2), (97, 0)])
+    def test_coefficients_identical(self, quality, subsampling):
+        img = make_noise_image(70, 46, seed=quality)
+        data = pil_progressive(img, quality=quality,
+                               subsampling=subsampling)
+        fast, slow = self._decode_both(data)
+        for a, b in zip(fast.coefs, slow.coefs):
+            np.testing.assert_array_equal(a, b)
+
+    def test_grayscale_identical(self):
+        img = make_test_image(41, 33)
+        data = pil_progressive(img, gray=True)
+        fast, slow = self._decode_both(data)
+        np.testing.assert_array_equal(fast.coefs[0], slow.coefs[0])
+
+    def test_restart_markers_identical(self):
+        # PIL doesn't emit DRI for progressive; build one by inserting a
+        # restart interval via re-encode when supported, else skip.
+        img = make_striped_image(64, 48)
+        buf = io.BytesIO()
+        PILImage.fromarray(img[:, :, :3], "RGB").save(
+            buf, "JPEG", quality=85, progressive=True, restart_marker_blocks=4)
+        data = buf.getvalue()
+        if b"\xff\xdd" not in data:
+            pytest.skip("PIL build lacks progressive restart support")
+        fast, slow = self._decode_both(data)
+        for a, b in zip(fast.coefs, slow.coefs):
+            np.testing.assert_array_equal(a, b)
