@@ -1,16 +1,27 @@
 """Device-side JPEG entropy ENCODING: Huffman bit emission on TPU.
 
 Goes one step beyond the size oracle (ops/jpeg_size.py): the actual
-entropy-coded bitstream is assembled on device as big-endian u32 words via
-vectorized scatter-adds — every symbol's bit offset comes from prefix sums
-(no sequential bit writer).  The host then:
+entropy-coded bitstream is assembled on device — every symbol's bit offset
+comes from prefix sums (no sequential bit writer), and the whole pipeline
+is scatter-free (XLA lowers scatter to a serialized loop on TPU, which
+made the first version of this file 3× slower than host encoding):
 
-  1. pulls the total bit count (a scalar) and only the used word prefix
-     (≈ the size of the compressed file, typically 100-1000× smaller than
-     the coefficient tensors);
-  2. applies the 1-padding of the final byte and 0xFF byte stuffing
-     (positions depend on byte values — inherently host work, numpy-cheap);
-  3. wraps the container.
+  1. per-block LOCAL packing: each block's symbols (DC code+magnitude,
+     merged ZRL pairs, AC code+magnitude, EOB — every field ≤ 32 bits) are
+     deposited into a fixed (LWORDS,) big-endian u32 buffer per block with
+     one-hot masked reductions over the word axis — pure VPU work,
+     vectorized over all blocks and all 64 zigzag positions at once;
+  2. GLOBAL assembly: output word w gathers the ≤K blocks whose bit ranges
+     overlap bits [32w, 32w+32) (blocks are ≥2 bits, so K is a small
+     static bound), funnel-shifts their local words into place, and sums —
+     bit ranges are disjoint, so add is exact.  Gather + shift only; the
+     block → word map comes from a searchsorted over the block-start
+     prefix sums.
+
+The host then pulls the total bit count (a scalar) and the used word
+prefix (≈ the size of the compressed file, typically 100-1000× smaller
+than the coefficient tensors), 1-pads the final byte, 0xFF-stuffs, and
+wraps the container.
 
 Standard Annex-K tables, interleaved single scan, no restart markers — the
 configuration the engine's standard-table encode uses.  Byte-for-byte
@@ -112,6 +123,22 @@ def _bitlen(v: jax.Array) -> jax.Array:
     return bits
 
 
+def _lut(table_2xS: jnp.ndarray, idx: jax.Array):
+    """Look idx up in a tiny (2, S) int table via a one-hot matmul.
+
+    TPU element-gathers run at a few thousand lookups/ms; a one-hot f32
+    dot on the MXU does the same lookup at memory speed.  Table values
+    must fit f32 exactly (Huffman codes/lengths ≤ 16 bits do).  Returns
+    two int32 arrays of idx's shape.
+    """
+    s = table_2xS.shape[1]
+    flat = idx.reshape(-1, 1)
+    onehot = (flat == jnp.arange(s, dtype=idx.dtype)).astype(jnp.float32)
+    vals = onehot @ table_2xS.astype(jnp.float32).T  # (M, 2)
+    out = vals.astype(jnp.int32)
+    return (out[:, 0].reshape(idx.shape), out[:, 1].reshape(idx.shape))
+
+
 def _component_fields(blocks: jax.Array, order: np.ndarray,
                       inv_order: np.ndarray, dc_tbl, ac_tbl):
     """Per-block/position emission fields for one component.
@@ -121,10 +148,8 @@ def _component_fields(blocks: jax.Array, order: np.ndarray,
     """
     dc_codes_np, dc_lens_np = dc_tbl
     ac_codes_np, ac_lens_np = ac_tbl
-    dc_codes = jnp.asarray(dc_codes_np)
-    dc_lens = jnp.asarray(dc_lens_np)
-    ac_codes = jnp.asarray(ac_codes_np)
-    ac_lens = jnp.asarray(ac_lens_np)
+    dc_table = jnp.asarray(np.stack([dc_codes_np, dc_lens_np]))
+    ac_table = jnp.asarray(np.stack([ac_codes_np, ac_lens_np]))
 
     zz = blocks.astype(jnp.int32)[:, ZIGZAG]
     n = zz.shape[0]
@@ -135,8 +160,7 @@ def _component_fields(blocks: jax.Array, order: np.ndarray,
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc_mcu[:-1]])
     diff = (dc_mcu - prev)[jnp.asarray(inv_order)]  # back to raster order
     s_dc = _bitlen(diff)
-    dc_code = dc_codes[s_dc]
-    dc_clen = dc_lens[s_dc]
+    dc_code, dc_clen = _lut(dc_table, s_dc)
     dc_val = jnp.where(diff >= 0, diff, diff + (1 << s_dc) - 1)
     dc_bits = dc_clen + s_dc
 
@@ -151,8 +175,7 @@ def _component_fields(blocks: jax.Array, order: np.ndarray,
     zrl = jnp.clip(gap // 16, 0, 3)
     rem = gap - zrl * 16
     sym = rem * 16 + s_ac
-    ac_code = ac_codes[sym]
-    ac_clen = ac_lens[sym]
+    ac_code, ac_clen = _lut(ac_table, sym)
     ac_val = jnp.where(zz >= 0, zz, zz + (1 << s_ac) - 1)
     ac_nz = nz.at[:, 0].set(False)
 
@@ -181,28 +204,162 @@ def _component_fields(blocks: jax.Array, order: np.ndarray,
     }
 
 
-def _deposit(words: jax.Array, value, length, offset, mask) -> jax.Array:
-    """Scatter-add big-endian bit fields into a (W,) uint32 array.
+# Per-block local bitstream buffer: 64 words = 2048 bits.  A block never
+# exceeds ~1680 bits (DC ≤ 16+11, 63 × AC ≤ 16+10, ZRL runs only replace
+# absent coefficients), so 64 gives slack for any legal Huffman spec.
+LWORDS = 64
 
-    value/length/offset: int32 arrays (any shape, flattened); fields never
-    exceed 26 bits so they straddle at most two words.  Non-overlapping by
-    construction, so add is exact.
+
+def _deposit_local(buf: jax.Array, val, ln, off) -> jax.Array:
+    """Deposit big-endian bit fields into per-block local buffers.
+
+    buf: (N, LWORDS) uint32.  val/ln/off: (N,) or (N, F) int32-ish —
+    field f of block n occupies local bits [off, off+ln) (ln == 0 →
+    absent).  Fields are ≤ 32 bits so each touches at most two words;
+    one-hot masks over the word axis turn the deposit into a masked
+    reduction over F — pure VPU work, no scatter (XLA serializes scatter
+    on TPU; an earlier scatter-based version of this file ran 3× slower
+    than host encoding, and a searchsorted/compaction variant 5× slower
+    still — see git history).
     """
-    v = jnp.where(mask, value, 0).astype(jnp.uint32).ravel()
-    ln = jnp.where(mask, length, 0).ravel()
-    off = jnp.asarray(offset).ravel()
-    m = jnp.asarray(mask).ravel()
-    word = off // 32
-    bit = off % 32
+    v = jnp.asarray(val).astype(jnp.uint32)
+    ln = jnp.asarray(ln).astype(jnp.int32)
+    off = jnp.asarray(off).astype(jnp.int32)
+    if v.ndim == 1:
+        v, ln, off = v[:, None], ln[:, None], off[:, None]
+    word = off >> 5
+    bit = off & 31
     shift = 32 - bit - ln
-    hi = jnp.where(shift >= 0,
-                   v << jnp.clip(shift, 0, 31).astype(jnp.uint32),
-                   v >> jnp.clip(-shift, 0, 31).astype(jnp.uint32))
-    lo = (v << jnp.clip(32 + shift, 0, 31).astype(jnp.uint32))
-    words = words.at[word].add(jnp.where(m, hi, 0), mode="drop")
-    words = words.at[word + 1].add(
-        jnp.where(m & (shift < 0), lo, 0), mode="drop")
-    return words
+    ushift = jnp.clip(shift, 0, 31).astype(jnp.uint32)
+    dshift = jnp.clip(-shift, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(shift >= 0, v << ushift, v >> dshift)
+    lo = v << jnp.clip(32 + shift, 0, 31).astype(jnp.uint32)
+    live = ln > 0
+    iota = jnp.arange(LWORDS, dtype=jnp.int32)
+    m1 = (word[:, :, None] == iota) & live[:, :, None]
+    m2 = ((word + 1)[:, :, None] == iota) \
+        & (live & (shift < 0))[:, :, None]
+    buf = buf + jnp.sum(jnp.where(m1, hi[:, :, None], 0), axis=1)
+    buf = buf + jnp.sum(jnp.where(m2, lo[:, :, None], 0), axis=1)
+    return buf
+
+
+def _pack_blocks_local(fields) -> jax.Array:
+    """Pack every block's symbol fields into its own (LWORDS,) big-endian
+    bit buffer — all blocks and all 64 zigzag positions at once."""
+    n = fields["dc_code"].shape[0]
+    buf = jnp.zeros((n, LWORDS), dtype=jnp.uint32)
+
+    # DC: Huffman code and magnitude bits merged into one ≤27-bit field.
+    dc_len = fields["dc_clen"] + fields["s_dc"]
+    dc_field = (fields["dc_code"] << fields["s_dc"]) | fields["dc_val"]
+    buf = _deposit_local(buf, dc_field, dc_len, jnp.zeros_like(dc_len))
+
+    # AC positions: up to three ZRLs (first two merged — 2×16 ≤ 32 bits),
+    # then the run/size code with its magnitude bits merged (≤26 bits).
+    nz = fields["ac_nz"]
+    z = fields["zrl"]
+    zl = fields["zrl_len"]
+    zc = np.uint32(fields["zrl_code"])
+    n01 = jnp.minimum(z, 2)
+    len01 = jnp.where(nz, n01 * zl, 0)
+    val01 = jnp.where(n01 == 2,
+                      (jnp.uint32(zc) << np.uint32(zl)) | zc,
+                      jnp.uint32(zc))
+    buf = _deposit_local(buf, val01, len01, fields["pos_start"])
+    len2 = jnp.where(nz & (z == 3), zl, 0)
+    buf = _deposit_local(buf, jnp.full_like(val01, zc), len2,
+                         fields["pos_start"] + len01)
+    ac_len = jnp.where(nz, fields["ac_clen"] + fields["s_ac"], 0)
+    ac_field = (fields["ac_code"] << fields["s_ac"]) | fields["ac_val"]
+    buf = _deposit_local(buf, ac_field, ac_len,
+                         fields["pos_start"] + z * zl)
+
+    # EOB.
+    eob_len = jnp.where(fields["has_eob"], fields["eob_clen"], 0)
+    buf = _deposit_local(
+        buf, jnp.full((n,), fields["eob_code"], jnp.uint32),
+        eob_len, fields["eob_off"])
+    return buf
+
+
+def _rows_sorted(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather whole rows of table (T, C) at sorted indices idx (W,).
+
+    Row gathers amortize TPU's high per-index gather cost over C
+    contiguous elements, and the sorted hint lets XLA skip re-ordering.
+    """
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.lax.gather(
+        table, idx[:, None].astype(jnp.int32), dnums,
+        (1, table.shape[1]), indices_are_sorted=True,
+        mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def _assemble_global(bufs: jax.Array, block_bits: jax.Array,
+                     max_words: int, k_window: int = 10):
+    """Gather per-block local buffers into the flat output stream.
+
+    bufs: (T, LWORDS) uint32 in SCAN-SLOT order; block_bits: (T,) int32.
+    Every block's buffer is first funnel-shifted by its start offset mod
+    32 so its words align with the GLOBAL word grid (elementwise — the
+    shift is per block).  Output word w then sums column (w - base_b) of
+    the ≤k_window candidate blocks overlapping bits [32w, 32w+32) — with
+    Annex-K tables a block is ≥ 4 bits, so 10 candidates always cover a
+    35-bit reach.  Block bit ranges are disjoint, so add is exact.  All
+    lookups are whole-row gathers at sorted indices; the only searchsorted
+    runs over the small (T,) block-start table.
+    """
+    t = bufs.shape[0]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(block_bits)[:-1]])
+    total_bits = jnp.sum(block_bits)
+
+    # Re-align every block's bitstream to the global word grid.
+    sh = (starts & 31).astype(jnp.uint32)[:, None]
+    base = starts >> 5
+    zero = jnp.zeros((t, 1), jnp.uint32)
+    lpad = jnp.concatenate([zero, bufs, zero], axis=1)
+    left, right = lpad[:, :-1], lpad[:, 1:]
+    s_rows = jnp.where(sh == 0, right,
+                       (left << (np.uint32(32) - sh)) | (right >> sh))
+    last_word = (starts + block_bits - 1) >> 5
+    aug = jnp.concatenate(
+        [s_rows, base[:, None].astype(jnp.uint32),
+         last_word[:, None].astype(jnp.uint32)], axis=1)
+
+    w = jnp.arange(max_words, dtype=jnp.int32)
+    first = jnp.searchsorted(starts, w * 32, side="right").astype(
+        jnp.int32) - 1
+    ncol = s_rows.shape[1]
+    col_iota = jnp.arange(ncol, dtype=jnp.int32)
+    out = jnp.zeros(max_words, dtype=jnp.uint32)
+    for k in range(k_window):
+        b = first + k
+        rows = _rows_sorted(aug, jnp.clip(b, 0, t - 1))
+        base_k = rows[:, ncol].astype(jnp.int32)
+        last_k = rows[:, ncol + 1].astype(jnp.int32)
+        d = w - base_k
+        valid = (b >= 0) & (b < t) & (d >= 0) & (w <= last_k)
+        col = jnp.sum(jnp.where(col_iota == d[:, None],
+                                rows[:, :ncol], 0), axis=1)
+        out = out + jnp.where(valid, col, 0)
+    return out, total_bits
+
+
+@functools.lru_cache(maxsize=64)
+def _slot_permutation(padded_h: int, padded_w: int, subsample: bool):
+    """Static scan-slot → concatenated-raster-row permutation for
+    [Y; Cb; Cr] stacked per-component arrays."""
+    layout, total = _scan_layout(padded_h, padded_w, subsample)
+    perm = np.empty(total, dtype=np.int32)
+    base = 0
+    for order, inv, raster_slot in layout:
+        n = raster_slot.shape[0]
+        perm[raster_slot] = np.arange(base, base + n, dtype=np.int32)
+        base += n
+    return perm
 
 
 def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
@@ -219,54 +376,20 @@ def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
     dc_l, ac_l, dc_c, ac_c = _std_code_arrays()
     layout, total = _scan_layout(padded_h, padded_w, subsample)
 
-    comps = []
+    bufs = []
+    bits = []
     for blocks, (order, inv, raster_slot), dct, act in (
             (qy, layout[0], dc_l, ac_l),
             (qcb, layout[1], dc_c, ac_c),
             (qcr, layout[2], dc_c, ac_c)):
         fields = _component_fields(blocks, order, inv, dct, act)
-        comps.append((fields, raster_slot))
+        bufs.append(_pack_blocks_local(fields))
+        bits.append(fields["block_bits"])
 
-    scan_bits = jnp.zeros(total, dtype=jnp.int32)
-    for fields, raster_slot in comps:
-        scan_bits = scan_bits.at[jnp.asarray(raster_slot)].set(
-            fields["block_bits"])
-    starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(scan_bits)[:-1]])
-    total_bits = jnp.sum(scan_bits)
-
-    words = jnp.zeros(max_words, dtype=jnp.uint32)
-    for fields, raster_slot in comps:
-        blk_start = starts[jnp.asarray(raster_slot)]  # (N,) raster order
-        ones = jnp.ones_like(blk_start, dtype=bool)
-        words = _deposit(words, fields["dc_code"], fields["dc_clen"],
-                         blk_start, ones)
-        words = _deposit(words, fields["dc_val"], fields["s_dc"],
-                         blk_start + fields["dc_clen"],
-                         fields["s_dc"] > 0)
-        pos_off = blk_start[:, None] + fields["pos_start"]
-        nz = fields["ac_nz"]
-        zl = fields["zrl_len"]
-        for k in range(3):
-            m = nz & (fields["zrl"] > k)
-            words = _deposit(
-                words,
-                jnp.full(nz.shape, fields["zrl_code"], jnp.int32),
-                jnp.full(nz.shape, zl, jnp.int32),
-                pos_off + k * zl, m)
-        sym_off = pos_off + fields["zrl"] * zl
-        words = _deposit(words, fields["ac_code"], fields["ac_clen"],
-                         sym_off, nz)
-        words = _deposit(words, fields["ac_val"], fields["s_ac"],
-                         sym_off + fields["ac_clen"],
-                         nz & (fields["s_ac"] > 0))
-        words = _deposit(
-            words,
-            jnp.full(blk_start.shape, fields["eob_code"], jnp.int32),
-            jnp.full(blk_start.shape, fields["eob_clen"], jnp.int32),
-            blk_start + fields["eob_off"], fields["has_eob"])
-
-    return words, total_bits
+    perm = jnp.asarray(_slot_permutation(padded_h, padded_w, subsample))
+    bufs_slot = jnp.concatenate(bufs, axis=0)[perm]
+    bits_slot = jnp.concatenate(bits)[perm]
+    return _assemble_global(bufs_slot, bits_slot, max_words)
 
 
 def finalize_scan_host(words: np.ndarray, total_bits: int) -> bytes:
