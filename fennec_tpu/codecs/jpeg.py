@@ -436,6 +436,39 @@ def decode_jpeg_to_coefs(data: bytes):
     return hdr, coefs
 
 
+def decode_jpeg_to_coefs_i8(data: bytes, out_flat: np.ndarray,
+                            flat_base: int, max_exc: int = 16384):
+    """Decode a single-scan baseline JPEG straight into a flat int8 block
+    buffer with a sparse |v| > 127 exception list — the upload format of
+    the fused batch engine.  One C++ pass, no intermediate int16 arrays.
+
+    Returns (hdr, exc_idx, exc_val) or None when the fast path doesn't
+    apply (multi-scan file, native library absent, exception overflow);
+    callers fall back to decode_jpeg_to_coefs.
+    """
+    from .. import native
+
+    hdr = parse_jpeg(data)
+    if len(hdr.scan_comps) != hdr.ncomp:
+        return None
+    hmax = max(c["h"] for c in hdr.comps)
+    vmax = max(c["v"] for c in hdr.comps)
+    mcus_x = -(-hdr.width // (8 * hmax))
+    mcus_y = -(-hdr.height // (8 * vmax))
+    specs = []
+    for sc in hdr.scan_comps:
+        c = hdr.comps[sc["comp"]]
+        specs.append(entropy_py.DecodeComponentSpec(
+            mcus_x * c["h"], mcus_y * c["v"], c["h"], c["v"],
+            hdr.dc_tables[sc["td"]], hdr.ac_tables[sc["ta"]]))
+    r = native.jpeg_decode_scan_i8(data, hdr.scan_offset, specs,
+                                   hdr.restart_interval, out_flat,
+                                   flat_base, max_exc)
+    if r is None:
+        return None
+    return hdr, r[0], r[1]
+
+
 def _decode_multiscan_to_coefs(data: bytes, hdr: JpegHeader,
                                mcus_x: int, mcus_y: int,
                                hmax: int, vmax: int):

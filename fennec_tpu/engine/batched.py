@@ -149,17 +149,20 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             wts = resize_weights(w, h, dst_w, dst_h)
             rwh, rwv = jnp.asarray(wts[0]), jnp.asarray(wts[1])
 
-    # Host entropy decode (C++; GIL released).
-    decoded = []
-    for d in datas:
-        if ctx is not None:
-            ctx.raise_if_done()
-        hdr, coefs = decode_jpeg_to_coefs(d)
-        qt = np.stack([hdr.qtables[hdr.comps[0]["tq"]],
-                       hdr.qtables[hdr.comps[1]["tq"]]]).astype(np.int32)
-        decoded.append((coefs, qt))
-
     n = len(datas)
+    # Host entropy decode for the RESIZE path only (dense int16 stacks);
+    # the no-resize branches decode per chunk straight into the int8
+    # upload buffer inside the worker pool (see _prep_chunk_i8).
+    decoded = []
+    if rwh is not None:
+        for d in datas:
+            if ctx is not None:
+                ctx.raise_if_done()
+            hdr, coefs = decode_jpeg_to_coefs(d)
+            qt = np.stack(
+                [hdr.qtables[hdr.comps[0]["tq"]],
+                 hdr.qtables[hdr.comps[1]["tq"]]]).astype(np.int32)
+            decoded.append((coefs, qt))
     results: List[Result] = [
         Result(original_dimensions=(w, h), final_dimensions=(dst_w, dst_h),
                format=Format.JPEG) for _ in range(n)]
@@ -170,10 +173,53 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     use_device_entropy = (opts.device_entropy and rwh is None)
     inflight = []
 
+    def _collect_emit(entry):
+        """Pull a device-entropy chunk: the scan bitstream was assembled
+        on device; the host only 1-pads, byte-stuffs, and wraps."""
+        from ..ops.jpeg_emit import finalize_scan_host
+
+        chunk_ids, (qs, ssims, found, words, bits), max_words = entry
+        q_host = np.asarray(qs)
+        s_host = np.asarray(ssims)
+        f_host = np.asarray(found)
+        bits_h = np.asarray(bits)
+        used = min(int(bits_h.max()) // 32 + 2, max_words)
+        words_h = np.asarray(words[:, :used])
+
+        def emit_one(i: int, j: int) -> None:
+            res = results[i]
+            if int(bits_h[j]) + 64 > max_words * 32:
+                # Capacity overflow (pathological content or the Q=100
+                # fallback inflating past the input size): redo this one
+                # image through the per-image engine.
+                from ..api import compress_bytes
+                r = compress_bytes(ctx, datas[i], opts)
+                results[i] = r
+                results[i].original_dimensions = res.original_dimensions
+                return
+            quality = int(q_host[j])
+            ssim_val = float(s_host[j])
+            if not bool(f_host[j]):
+                quality, ssim_val = 100, 1.0
+            scan = finalize_scan_host(words_h[j], int(bits_h[j]))
+            data = assemble_jpeg(dst_w, dst_h,
+                                 all_quality_tables()[quality],
+                                 scan, subsample)
+            res.jpeg_quality = quality
+            res.ssim = ssim_val
+            res.compressed_data = data
+            res.compressed_size = len(data)
+            res.compute_stats()
+
+        for j, i in enumerate(chunk_ids):
+            pending.append(pool.submit(emit_one, i, j))
+
     def _collect(entry):
         """Pull a dispatched chunk's results and queue host encodes."""
         from ..parallel.batched import packed_to_int8, split_packed
 
+        if len(entry) == 3:
+            return _collect_emit(entry)
         chunk_ids, (qs, ssims, found, packed, fits8) = entry
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
@@ -214,100 +260,113 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         for j, i in enumerate(chunk_ids):
             pending.append(pool.submit(encode_one, i, j))
 
+    # Input MCU geometry — the flat int8 upload layout.
+    mult_in = 16 if in_sub else 8
+    phi, pwi = h + (-h) % mult_in, w + (-w) % mult_in
+    nyi = (phi // 8) * (pwi // 8)
+    nci = (phi // 16) * (pwi // 16) if in_sub else nyi
+    nt = nyi + 2 * nci
+
+    def _prep_chunk_i8(chunk, padded):
+        """Decode a chunk's files straight into the (padded, NT, 64) int8
+        upload buffer with sparse exceptions — one C++ pass per file on
+        the worker pool, no intermediate int16 stacks or concatenates."""
+        from ..codecs.jpeg import decode_jpeg_to_coefs_i8
+
+        i8 = np.zeros((padded, nt, 64), np.int8)
+        qts = np.zeros((padded, 2, 64), np.int32)
+        exc_parts: List = [None] * len(chunk)
+
+        def one(j: int) -> None:
+            r = decode_jpeg_to_coefs_i8(datas[chunk[j]],
+                                        i8[j].reshape(-1), j * nt * 64)
+            if r is not None:
+                hdr, ei, ev = r
+            else:  # dense fallback: exception-heavy or unusual file
+                hdr, coefs = decode_jpeg_to_coefs(datas[chunk[j]])
+                f16 = np.concatenate(
+                    [np.asarray(c, np.int16).reshape(-1) for c in coefs])
+                big = np.abs(f16) > 127
+                ei = (np.nonzero(big)[0] + j * nt * 64).astype(np.int32)
+                ev = f16[big]
+                f16 = f16.copy()
+                f16[big] = 0
+                i8[j] = f16.astype(np.int8).reshape(nt, 64)
+            qts[j] = np.stack(
+                [hdr.qtables[hdr.comps[0]["tq"]],
+                 hdr.qtables[hdr.comps[1]["tq"]]]).astype(np.int32)
+            exc_parts[j] = (ei, ev)
+
+        list(pool.map(one, range(len(chunk))))
+        ei = np.concatenate([p[0] for p in exc_parts])
+        ev = np.concatenate([p[1] for p in exc_parts])
+        pad = _next_pow2(max(int(ei.size), 1))
+        if pad != ei.size:
+            fill = np.full(pad - ei.size, padded * nt * 64,
+                           dtype=np.int32)  # OOB → dropped on device
+            ei = np.concatenate([ei, fill])
+            ev = np.concatenate([ev, np.zeros(pad - ev.size, np.int16)])
+        return i8, qts, ei, ev
+
+    if use_device_entropy:
+        # Word capacity: the winner is (re)quantized at most at the
+        # input's quality, so the input scan bounds the typical output;
+        # the rare overflow (Q=100 fallback on noisy content) is caught
+        # per image in _collect_emit and redone host-side.
+        mult = 16 if subsample else 8
+        ph = h + (-h) % mult
+        pw = w + (-w) % mult
+        n_blocks = ((ph // 8) * (pw // 8)
+                    + 2 * ((ph // 16) * (pw // 16)
+                           if subsample else (ph // 8) * (pw // 8)))
+        biggest = max(len(d) for d in datas)
+        emit_words = min(_next_pow2(biggest // 4 + 1024),
+                         n_blocks * 53 + 64)
+
     for start in range(0, n, BATCH_CHUNK):
         if ctx is not None:
             ctx.raise_if_done()
         chunk = list(range(start, min(start + BATCH_CHUNK, n)))
         b = len(chunk)
         padded = _next_pow2(b)
-        ys = np.stack([decoded[chunk[j % b]][0][0] for j in range(padded)])
-        cbs = np.stack([decoded[chunk[j % b]][0][1] for j in range(padded)])
-        crs = np.stack([decoded[chunk[j % b]][0][2] for j in range(padded)])
-        qts = np.stack([decoded[chunk[j % b]][1] for j in range(padded)])
         targets = jnp.full((padded,), target, dtype=jnp.float32)
-
-        if use_device_entropy:
-            from ..ops.jpeg_emit import finalize_scan_host
-            from ..parallel.batched import batched_decode_search_emit
-
-            mult = 16 if subsample else 8
-            ph = h + (-h) % mult
-            pw = w + (-w) % mult
-            n_blocks = ((ph // 8) * (pw // 8)
-                        + 2 * ((ph // 16) * (pw // 16)
-                               if subsample else (ph // 8) * (pw // 8)))
-            max_words = n_blocks * 64 + 64
-            qs, ssims, found, words, bits = batched_decode_search_emit(
-                jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
-                jnp.asarray(qts), h, w, in_sub, subsample, max_words,
-                targets=targets)
-            q_host = np.asarray(qs)
-            s_host = np.asarray(ssims)
-            f_host = np.asarray(found)
-            bits_h = np.asarray(bits)
-            used = int(bits_h.max()) // 32 + 2
-            words_h = np.asarray(words[:, :used])
-
-            def emit_one(i: int, j: int) -> None:
-                res = results[i]
-                quality = int(q_host[j])
-                ssim_val = float(s_host[j])
-                if not bool(f_host[j]):
-                    quality, ssim_val = 100, 1.0
-                scan = finalize_scan_host(words_h[j], int(bits_h[j]))
-                data = assemble_jpeg(dst_w, dst_h,
-                                     all_quality_tables()[quality],
-                                     scan, subsample)
-                res.jpeg_quality = quality
-                res.ssim = ssim_val
-                res.compressed_data = data
-                res.compressed_size = len(data)
-                res.compute_stats()
-
-            for j, i in enumerate(chunk):
-                pending.append(pool.submit(emit_one, i, j))
-            continue
 
         # ── dispatch (async): device call enqueued, handles kept ──
         if rwh is not None:
+            ys = np.stack(
+                [decoded[chunk[j % b]][0][0] for j in range(padded)])
+            cbs = np.stack(
+                [decoded[chunk[j % b]][0][1] for j in range(padded)])
+            crs = np.stack(
+                [decoded[chunk[j % b]][0][2] for j in range(padded)])
+            qts = np.stack(
+                [decoded[chunk[j % b]][1] for j in range(padded)])
             handles = batched_decode_resize_search_quantize(
                 jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
                 jnp.asarray(qts), h, w, in_sub, subsample,
                 resize_wh=rwh, resize_wv=rwv, targets=targets)
-        else:
-            # Compact upload: int8 + sparse exceptions (~0.5% of coefs),
-            # halving host→device bytes.
-            from .. import native
-            from ..parallel.batched import (
-                batched_decode_search_quantize_i8,
-            )
+            entry = (chunk, handles)
+        elif use_device_entropy:
+            from ..parallel.batched import batched_decode_search_emit_i8
 
-            cat = np.concatenate([ys, cbs, crs], axis=1)  # (B, NT, 64) i16
-            try:
-                i8, exc_idx, exc_val = native.int16_to_int8_exc(cat)
-            except ValueError:
-                i8 = None  # dense int16 path (too many large coefs)
-            if i8 is not None:
-                pad = _next_pow2(max(int(exc_idx.size), 1))
-                if pad != exc_idx.size:
-                    fill = np.full(pad - exc_idx.size, cat.size,
-                                   dtype=np.int32)  # OOB → dropped
-                    exc_idx = np.concatenate([exc_idx, fill])
-                    exc_val = np.concatenate(
-                        [exc_val, np.zeros(pad - exc_val.size, np.int16)])
-                handles = batched_decode_search_quantize_i8(
-                    jnp.asarray(i8), jnp.asarray(exc_idx),
-                    jnp.asarray(exc_val), jnp.asarray(qts), targets,
-                    h, w, in_sub, subsample)
-            else:
-                handles = batched_decode_search_quantize(
-                    jnp.asarray(ys), jnp.asarray(cbs),
-                    jnp.asarray(crs), jnp.asarray(qts), h, w,
-                    in_sub, subsample, targets=targets)
+            i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
+            handles = batched_decode_search_emit_i8(
+                jnp.asarray(i8), jnp.asarray(ei), jnp.asarray(ev),
+                jnp.asarray(qts), targets, h, w, in_sub, subsample,
+                emit_words)
+            entry = (chunk, handles, emit_words)
+        else:
+            from ..parallel.batched import batched_decode_search_quantize_i8
+
+            i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
+            handles = batched_decode_search_quantize_i8(
+                jnp.asarray(i8), jnp.asarray(ei), jnp.asarray(ev),
+                jnp.asarray(qts), targets, h, w, in_sub, subsample)
+            entry = (chunk, handles)
 
         # Pipeline: keep up to two chunks in flight; collect the oldest
         # while the device works on the newest.
-        inflight.append((chunk, handles))
+        inflight.append(entry)
         if len(inflight) >= 2:
             _collect(inflight.pop(0))
 

@@ -104,6 +104,25 @@ def jpeg_encode_scan_custom(comps: List["entropy_py.ComponentSpec"],
     return entropy_py.encode_scan(comps, restart_interval)
 
 
+def jpeg_decode_scan_i8(data: bytes, pos: int,
+                        comps: List["entropy_py.DecodeComponentSpec"],
+                        restart_interval: int, out_i8: np.ndarray,
+                        flat_base: int, max_exc: int = 16384):
+    """Decode an interleaved scan straight into int8 blocks + exceptions.
+    Returns (exc_idx, exc_val) or None when the native library is absent
+    or the data needs the dense path (corrupt → ValueError propagates via
+    None too; callers re-decode through the int16 path which raises the
+    precise error)."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    try:
+        return lib.decode_scan_i8(data, pos, comps, restart_interval,
+                                  out_i8, flat_base, max_exc)
+    except Exception:
+        return None
+
+
 def jpeg_decode_progressive_scan(data: bytes, pos: int,
                                  coefs: List[np.ndarray],
                                  bw, hs, vs, mcus_x: int, mcus_y: int,

@@ -76,6 +76,19 @@ class NativeLib:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
             ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.fennec_jpeg_decode_scan_i8.restype = ctypes.c_long
+        lib.fennec_jpeg_decode_scan_i8.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ]
         lib.fennec_jpeg_decode_progressive_scan.restype = ctypes.c_long
         lib.fennec_jpeg_decode_progressive_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
@@ -219,6 +232,57 @@ class NativeLib:
         if rc < 0:
             raise ValueError("fennec native: corrupt JPEG scan")
         return outs
+
+    def decode_scan_i8(self, data: bytes, pos: int, comps,
+                       restart_interval: int, out_i8: np.ndarray,
+                       flat_base: int, max_exc: int = 16384):
+        """Decode an interleaved scan straight into int8 blocks + sparse
+        |v|>127 exceptions (absolute indices offset by flat_base).
+        out_i8: flat int8 view covering sum(bw*bh)*64 entries.  Returns
+        (exc_idx int32, exc_val int16).  Raises ValueError on corrupt
+        data, OverflowError when exceptions exceed max_exc."""
+        n = len(comps)
+        assert out_i8.dtype == np.int8 and out_i8.flags.c_contiguous
+        bw = (ctypes.c_int * n)(*[c.bw for c in comps])
+        bh = (ctypes.c_int * n)(*[c.bh for c in comps])
+        hs = (ctypes.c_int * n)(*[c.h for c in comps])
+        vs = (ctypes.c_int * n)(*[c.v for c in comps])
+        dc_bits = b"".join(bytes(c.dc_spec[0]) for c in comps)
+        ac_bits = b"".join(bytes(c.ac_spec[0]) for c in comps)
+        dc_vals_list = [bytes(c.dc_spec[1]) for c in comps]
+        ac_vals_list = [bytes(c.ac_spec[1]) for c in comps]
+        dc_vals = b"".join(dc_vals_list)
+        ac_vals = b"".join(ac_vals_list)
+        dc_nvals = (ctypes.c_int * n)(*[len(v) for v in dc_vals_list])
+        ac_nvals = (ctypes.c_int * n)(*[len(v) for v in ac_vals_list])
+        offs = []
+        off = 0
+        for v in dc_vals_list:
+            offs.append(off)
+            off += len(v)
+        dc_voff = (ctypes.c_int * n)(*offs)
+        offs = []
+        off = 0
+        for v in ac_vals_list:
+            offs.append(off)
+            off += len(v)
+        ac_voff = (ctypes.c_int * n)(*offs)
+        exc_idx = np.empty(max_exc, dtype=np.int32)
+        exc_val = np.empty(max_exc, dtype=np.int16)
+        ne = self._lib.fennec_jpeg_decode_scan_i8(
+            data, len(data), pos, n,
+            out_i8.ctypes.data_as(ctypes.c_void_p),
+            bw, bh, hs, vs,
+            dc_bits, dc_vals, dc_nvals, dc_voff,
+            ac_bits, ac_vals, ac_nvals, ac_voff,
+            restart_interval, flat_base,
+            exc_idx.ctypes.data_as(ctypes.c_void_p),
+            exc_val.ctypes.data_as(ctypes.c_void_p), max_exc)
+        if ne == -1:
+            raise ValueError("fennec native: corrupt JPEG scan")
+        if ne == -2:
+            raise OverflowError("fennec native: too many int8 exceptions")
+        return exc_idx[:ne].copy(), exc_val[:ne].copy()
 
     def decode_progressive_scan(self, data: bytes, pos: int,
                                 coefs: List[np.ndarray],

@@ -723,6 +723,102 @@ long fennec_jpeg_decode_progressive_scan(
   return r.pos;
 }
 
+// Decode an interleaved baseline scan DIRECTLY into an int8 coefficient
+// block with a sparse exception list — the upload format of the batched
+// TPU path (engine/batched.py).  out: (sum of bw[c]*bh[c]) x 64 int8,
+// components concatenated in raster order; coefficients with |v| > 127
+// are stored as 0 with (flat_base + flat_index, value) appended to the
+// exception arrays.  One pass, no intermediate int16 buffers.
+// Returns the exception count, or -1 on corrupt data, -2 on exception
+// overflow (caller falls back to the dense int16 path).
+long fennec_jpeg_decode_scan_i8(const uint8_t *data, long len, long pos,
+                                int ncomp, int8_t *out, const int *bw,
+                                const int *bh, const int *hs, const int *vs,
+                                const uint8_t *dc_bits,
+                                const uint8_t *dc_vals, const int *dc_nvals,
+                                const int *dc_voff, const uint8_t *ac_bits,
+                                const uint8_t *ac_vals, const int *ac_nvals,
+                                const int *ac_voff, int restart_interval,
+                                long long flat_base, int32_t *exc_idx,
+                                int16_t *exc_val, long max_exc) {
+  if (ncomp < 1 || ncomp > 4) return -1;
+  DecTable dct_[4], act_[4];
+  long comp_off[4];
+  long off = 0;
+  for (int c = 0; c < ncomp; c++) {
+    dct_[c].build(dc_bits + c * 16, dc_vals + dc_voff[c], dc_nvals[c]);
+    act_[c].build(ac_bits + c * 16, ac_vals + ac_voff[c], ac_nvals[c]);
+    comp_off[c] = off;
+    off += (long)bw[c] * bh[c] * 64;
+  }
+  std::memset(out, 0, off);
+  int mcus_x = hs[0] ? bw[0] / hs[0] : 0;
+  int mcus_y = vs[0] ? bh[0] / vs[0] : 0;
+
+  BitReader r(data, len, pos);
+  int pred[4] = {0, 0, 0, 0};
+  int mcu_count = 0;
+  long ne = 0;
+
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && mcu_count == restart_interval) {
+        r.align_to_rst();
+        if (r.bad) return -1;
+        pred[0] = pred[1] = pred[2] = pred[3] = 0;
+        mcu_count = 0;
+      }
+      for (int c = 0; c < ncomp; c++) {
+        for (int dy = 0; dy < vs[c]; dy++) {
+          for (int dx = 0; dx < hs[c]; dx++) {
+            int by = my * vs[c] + dy;
+            int bx = mx * hs[c] + dx;
+            long blk = comp_off[c] + ((long)by * bw[c] + bx) * 64;
+            int8_t *bp = out + blk;
+            int size = r.decode(dct_[c]);
+            int diff = extend((int)r.read_bits(size), size);
+            pred[c] += diff;
+            int v = pred[c];
+            if (v > 127 || v < -127) {
+              if (ne >= max_exc) return -2;
+              exc_idx[ne] = (int32_t)(flat_base + blk);
+              exc_val[ne] = (int16_t)v;
+              ne++;
+            } else {
+              bp[0] = (int8_t)v;
+            }
+            int k = 1;
+            while (k < 64) {
+              int rs = r.decode(act_[c]);
+              int run = rs >> 4, s = rs & 0x0F;
+              if (s == 0) {
+                if (run == 15) { k += 16; continue; }
+                break;  // EOB
+              }
+              k += run;
+              if (k > 63) return -1;
+              v = extend((int)r.read_bits(s), s);
+              int nat = kZigzag[k];
+              if (v > 127 || v < -127) {
+                if (ne >= max_exc) return -2;
+                exc_idx[ne] = (int32_t)(flat_base + blk + nat);
+                exc_val[ne] = (int16_t)v;
+                ne++;
+              } else {
+                bp[nat] = (int8_t)v;
+              }
+              k++;
+            }
+            if (r.bad) return -1;
+          }
+        }
+      }
+      mcu_count++;
+    }
+  }
+  return ne;
+}
+
 // Pack int16 coefficients to int8 with an exception list for |v| > 127.
 // Returns the exception count, or -1 if it exceeds max_exc.
 long fennec_int16_to_int8_exc(const int16_t *in, long n, int8_t *out,

@@ -134,7 +134,10 @@ def _lut(table_2xS: jnp.ndarray, idx: jax.Array):
     s = table_2xS.shape[1]
     flat = idx.reshape(-1, 1)
     onehot = (flat == jnp.arange(s, dtype=idx.dtype)).astype(jnp.float32)
-    vals = onehot @ table_2xS.astype(jnp.float32).T  # (M, 2)
+    # HIGHEST precision: the default TPU matmul feeds bf16 to the MXU,
+    # which would corrupt 16-bit code values (mantissa is 8 bits).
+    vals = jnp.dot(onehot, table_2xS.astype(jnp.float32).T,
+                   precision=jax.lax.Precision.HIGHEST)  # (M, 2)
     out = vals.astype(jnp.int32)
     return (out[:, 0].reshape(idx.shape), out[:, 1].reshape(idx.shape))
 
@@ -325,26 +328,33 @@ def _assemble_global(bufs: jax.Array, block_bits: jax.Array,
     s_rows = jnp.where(sh == 0, right,
                        (left << (np.uint32(32) - sh)) | (right >> sh))
     last_word = (starts + block_bits - 1) >> 5
-    aug = jnp.concatenate(
-        [s_rows, base[:, None].astype(jnp.uint32),
-         last_word[:, None].astype(jnp.uint32)], axis=1)
 
     w = jnp.arange(max_words, dtype=jnp.int32)
     first = jnp.searchsorted(starts, w * 32, side="right").astype(
         jnp.int32) - 1
     ncol = s_rows.shape[1]
-    col_iota = jnp.arange(ncol, dtype=jnp.int32)
-    out = jnp.zeros(max_words, dtype=jnp.uint32)
-    for k in range(k_window):
+
+    # Candidate 0 — the block covering bit 32w — is the only one that
+    # reads a data column other than 0 (every later candidate STARTS
+    # inside word w).  Fetch its word with one flat gather at strictly
+    # increasing indices.
+    b0 = jnp.clip(first, 0, t - 1)
+    base0 = base[b0]
+    d0 = jnp.clip(w - base0, 0, ncol - 1)
+    flat = s_rows.reshape(-1)
+    v0 = _rows_sorted(flat[:, None], b0 * ncol + d0)[:, 0]
+    out = jnp.where(w <= last_word[b0], v0, 0)
+
+    # Candidates 1..k-1: blocks starting inside word w contribute their
+    # (already grid-aligned) first word.  Row-gather just the 3 scalars
+    # needed per block: first data word, base word, last word.
+    aux = jnp.stack([s_rows[:, 0], base.astype(jnp.uint32),
+                     last_word.astype(jnp.uint32)], axis=1)
+    for k in range(1, k_window):
         b = first + k
-        rows = _rows_sorted(aug, jnp.clip(b, 0, t - 1))
-        base_k = rows[:, ncol].astype(jnp.int32)
-        last_k = rows[:, ncol + 1].astype(jnp.int32)
-        d = w - base_k
-        valid = (b >= 0) & (b < t) & (d >= 0) & (w <= last_k)
-        col = jnp.sum(jnp.where(col_iota == d[:, None],
-                                rows[:, :ncol], 0), axis=1)
-        out = out + jnp.where(valid, col, 0)
+        rows = _rows_sorted(aux, jnp.clip(b, 0, t - 1))
+        valid = (b < t) & (rows[:, 1].astype(jnp.int32) == w)
+        out = out + jnp.where(valid, rows[:, 0], 0)
     return out, total_bits
 
 

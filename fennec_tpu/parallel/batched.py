@@ -205,6 +205,55 @@ def batched_decode_search_emit(in_y: jax.Array, in_cb: jax.Array,
     return jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def batched_decode_search_emit_i8(packed_i8: jax.Array,
+                                  exc_idx: jax.Array, exc_val: jax.Array,
+                                  in_qtabs: jax.Array, targets: jax.Array,
+                                  h: int, w: int, in_subsample: bool,
+                                  out_subsample: bool, max_words: int):
+    """Compact-upload variant of batched_decode_search_emit: int8 + sparse
+    exception coefficients in, device-assembled Huffman bitstream out —
+    the transfers in BOTH directions shrink to near the entropy content.
+    Returns (q, ssim, found, words (B, max_words) u32, bits (B,) i32)."""
+    from ..engine.compress import (
+        decode_jpeg_image_device,
+        quality_search_quantize_device,
+    )
+    from ..ops.jpeg_emit import emit_scan_device
+
+    dense = packed_i8.astype(jnp.int32)
+    flat = dense.reshape(-1).at[exc_idx].set(
+        exc_val.astype(jnp.int32), mode="drop")
+    dense = flat.reshape(packed_i8.shape)
+
+    mult_in = 16 if in_subsample else 8
+    phi, pwi = h + (-h) % mult_in, w + (-w) % mult_in
+    nyi = (phi // 8) * (pwi // 8)
+    nci = (phi // 16) * (pwi // 16) if in_subsample else nyi
+    in_y = dense[:, :nyi]
+    in_cb = dense[:, nyi:nyi + nci]
+    in_cr = dense[:, nyi + nci:]
+
+    mult = 16 if out_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if out_subsample else ny
+
+    def one(y, cb, cr, qt, t):
+        img = decode_jpeg_image_device(
+            y.astype(jnp.float32), cb.astype(jnp.float32),
+            cr.astype(jnp.float32), qt.astype(jnp.float32),
+            h, w, in_subsample)
+        q, s, f, packed = quality_search_quantize_device(img, t,
+                                                         out_subsample)
+        words, bits = emit_scan_device(
+            packed[:ny], packed[ny:ny + nc], packed[ny + nc:],
+            ph, pw, out_subsample, max_words)
+        return q, s, f, words, bits
+
+    return jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+
+
 @jax.jit
 def packed_to_int8(packed: jax.Array) -> jax.Array:
     """Device-side downcast of packed int16 blocks to int8 (caller must
