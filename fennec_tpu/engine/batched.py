@@ -23,6 +23,7 @@ import concurrent.futures
 import os
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -170,33 +171,41 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     nworkers = min(16, os.cpu_count() or 4)
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     pending = []
-    use_device_entropy = (opts.device_entropy and rwh is None)
+    if opts.device_entropy is None:
+        # Auto: device emission wins on TPU; on CPU the C++ host coder
+        # is faster than emulating the vector emission.
+        use_device_entropy = (rwh is None
+                              and jax.default_backend() == "tpu")
+    else:
+        use_device_entropy = (opts.device_entropy and rwh is None)
     inflight = []
 
-    def _collect_emit(entry):
+    def _overflow_redo(i: int, res: Result) -> None:
+        """Word-capacity overflow (pathological content or the Q=100
+        fallback inflating past the input size): redo this one image
+        through the per-image engine."""
+        from ..api import compress_bytes
+        r = compress_bytes(ctx, datas[i], opts)
+        results[i] = r
+        results[i].original_dimensions = res.original_dimensions
+
+    def _collect_emit(chunk_ids, handles):
         """Pull a device-entropy chunk: the scan bitstream was assembled
         on device; the host only 1-pads, byte-stuffs, and wraps."""
         from ..ops.jpeg_emit import finalize_scan_host
 
-        chunk_ids, (qs, ssims, found, words, bits), max_words = entry
+        qs, ssims, found, words, bits = handles
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
         f_host = np.asarray(found)
         bits_h = np.asarray(bits)
-        used = min(int(bits_h.max()) // 32 + 2, max_words)
+        used = min(int(bits_h.max()) // 32 + 2, emit_words)
         words_h = np.asarray(words[:, :used])
 
         def emit_one(i: int, j: int) -> None:
             res = results[i]
-            if int(bits_h[j]) + 64 > max_words * 32:
-                # Capacity overflow (pathological content or the Q=100
-                # fallback inflating past the input size): redo this one
-                # image through the per-image engine.
-                from ..api import compress_bytes
-                r = compress_bytes(ctx, datas[i], opts)
-                results[i] = r
-                results[i].original_dimensions = res.original_dimensions
-                return
+            if int(bits_h[j]) + 64 > emit_words * 32:
+                return _overflow_redo(i, res)
             quality = int(q_host[j])
             ssim_val = float(s_host[j])
             if not bool(f_host[j]):
@@ -214,13 +223,77 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         for j, i in enumerate(chunk_ids):
             pending.append(pool.submit(emit_one, i, j))
 
+    def _collect_opt(chunk_ids, handles):
+        """Device-entropy with PER-IMAGE OPTIMAL tables: stage-1 handles
+        carry tiny symbol histograms and device-resident coefficients;
+        build K.2 tables on the host pool, then dispatch the stage-2
+        emission on the resident coefficients."""
+        from ..codecs.huffopt import specs_from_frequencies
+        from ..codecs.jpeg import _dht_segment_custom
+        from ..ops.jpeg_emit import _code_arrays, finalize_scan_host
+        from ..parallel.batched import batched_emit_custom
+
+        qs, ssims, found, packed, dc_freq, ac_freq = handles
+        q_host = np.asarray(qs)
+        s_host = np.asarray(ssims)
+        f_host = np.asarray(found)
+        dcf = np.asarray(dc_freq).astype(np.int64)
+        acf = np.asarray(ac_freq).astype(np.int64)
+        nb = dcf.shape[0]
+
+        specs: List = [None] * nb
+        dc_tabs = np.zeros((nb, 2, 2, 16), np.int32)
+        ac_tabs = np.zeros((nb, 2, 2, 256), np.int32)
+
+        def build(j: int) -> None:
+            dc_specs, ac_specs = specs_from_frequencies(dcf[j], acf[j])
+            specs[j] = (dc_specs, ac_specs)
+            for cls in range(2):
+                c, ln = _code_arrays(*dc_specs[cls], 16)
+                dc_tabs[j, cls, 0], dc_tabs[j, cls, 1] = c, ln
+                c, ln = _code_arrays(*ac_specs[cls], 256)
+                ac_tabs[j, cls, 0], ac_tabs[j, cls, 1] = c, ln
+
+        list(pool.map(build, range(nb)))
+        words, bits = batched_emit_custom(
+            packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
+            h, w, subsample, emit_words)
+        bits_h = np.asarray(bits)
+        used = min(int(bits_h.max()) // 32 + 2, emit_words)
+        words_h = np.asarray(words[:, :used])
+
+        def emit_one(i: int, j: int) -> None:
+            res = results[i]
+            if int(bits_h[j]) + 64 > emit_words * 32:
+                return _overflow_redo(i, res)
+            quality = int(q_host[j])
+            ssim_val = float(s_host[j])
+            if not bool(f_host[j]):
+                quality, ssim_val = 100, 1.0
+            scan = finalize_scan_host(words_h[j], int(bits_h[j]))
+            dht = _dht_segment_custom(*specs[j])
+            data = assemble_jpeg(dst_w, dst_h,
+                                 all_quality_tables()[quality],
+                                 scan, subsample, dht=dht)
+            res.jpeg_quality = quality
+            res.ssim = ssim_val
+            res.compressed_data = data
+            res.compressed_size = len(data)
+            res.compute_stats()
+
+        for j, i in enumerate(chunk_ids):
+            pending.append(pool.submit(emit_one, i, j))
+
     def _collect(entry):
         """Pull a dispatched chunk's results and queue host encodes."""
         from ..parallel.batched import packed_to_int8, split_packed
 
-        if len(entry) == 3:
-            return _collect_emit(entry)
-        chunk_ids, (qs, ssims, found, packed, fits8) = entry
+        kind, chunk_ids, handles = entry
+        if kind == "emit":
+            return _collect_emit(chunk_ids, handles)
+        if kind == "opt":
+            return _collect_opt(chunk_ids, handles)
+        (qs, ssims, found, packed, fits8) = handles
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
         f_host = np.asarray(found)
@@ -345,7 +418,15 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
                 jnp.asarray(qts), h, w, in_sub, subsample,
                 resize_wh=rwh, resize_wv=rwv, targets=targets)
-            entry = (chunk, handles)
+            entry = ("quant", chunk, handles)
+        elif use_device_entropy and opts.optimize_huffman:
+            from ..parallel.batched import batched_decode_search_hist_i8
+
+            i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
+            handles = batched_decode_search_hist_i8(
+                jnp.asarray(i8), jnp.asarray(ei), jnp.asarray(ev),
+                jnp.asarray(qts), targets, h, w, in_sub, subsample)
+            entry = ("opt", chunk, handles)
         elif use_device_entropy:
             from ..parallel.batched import batched_decode_search_emit_i8
 
@@ -354,7 +435,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 jnp.asarray(i8), jnp.asarray(ei), jnp.asarray(ev),
                 jnp.asarray(qts), targets, h, w, in_sub, subsample,
                 emit_words)
-            entry = (chunk, handles, emit_words)
+            entry = ("emit", chunk, handles)
         else:
             from ..parallel.batched import batched_decode_search_quantize_i8
 
@@ -362,7 +443,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             handles = batched_decode_search_quantize_i8(
                 jnp.asarray(i8), jnp.asarray(ei), jnp.asarray(ev),
                 jnp.asarray(qts), targets, h, w, in_sub, subsample)
-            entry = (chunk, handles)
+            entry = ("quant", chunk, handles)
 
         # Pipeline: keep up to two chunks in flight; collect the oldest
         # while the device works on the newest.

@@ -142,18 +142,15 @@ def _lut(table_2xS: jnp.ndarray, idx: jax.Array):
     return (out[:, 0].reshape(idx.shape), out[:, 1].reshape(idx.shape))
 
 
-def _component_fields(blocks: jax.Array, order: np.ndarray,
-                      inv_order: np.ndarray, dc_tbl, ac_tbl):
-    """Per-block/position emission fields for one component.
+def _symbols(blocks: jax.Array, order: np.ndarray, inv_order: np.ndarray):
+    """Table-independent symbol stream of one component.
 
     blocks: (N, 64) natural-order raster.  Everything is raster-indexed;
-    DC diffs computed along the MCU chain and mapped back.
+    DC diffs computed along the MCU chain and mapped back.  The same
+    stream feeds both the emission (with code tables) and the symbol
+    histogram that optimal tables are built FROM — guaranteeing the two
+    agree.
     """
-    dc_codes_np, dc_lens_np = dc_tbl
-    ac_codes_np, ac_lens_np = ac_tbl
-    dc_table = jnp.asarray(np.stack([dc_codes_np, dc_lens_np]))
-    ac_table = jnp.asarray(np.stack([ac_codes_np, ac_lens_np]))
-
     zz = blocks.astype(jnp.int32)[:, ZIGZAG]
     n = zz.shape[0]
     idx = jnp.broadcast_to(jnp.arange(64, dtype=jnp.int32), (n, 64))
@@ -163,9 +160,7 @@ def _component_fields(blocks: jax.Array, order: np.ndarray,
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc_mcu[:-1]])
     diff = (dc_mcu - prev)[jnp.asarray(inv_order)]  # back to raster order
     s_dc = _bitlen(diff)
-    dc_code, dc_clen = _lut(dc_table, s_dc)
     dc_val = jnp.where(diff >= 0, diff, diff + (1 << s_dc) - 1)
-    dc_bits = dc_clen + s_dc
 
     nz = zz != 0
     nz_marked = nz.at[:, 0].set(True)
@@ -178,18 +173,44 @@ def _component_fields(blocks: jax.Array, order: np.ndarray,
     zrl = jnp.clip(gap // 16, 0, 3)
     rem = gap - zrl * 16
     sym = rem * 16 + s_ac
-    ac_code, ac_clen = _lut(ac_table, sym)
     ac_val = jnp.where(zz >= 0, zz, zz + (1 << s_ac) - 1)
     ac_nz = nz.at[:, 0].set(False)
+    has_eob = zz[:, 63] == 0
 
-    zrl_code = int(ac_codes_np[0xF0])
-    zrl_len = int(ac_lens_np[0xF0])
-    eob_code = int(ac_codes_np[0x00])
-    eob_clen = int(ac_lens_np[0x00])
+    return {
+        "s_dc": s_dc, "dc_val": dc_val, "sym": sym, "s_ac": s_ac,
+        "ac_val": ac_val, "ac_nz": ac_nz, "zrl": zrl, "has_eob": has_eob,
+    }
+
+
+def _component_fields(blocks: jax.Array, order: np.ndarray,
+                      inv_order: np.ndarray, dc_tbl, ac_tbl):
+    """Per-block/position emission fields for one component.
+
+    dc_tbl/ac_tbl: either static (codes_np, lens_np) tuples or traced
+    (2, S) arrays (row 0 codes, row 1 lengths) — the latter enables
+    per-image optimal tables under vmap.
+    """
+    if isinstance(dc_tbl, tuple):
+        dc_tbl = jnp.asarray(np.stack([dc_tbl[0], dc_tbl[1]]))
+    if isinstance(ac_tbl, tuple):
+        ac_tbl = jnp.asarray(np.stack([ac_tbl[0], ac_tbl[1]]))
+
+    s = _symbols(blocks, order, inv_order)
+    n = s["s_dc"].shape[0]
+    s_dc, s_ac = s["s_dc"], s["s_ac"]
+    dc_code, dc_clen = _lut(dc_tbl, s_dc)
+    dc_bits = dc_clen + s_dc
+    ac_code, ac_clen = _lut(ac_tbl, s["sym"])
+    ac_nz, zrl = s["ac_nz"], s["zrl"]
+
+    zrl_code = ac_tbl[0, 0xF0]
+    zrl_len = ac_tbl[1, 0xF0].astype(jnp.int32)
+    eob_code = ac_tbl[0, 0x00]
+    eob_clen = ac_tbl[1, 0x00].astype(jnp.int32)
 
     contrib = jnp.where(ac_nz, zrl * zrl_len + ac_clen + s_ac, 0)
-    has_eob = zz[:, 63] == 0
-    eob_len = jnp.where(has_eob, eob_clen, 0)
+    eob_len = jnp.where(s["has_eob"], eob_clen, 0)
     block_bits = dc_bits + jnp.sum(contrib, axis=1) + eob_len
     pos_start = dc_bits[:, None] + jnp.concatenate(
         [jnp.zeros((n, 1), jnp.int32),
@@ -197,14 +218,47 @@ def _component_fields(blocks: jax.Array, order: np.ndarray,
     eob_off = block_bits - eob_len
 
     return {
-        "dc_code": dc_code, "dc_clen": dc_clen, "dc_val": dc_val,
+        "dc_code": dc_code, "dc_clen": dc_clen, "dc_val": s["dc_val"],
         "s_dc": s_dc, "block_bits": block_bits,
-        "ac_code": ac_code, "ac_clen": ac_clen, "ac_val": ac_val,
+        "ac_code": ac_code, "ac_clen": ac_clen, "ac_val": s["ac_val"],
         "s_ac": s_ac, "ac_nz": ac_nz, "zrl": zrl,
         "zrl_code": zrl_code, "zrl_len": zrl_len,
-        "pos_start": pos_start, "has_eob": has_eob, "eob_off": eob_off,
+        "pos_start": pos_start, "has_eob": s["has_eob"],
+        "eob_off": eob_off,
         "eob_code": eob_code, "eob_clen": eob_clen,
     }
+
+
+def scan_symbol_hist_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
+                            padded_h: int, padded_w: int, subsample: bool):
+    """Per-class symbol frequencies of the scan — the device analogue of
+    the C++ fennec_jpeg_count_symbols (codecs/jpeg.py
+    encode_scan_optimized), feeding T.81 K.2 optimal-table construction.
+
+    Returns (dc_freq (2, 16) int32, ac_freq (2, 256) int32) for classes
+    [luma, chroma].  One-hot compare-reductions — no scatter.
+    """
+    layout, total = _scan_layout(padded_h, padded_w, subsample)
+    dc_bins = jnp.arange(16, dtype=jnp.int32)
+    ac_bins = jnp.arange(256, dtype=jnp.int32)
+    dc_freq = jnp.zeros((2, 16), jnp.int32)
+    ac_freq = jnp.zeros((2, 256), jnp.int32)
+    for blocks, (order, inv, _slot), cls in ((qy, layout[0], 0),
+                                             (qcb, layout[1], 1),
+                                             (qcr, layout[2], 1)):
+        s = _symbols(blocks, order, inv)
+        dc_h = jnp.sum(s["s_dc"][:, None] == dc_bins, axis=0,
+                       dtype=jnp.int32)
+        ac_h = jnp.sum((s["sym"][:, :, None] == ac_bins)
+                       & s["ac_nz"][:, :, None], axis=(0, 1),
+                       dtype=jnp.int32)
+        nzrl = jnp.sum(jnp.where(s["ac_nz"], s["zrl"], 0),
+                       dtype=jnp.int32)
+        neob = jnp.sum(s["has_eob"], dtype=jnp.int32)
+        ac_h = ac_h.at[0xF0].add(nzrl).at[0x00].add(neob)
+        dc_freq = dc_freq.at[cls].add(dc_h)
+        ac_freq = ac_freq.at[cls].add(ac_h)
+    return dc_freq, ac_freq
 
 
 # Per-block local bitstream buffer: 64 words = 2048 bits.  A block never
@@ -263,15 +317,15 @@ def _pack_blocks_local(fields) -> jax.Array:
     nz = fields["ac_nz"]
     z = fields["zrl"]
     zl = fields["zrl_len"]
-    zc = np.uint32(fields["zrl_code"])
+    zc = jnp.asarray(fields["zrl_code"]).astype(jnp.uint32)
+    zlu = jnp.asarray(zl).astype(jnp.uint32)
     n01 = jnp.minimum(z, 2)
     len01 = jnp.where(nz, n01 * zl, 0)
-    val01 = jnp.where(n01 == 2,
-                      (jnp.uint32(zc) << np.uint32(zl)) | zc,
-                      jnp.uint32(zc))
+    val01 = jnp.where(n01 == 2, (zc << zlu) | zc, zc)
+    val01 = jnp.broadcast_to(val01, nz.shape)
     buf = _deposit_local(buf, val01, len01, fields["pos_start"])
     len2 = jnp.where(nz & (z == 3), zl, 0)
-    buf = _deposit_local(buf, jnp.full_like(val01, zc), len2,
+    buf = _deposit_local(buf, jnp.broadcast_to(zc, nz.shape), len2,
                          fields["pos_start"] + len01)
     ac_len = jnp.where(nz, fields["ac_clen"] + fields["s_ac"], 0)
     ac_field = (fields["ac_code"] << fields["s_ac"]) | fields["ac_val"]
@@ -280,9 +334,9 @@ def _pack_blocks_local(fields) -> jax.Array:
 
     # EOB.
     eob_len = jnp.where(fields["has_eob"], fields["eob_clen"], 0)
-    buf = _deposit_local(
-        buf, jnp.full((n,), fields["eob_code"], jnp.uint32),
-        eob_len, fields["eob_off"])
+    eob = jnp.broadcast_to(
+        jnp.asarray(fields["eob_code"]).astype(jnp.uint32), (n,))
+    buf = _deposit_local(buf, eob, eob_len, fields["eob_off"])
     return buf
 
 
@@ -374,7 +428,7 @@ def _slot_permutation(padded_h: int, padded_w: int, subsample: bool):
 
 def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
                      padded_h: int, padded_w: int, subsample: bool,
-                     max_words: int):
+                     max_words: int, dc_tables=None, ac_tables=None):
     """Assemble the entropy-coded scan on device.
 
     Inputs: (N, 64) quantized blocks per component (natural order raster,
@@ -382,16 +436,28 @@ def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
     int32).  Caller must size max_words generously (bits never exceed
     26 per coefficient plus per-block overhead; scan_bits_device gives the
     exact count if needed).
+
+    dc_tables/ac_tables: optional traced per-image code tables, shaped
+    (2 classes, 2 {codes, lengths}, 16|256) — the device side of per-image
+    optimal Huffman.  None → the static Annex-K tables.
     """
-    dc_l, ac_l, dc_c, ac_c = _std_code_arrays()
     layout, total = _scan_layout(padded_h, padded_w, subsample)
+    if dc_tables is None:
+        dc_l, ac_l, dc_c, ac_c = _std_code_arrays()
+        tables = ((dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c))
+        k_window = 10  # Annex-K: every block is ≥ 4 bits
+    else:
+        tables = ((dc_tables[0], ac_tables[0]),
+                  (dc_tables[1], ac_tables[1]),
+                  (dc_tables[1], ac_tables[1]))
+        k_window = 17  # optimal tables: blocks can be as short as 2 bits
 
     bufs = []
     bits = []
-    for blocks, (order, inv, raster_slot), dct, act in (
-            (qy, layout[0], dc_l, ac_l),
-            (qcb, layout[1], dc_c, ac_c),
-            (qcr, layout[2], dc_c, ac_c)):
+    for blocks, (order, inv, raster_slot), (dct, act) in (
+            (qy, layout[0], tables[0]),
+            (qcb, layout[1], tables[1]),
+            (qcr, layout[2], tables[2])):
         fields = _component_fields(blocks, order, inv, dct, act)
         bufs.append(_pack_blocks_local(fields))
         bits.append(fields["block_bits"])
@@ -399,7 +465,7 @@ def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
     perm = jnp.asarray(_slot_permutation(padded_h, padded_w, subsample))
     bufs_slot = jnp.concatenate(bufs, axis=0)[perm]
     bits_slot = jnp.concatenate(bits)[perm]
-    return _assemble_global(bufs_slot, bits_slot, max_words)
+    return _assemble_global(bufs_slot, bits_slot, max_words, k_window)
 
 
 def finalize_scan_host(words: np.ndarray, total_bits: int) -> bytes:

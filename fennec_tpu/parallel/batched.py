@@ -254,6 +254,82 @@ def batched_decode_search_emit_i8(packed_i8: jax.Array,
     return jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def batched_decode_search_hist_i8(packed_i8: jax.Array,
+                                  exc_idx: jax.Array, exc_val: jax.Array,
+                                  in_qtabs: jax.Array, targets: jax.Array,
+                                  h: int, w: int, in_subsample: bool,
+                                  out_subsample: bool):
+    """Stage 1 of device-side optimal-Huffman encoding: decode + SSIM
+    search + quantize + per-class symbol HISTOGRAMS.
+
+    The winning coefficients stay RESIDENT on device (returned as an
+    array the caller holds but never downloads); only q/ssim/found and
+    the tiny (B, 2, 16)/(B, 2, 256) frequency tables come to the host,
+    which builds T.81 K.2 optimal tables and dispatches stage 2
+    (batched_emit_custom) on the resident coefficients.
+    """
+    from ..engine.compress import (
+        decode_jpeg_image_device,
+        quality_search_quantize_device,
+    )
+    from ..ops.jpeg_emit import scan_symbol_hist_device
+
+    dense = packed_i8.astype(jnp.int32)
+    flat = dense.reshape(-1).at[exc_idx].set(
+        exc_val.astype(jnp.int32), mode="drop")
+    dense = flat.reshape(packed_i8.shape)
+
+    mult_in = 16 if in_subsample else 8
+    phi, pwi = h + (-h) % mult_in, w + (-w) % mult_in
+    nyi = (phi // 8) * (pwi // 8)
+    nci = (phi // 16) * (pwi // 16) if in_subsample else nyi
+    in_y = dense[:, :nyi]
+    in_cb = dense[:, nyi:nyi + nci]
+    in_cr = dense[:, nyi + nci:]
+
+    mult = 16 if out_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if out_subsample else ny
+
+    def one(y, cb, cr, qt, t):
+        img = decode_jpeg_image_device(
+            y.astype(jnp.float32), cb.astype(jnp.float32),
+            cr.astype(jnp.float32), qt.astype(jnp.float32),
+            h, w, in_subsample)
+        q, s, f, packed = quality_search_quantize_device(img, t,
+                                                         out_subsample)
+        dc_freq, ac_freq = scan_symbol_hist_device(
+            packed[:ny], packed[ny:ny + nc], packed[ny + nc:],
+            ph, pw, out_subsample)
+        return q, s, f, packed, dc_freq, ac_freq
+
+    return jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def batched_emit_custom(packed: jax.Array, dc_tables: jax.Array,
+                        ac_tables: jax.Array, h: int, w: int,
+                        out_subsample: bool, max_words: int):
+    """Stage 2: Huffman-emit resident quantized coefficients with
+    per-image code tables.  packed: (B, Ny+2Nc, 64); dc_tables
+    (B, 2, 2, 16); ac_tables (B, 2, 2, 256).  Returns (words, bits)."""
+    from ..ops.jpeg_emit import emit_scan_device
+
+    mult = 16 if out_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if out_subsample else ny
+
+    def one(p, dct, act):
+        return emit_scan_device(
+            p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
+            max_words, dc_tables=dct, ac_tables=act)
+
+    return jax.vmap(one)(packed, dc_tables, ac_tables)
+
+
 @jax.jit
 def packed_to_int8(packed: jax.Array) -> jax.Array:
     """Device-side downcast of packed int16 blocks to int8 (caller must

@@ -256,11 +256,15 @@ class Options:
     # smaller files at identical pixels).  Beyond the reference, whose
     # stdlib encoder is fixed to the Annex-K tables.
     optimize_huffman: bool = True
-    # Assemble the entropy bitstream ON DEVICE (standard tables) in the
-    # batch engines — maximum throughput mode: the device→host transfer
-    # shrinks to roughly the output file size.  Mutually exclusive with
-    # optimize_huffman's size win (standard tables are used when set).
-    device_entropy: bool = False
+    # Assemble the entropy bitstream ON DEVICE in the batch engines —
+    # the device→host transfer shrinks to roughly the output file size.
+    # Composes with optimize_huffman: per-image optimal tables are built
+    # from device-computed symbol histograms and applied in a second
+    # emission pass on the resident coefficients (byte-identical output
+    # to the host optimal encoder).  None = auto: on when the default
+    # JAX backend is a TPU (device emission on CPU is slower than the
+    # C++ host coder), off otherwise.
+    device_entropy: Optional[bool] = None
 
     def validate(self) -> None:
         # reference types.go:185-202

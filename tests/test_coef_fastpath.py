@@ -153,6 +153,34 @@ class TestDeviceEntropy:
         out = decode_image(fast[0].compressed_data)
         assert ssim_fast(orig, out) == pytest.approx(fast[0].ssim, abs=0.01)
 
+    def test_device_optimal_byte_identical_to_host_optimal(self):
+        """The two-stage device path (symbol histograms on device → K.2
+        tables on host → custom-LUT emission on device) must reproduce
+        the host optimal-Huffman encoder byte for byte."""
+        datas = [jpeg_bytes(72, 56, s) for s in range(4)]
+        dev = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG,
+                                        device_entropy=True,
+                                        optimize_huffman=True))
+        host = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG,
+                                        device_entropy=False,
+                                        optimize_huffman=True))
+        for a, b in zip(dev, host):
+            assert a.compressed_data == b.compressed_data
+
+    def test_device_std_byte_identical_to_host_std(self):
+        datas = [jpeg_bytes(40, 40, 9)]
+        dev = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG,
+                                        device_entropy=True,
+                                        optimize_huffman=False))
+        host = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG,
+                                        device_entropy=False,
+                                        optimize_huffman=False))
+        assert dev[0].compressed_data == host[0].compressed_data
+
 
 class TestInt8Exceptions:
     def test_pack_roundtrip(self):
