@@ -114,87 +114,31 @@ def main():
 
     _enable_compile_cache()
 
-    from fennec_tpu.codecs.jpeg import (
-        assemble_jpeg,
-        encode_scan_optimized,
-    )
     from fennec_tpu.ops.dct import all_quality_tables
-    from fennec_tpu.parallel.batched import (
-        batched_search_and_quantize,
-        packed_to_int8,
-        split_packed,
-    )
 
     platform = jax.devices()[0].platform
 
     B, W, H = 32, 500, 500
-    # Opaque photos ship as RGB-only uint8 (alpha synthesized on device).
-    imgs_np = np.ascontiguousarray(
-        photo_batch(B, W, H).astype(np.uint8)[..., :3])
-    targets = jnp.full((B,), 0.94, dtype=jnp.float32)
+    imgs_np = photo_batch(B, W, H).astype(np.uint8)
 
-    n_workers = min(16, os.cpu_count() or 4)
-    pool = concurrent.futures.ThreadPoolExecutor(n_workers)
-    up = concurrent.futures.ThreadPoolExecutor(1)
-    down = concurrent.futures.ThreadPoolExecutor(1)
+    # In-memory phase: the public pixel-path engine (device search +
+    # device Huffman emission with per-image optimal tables on TPU).
+    import fennec_tpu as fennec
+    from fennec_tpu.engine.batched import compress_images_batched
 
-    def upload_phase():
-        """Upload + dispatch the fused search+quantize program; returns
-        device handles (async)."""
-        q, s, f, packed, fits8 = batched_search_and_quantize(
-            jnp.asarray(imgs_np), targets, True)
-        return q, s, f, packed, fits8
-
-    def download_phase(handles):
-        q, s, f, packed, fits8 = handles
-        if bool(fits8):
-            packed_h = np.asarray(packed_to_int8(packed))
-        else:
-            packed_h = np.asarray(packed)
-        return np.asarray(q), np.asarray(s), np.asarray(f), packed_h
-
-    def host_phase(round_data):
-        q_h, s_h, f_h, packed_h = round_data
-        qy, qcb, qcr, ph, pw = split_packed(packed_h, H, W, True)
-
-        def encode_one(i):
-            quality = int(q_h[i]) if f_h[i] else 100
-            scan, dht = encode_scan_optimized(
-                np.asarray(qy[i]), np.asarray(qcb[i]), np.asarray(qcr[i]),
-                ph, pw, True)
-            return assemble_jpeg(W, H, all_quality_tables()[quality],
-                                 scan, True, dht=dht)
-
-        return list(pool.map(encode_one, range(B))), s_h
-
-    # Warmup / compile.
-    host_phase(download_phase(upload_phase()))
-
-    # Three-stage pipeline: upload/dispatch (k+1), download (k), host
-    # Huffman (k-1) — tunnel directions and host CPU overlap.
     rounds = 8
+    images = [imgs_np[i % B] for i in range(B * rounds)]
+    opts = fennec.Options(format=fennec.JPEG)
+    compress_images_batched(None, images[:B * 2], opts)  # warm chunks
+
     start = time.perf_counter()
-    total_images = 0
-    total_bytes = 0
-    s_h = None
-    up_fut = up.submit(upload_phase)
-    down_fut = None
-    for r in range(rounds):
-        handles = up_fut.result()
-        if r + 1 < rounds:
-            up_fut = up.submit(upload_phase)
-        if down_fut is not None:
-            datas, s_h = host_phase(down_fut.result())
-            total_bytes += sum(len(d) for d in datas)
-            total_images += B
-        down_fut = down.submit(download_phase, handles)
-    datas, s_h = host_phase(down_fut.result())
-    total_bytes += sum(len(d) for d in datas)
-    total_images += B
+    rs = compress_images_batched(None, images, opts)
     elapsed = time.perf_counter() - start
 
+    total_images = len(images)
+    total_bytes = sum(r.compressed_size for r in rs)
     in_memory_ips = total_images / elapsed
-    mean_ssim = float(np.mean(s_h))
+    mean_ssim = float(np.mean([r.ssim for r in rs[:B]]))
     avg_bytes = int(total_bytes / total_images)
 
     # ── North-star workload: CompressBatch over real files ──

@@ -233,12 +233,15 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         from ..ops.jpeg_emit import _code_arrays, finalize_scan_host
         from ..parallel.batched import batched_emit_custom
 
-        qs, ssims, found, packed, dc_freq, ac_freq = handles
+        qs, ssims, found, packed, dc_freq, ac_freq, bits_std = handles
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
         f_host = np.asarray(found)
         dcf = np.asarray(dc_freq).astype(np.int64)
         acf = np.asarray(ac_freq).astype(np.int64)
+        # Exact sizing: optimal tables never beat the standard-table bit
+        # count they're built against, so overflow is impossible.
+        opt_words = _next_pow2(int(np.asarray(bits_std).max()) // 32 + 64)
         nb = dcf.shape[0]
 
         specs: List = [None] * nb
@@ -257,15 +260,13 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         list(pool.map(build, range(nb)))
         words, bits = batched_emit_custom(
             packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
-            h, w, subsample, emit_words)
+            h, w, subsample, opt_words)
         bits_h = np.asarray(bits)
-        used = min(int(bits_h.max()) // 32 + 2, emit_words)
+        used = min(int(bits_h.max()) // 32 + 2, opt_words)
         words_h = np.asarray(words[:, :used])
 
         def emit_one(i: int, j: int) -> None:
             res = results[i]
-            if int(bits_h[j]) + 64 > emit_words * 32:
-                return _overflow_redo(i, res)
             quality = int(q_host[j])
             ssim_val = float(s_host[j])
             if not bool(f_host[j]):
@@ -518,11 +519,35 @@ def compress_images_batched(ctx: Optional[Context],
     subsample = bool(opts.subsample)
     pending = []
     inflight = []
+    if opts.device_entropy is None:
+        use_device_entropy = jax.default_backend() == "tpu"
+    else:
+        use_device_entropy = bool(opts.device_entropy)
 
-    def _collect(entry):
+    def _overflow_redo(i: int) -> None:
+        import dataclasses as _dc
+
+        from ..api import compress_image
+        res = results[i]
+        r = compress_image(ctx, prepped[i],
+                           _dc.replace(opts, max_width=0, max_height=0))
+        r.original_dimensions = res.original_dimensions
+        results[i] = r
+
+    def _finalize(i, quality, ssim_val, found, data):
+        res = results[i]
+        if not found:
+            quality, ssim_val = 100, 1.0  # compress.go fallback
+        res.jpeg_quality = quality
+        res.ssim = ssim_val
+        res.compressed_data = data
+        res.compressed_size = len(data)
+        res.compute_stats()
+
+    def _collect_quant(chunk_ids, h, w, handles):
         from ..parallel.batched import packed_to_int8, split_packed
 
-        chunk_ids, (h, w), (qs, ssims, found, packed, fits8) = entry
+        qs, ssims, found, packed, fits8 = handles
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
         f_host = np.asarray(found)
@@ -535,33 +560,90 @@ def compress_images_batched(ctx: Optional[Context],
 
         def encode_one(i: int, j: int) -> None:
             # Pure host work: Huffman-code the device-quantized blocks.
-            res = results[i]
-            quality = int(q_host[j])
-            ssim_val = float(s_host[j])
-            if not bool(f_host[j]):
-                quality, ssim_val = 100, 1.0  # compress.go fallback
             if opts.optimize_huffman:
                 scan, dht = encode_scan_optimized(
                     np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
                     np.asarray(qcr_h[j]), ph, pw, subsample)
                 data = assemble_jpeg(
-                    w, h, all_quality_tables()[quality], scan,
+                    w, h, all_quality_tables()[int(q_host[j])], scan,
                     subsample, dht=dht)
             else:
                 scan = encode_scan_from_quantized(
                     np.asarray(qy_h[j]), np.asarray(qcb_h[j]),
                     np.asarray(qcr_h[j]), ph, pw, subsample)
                 data = assemble_jpeg(
-                    w, h, all_quality_tables()[quality], scan,
+                    w, h, all_quality_tables()[int(q_host[j])], scan,
                     subsample)
-            res.jpeg_quality = quality
-            res.ssim = ssim_val
-            res.compressed_data = data
-            res.compressed_size = len(data)
-            res.compute_stats()
+            _finalize(i, int(q_host[j]), float(s_host[j]),
+                      bool(f_host[j]), data)
 
         for j, i in enumerate(chunk_ids):
             pending.append(pool.submit(encode_one, i, j))
+
+    def _collect_dev(chunk_ids, h, w, handles, use_opt):
+        """Stage-2 device emission on resident coefficients, word buffer
+        sized from the exact standard-table bit counts (optimal tables
+        never exceed them, so overflow is impossible)."""
+        from ..codecs.huffopt import specs_from_frequencies
+        from ..codecs.jpeg import _dht_segment_custom
+        from ..ops.jpeg_emit import _code_arrays, finalize_scan_host
+        from ..parallel.batched import batched_emit_custom, batched_emit_std
+
+        qs, ssims, found, packed, dc_freq, ac_freq, bits_std = handles
+        q_host = np.asarray(qs)
+        s_host = np.asarray(ssims)
+        f_host = np.asarray(found)
+        bstd_h = np.asarray(bits_std)
+        emit_words = _next_pow2(int(bstd_h.max()) // 32 + 64)
+
+        specs: List = [None] * len(q_host)
+        if use_opt:
+            dcf = np.asarray(dc_freq).astype(np.int64)
+            acf = np.asarray(ac_freq).astype(np.int64)
+            nb = dcf.shape[0]
+            dc_tabs = np.zeros((nb, 2, 2, 16), np.int32)
+            ac_tabs = np.zeros((nb, 2, 2, 256), np.int32)
+
+            def build(j: int) -> None:
+                dc_specs, ac_specs = specs_from_frequencies(dcf[j], acf[j])
+                specs[j] = (dc_specs, ac_specs)
+                for cls in range(2):
+                    c, ln = _code_arrays(*dc_specs[cls], 16)
+                    dc_tabs[j, cls, 0], dc_tabs[j, cls, 1] = c, ln
+                    c, ln = _code_arrays(*ac_specs[cls], 256)
+                    ac_tabs[j, cls, 0], ac_tabs[j, cls, 1] = c, ln
+
+            list(pool.map(build, range(nb)))
+            words, bits = batched_emit_custom(
+                packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
+                h, w, subsample, emit_words)
+        else:
+            words, bits = batched_emit_std(packed, h, w, subsample,
+                                           emit_words)
+        bits_h = np.asarray(bits)
+        used = min(int(bits_h.max()) // 32 + 2, emit_words)
+        words_h = np.asarray(words[:, :used])
+
+        def emit_one(i: int, j: int) -> None:
+            quality = int(q_host[j])
+            if not bool(f_host[j]):
+                quality = 100
+            scan = finalize_scan_host(words_h[j], int(bits_h[j]))
+            dht = _dht_segment_custom(*specs[j]) if use_opt else None
+            data = assemble_jpeg(w, h, all_quality_tables()[quality],
+                                 scan, subsample, dht=dht)
+            _finalize(i, int(q_host[j]), float(s_host[j]),
+                      bool(f_host[j]), data)
+
+        for j, i in enumerate(chunk_ids):
+            pending.append(pool.submit(emit_one, i, j))
+
+    def _collect(entry):
+        kind, chunk_ids, (h, w), handles = entry
+        if kind == "dev":
+            return _collect_dev(chunk_ids, h, w, handles,
+                                bool(opts.optimize_huffman))
+        return _collect_quant(chunk_ids, h, w, handles)
 
     for (h, w), idxs in jpeg_buckets.items():
         for start in range(0, len(idxs), BATCH_CHUNK):
@@ -572,17 +654,29 @@ def compress_images_batched(ctx: Optional[Context],
             # Pad the chunk to a power of two to bound recompilation;
             # ship uint8 (4x less transfer), cast to f32 on device.
             padded = _next_pow2(b)
-            stack = np.empty((padded, h, w, 4), dtype=np.uint8)
+            # Opaque chunks ship RGB-only (25% less transfer); alpha is
+            # synthesized on device by the batched search kernels.
+            from ..image import is_opaque
+            nch = 3 if all(is_opaque(prepped[i]) for i in chunk) else 4
+            stack = np.empty((padded, h, w, nch), dtype=np.uint8)
             for j, i in enumerate(chunk):
-                stack[j] = prepped[i]
+                stack[j] = prepped[i][..., :nch]
             for j in range(b, padded):
                 stack[j] = stack[0]
             targets = jnp.full((padded,), target, dtype=jnp.float32)
-            handles = batched_search_and_quantize(
-                jnp.asarray(stack), targets, subsample)
+            if use_device_entropy:
+                from ..parallel.batched import batched_search_hist
+
+                handles = batched_search_hist(
+                    jnp.asarray(stack), targets, subsample)
+                entry = ("dev", chunk, (h, w), handles)
+            else:
+                handles = batched_search_and_quantize(
+                    jnp.asarray(stack), targets, subsample)
+                entry = ("quant", chunk, (h, w), handles)
             # Two chunks in flight: collect the oldest while the device
             # works on the newest.
-            inflight.append((chunk, (h, w), handles))
+            inflight.append(entry)
             if len(inflight) >= 2:
                 _collect(inflight.pop(0))
 

@@ -86,6 +86,19 @@ def _bitlen(v: jax.Array) -> jax.Array:
     return bits
 
 
+def _lut1(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Tiny-table lookup as a one-hot f32 dot — TPU element-gathers run
+    at a few thousand lookups/ms, the MXU does this at memory speed.
+    HIGHEST precision: the default matmul would feed bf16 to the MXU and
+    corrupt values wider than 8 mantissa bits."""
+    s = table.shape[0]
+    flat = idx.reshape(-1, 1)
+    onehot = (flat == jnp.arange(s, dtype=idx.dtype)).astype(jnp.float32)
+    vals = jnp.dot(onehot, table.astype(jnp.float32)[:, None],
+                   precision=jax.lax.Precision.HIGHEST)
+    return vals[:, 0].astype(jnp.int32).reshape(idx.shape)
+
+
 def component_scan_bits(qblocks: jax.Array, order: jax.Array,
                         dc_len: jax.Array, ac_len: jax.Array) -> jax.Array:
     """Total scan bits of one component's (N, 64) quantized blocks
@@ -97,7 +110,7 @@ def component_scan_bits(qblocks: jax.Array, order: jax.Array,
     dc_mcu = dc[order]
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc_mcu[:-1]])
     s_dc = _bitlen(dc_mcu - prev)
-    dc_bits = jnp.sum(dc_len[s_dc] + s_dc)
+    dc_bits = jnp.sum(_lut1(dc_len, s_dc) + s_dc)
 
     # ── AC: runs from exclusive cummax of nonzero positions ──
     n = zz.shape[0]
@@ -113,7 +126,7 @@ def component_scan_bits(qblocks: jax.Array, order: jax.Array,
     s_ac = _bitlen(zz)
     zrl = gap // 16
     rem = gap - zrl * 16
-    sym_bits = ac_len[rem * 16 + s_ac] + s_ac + zrl * ac_len[0xF0]
+    sym_bits = _lut1(ac_len, rem * 16 + s_ac) + s_ac + zrl * ac_len[0xF0]
     ac_nz = nz.at[:, 0].set(False)
     ac_bits = jnp.sum(jnp.where(ac_nz, sym_bits, 0))
 

@@ -61,6 +61,61 @@ def batched_search_and_quantize(imgs: jax.Array, targets: jax.Array,
     return q, s, f, packed, fits_int8
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def batched_search_hist(imgs: jax.Array, targets: jax.Array,
+                        subsample: bool = True):
+    """Pixel-path analogue of batched_decode_search_hist_i8: images in,
+    winning coefficients resident on device + per-class symbol histograms
+    + exact standard-table scan bits out.  Stage 2 (batched_emit_custom /
+    batched_emit_std) sizes its word buffer from the bit counts — optimal
+    tables never exceed the standard-table size, so overflow is
+    impossible by construction."""
+    from ..ops.jpeg_emit import scan_symbol_hist_device
+    from ..ops.jpeg_size import scan_bits_device
+
+    imgs = imgs.astype(jnp.float32)
+    if imgs.shape[-1] == 3:
+        alpha = jnp.full(imgs.shape[:-1] + (1,), 255.0, dtype=jnp.float32)
+        imgs = jnp.concatenate([imgs, alpha], axis=-1)
+    h, w = imgs.shape[1:3]
+    mult = 16 if subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if subsample else ny
+
+    def one(im, t):
+        q, s, f, packed = quality_search_quantize_device(im, t, subsample)
+        qy = packed[:ny]
+        qcb = packed[ny:ny + nc]
+        qcr = packed[ny + nc:]
+        dc_freq, ac_freq = scan_symbol_hist_device(
+            qy, qcb, qcr, ph, pw, subsample)
+        bits_std = scan_bits_device(qy, qcb, qcr, ph, pw, subsample)
+        return q, s, f, packed, dc_freq, ac_freq, bits_std
+
+    return jax.vmap(one)(imgs, targets)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def batched_emit_std(packed: jax.Array, h: int, w: int,
+                     out_subsample: bool, max_words: int):
+    """Stage 2 with the standard Annex-K tables: emit resident quantized
+    coefficients.  Returns (words, bits)."""
+    from ..ops.jpeg_emit import emit_scan_device
+
+    mult = 16 if out_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if out_subsample else ny
+
+    def one(p):
+        return emit_scan_device(
+            p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
+            max_words)
+
+    return jax.vmap(one)(packed)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def batched_decode_search_quantize(in_y: jax.Array, in_cb: jax.Array,
                                    in_cr: jax.Array, in_qtabs: jax.Array,
@@ -274,6 +329,7 @@ def batched_decode_search_hist_i8(packed_i8: jax.Array,
         quality_search_quantize_device,
     )
     from ..ops.jpeg_emit import scan_symbol_hist_device
+    from ..ops.jpeg_size import scan_bits_device
 
     dense = packed_i8.astype(jnp.int32)
     flat = dense.reshape(-1).at[exc_idx].set(
@@ -300,10 +356,14 @@ def batched_decode_search_hist_i8(packed_i8: jax.Array,
             h, w, in_subsample)
         q, s, f, packed = quality_search_quantize_device(img, t,
                                                          out_subsample)
+        qyo = packed[:ny]
+        qcbo = packed[ny:ny + nc]
+        qcro = packed[ny + nc:]
         dc_freq, ac_freq = scan_symbol_hist_device(
-            packed[:ny], packed[ny:ny + nc], packed[ny + nc:],
-            ph, pw, out_subsample)
-        return q, s, f, packed, dc_freq, ac_freq
+            qyo, qcbo, qcro, ph, pw, out_subsample)
+        bits_std = scan_bits_device(qyo, qcbo, qcro, ph, pw,
+                                    out_subsample)
+        return q, s, f, packed, dc_freq, ac_freq, bits_std
 
     return jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
 
