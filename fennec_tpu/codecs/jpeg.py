@@ -438,13 +438,14 @@ def decode_jpeg_to_coefs(data: bytes):
 
 def decode_jpeg_to_coefs_i8(data: bytes, out_flat: np.ndarray,
                             flat_base: int, max_exc: int = 16384):
-    """Decode a single-scan baseline JPEG straight into a flat int8 block
-    buffer with a sparse |v| > 127 exception list — the upload format of
-    the fused batch engine.  One C++ pass, no intermediate int16 arrays.
+    """Decode a single-scan baseline JPEG straight into a flat int8
+    ZIGZAG-order block buffer with a sparse |v| > 127 exception list —
+    the upload format of the fused batch engine.  One C++ pass, no
+    intermediate int16 arrays.
 
-    Returns (hdr, exc_idx, exc_val) or None when the fast path doesn't
-    apply (multi-scan file, native library absent, exception overflow);
-    callers fall back to decode_jpeg_to_coefs.
+    Returns (hdr, exc_idx, exc_val, max_zigzag_extent) or None when the
+    fast path doesn't apply (multi-scan file, native library absent,
+    exception overflow); callers fall back to decode_jpeg_to_coefs.
     """
     from .. import native
 
@@ -466,7 +467,7 @@ def decode_jpeg_to_coefs_i8(data: bytes, out_flat: np.ndarray,
                                    flat_base, max_exc)
     if r is None:
         return None
-    return hdr, r[0], r[1]
+    return hdr, r[0], r[1], r[2]
 
 
 def _decode_multiscan_to_coefs(data: bytes, hdr: JpegHeader,

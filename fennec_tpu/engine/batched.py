@@ -342,41 +342,59 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     nt = nyi + 2 * nci
 
     def _prep_chunk_i8(chunk, padded):
-        """Decode a chunk's files straight into the (padded, NT, 64) int8
-        upload buffer with sparse exceptions — one C++ pass per file on
-        the worker pool, no intermediate int16 stacks or concatenates."""
+        """Decode a chunk's files straight into the (padded, NT, 64)
+        int8 ZIGZAG-order upload buffer with sparse exceptions — one C++
+        pass per file on the worker pool, no intermediate int16 stacks —
+        then truncate to the chunk's maximum nonzero zigzag extent
+        (photo blocks end early in zigzag order, typically halving the
+        upload)."""
         from ..codecs.jpeg import decode_jpeg_to_coefs_i8
+        from ..ops.dct import ZIGZAG
 
         i8 = np.zeros((padded, nt, 64), np.int8)
         qts = np.zeros((padded, 2, 64), np.int32)
         exc_parts: List = [None] * len(chunk)
+        maxks = [1] * len(chunk)
 
         def one(j: int) -> None:
             r = decode_jpeg_to_coefs_i8(datas[chunk[j]],
                                         i8[j].reshape(-1), j * nt * 64)
             if r is not None:
-                hdr, ei, ev = r
+                hdr, ei, ev, mk = r
             else:  # dense fallback: exception-heavy or unusual file
                 hdr, coefs = decode_jpeg_to_coefs(datas[chunk[j]])
-                f16 = np.concatenate(
-                    [np.asarray(c, np.int16).reshape(-1) for c in coefs])
+                zz = np.concatenate(
+                    [np.asarray(c, np.int16)[:, ZIGZAG] for c in coefs])
+                f16 = zz.reshape(-1)
                 big = np.abs(f16) > 127
                 ei = (np.nonzero(big)[0] + j * nt * 64).astype(np.int32)
                 ev = f16[big]
                 f16 = f16.copy()
                 f16[big] = 0
                 i8[j] = f16.astype(np.int8).reshape(nt, 64)
+                nzc = np.nonzero(np.any(zz != 0, axis=0))[0]
+                mk = int(nzc[-1]) + 1 if nzc.size else 1
             qts[j] = np.stack(
                 [hdr.qtables[hdr.comps[0]["tq"]],
                  hdr.qtables[hdr.comps[1]["tq"]]]).astype(np.int32)
             exc_parts[j] = (ei, ev)
+            maxks[j] = mk
 
         list(pool.map(one, range(len(chunk))))
+        # Truncate trailing all-zero zigzag columns, bucketed to bound
+        # recompiles; exception indices remap to the narrow layout.
+        kk = max(maxks)
+        kk = min(64, ((kk + 15) // 16) * 16)
+        if kk < 64:
+            i8 = np.ascontiguousarray(i8[:, :, :kk])
         ei = np.concatenate([p[0] for p in exc_parts])
         ev = np.concatenate([p[1] for p in exc_parts])
+        if kk < 64 and ei.size:
+            ei = (ei // 64) * kk + (ei % 64)
+        ei = ei.astype(np.int32)
         pad = _next_pow2(max(int(ei.size), 1))
         if pad != ei.size:
-            fill = np.full(pad - ei.size, padded * nt * 64,
+            fill = np.full(pad - ei.size, padded * nt * kk,
                            dtype=np.int32)  # OOB → dropped on device
             ei = np.concatenate([ei, fill])
             ev = np.concatenate([ev, np.zeros(pad - ev.size, np.int16)])

@@ -108,11 +108,11 @@ def jpeg_decode_scan_i8(data: bytes, pos: int,
                         comps: List["entropy_py.DecodeComponentSpec"],
                         restart_interval: int, out_i8: np.ndarray,
                         flat_base: int, max_exc: int = 16384):
-    """Decode an interleaved scan straight into int8 blocks + exceptions.
-    Returns (exc_idx, exc_val) or None when the native library is absent
-    or the data needs the dense path (corrupt → ValueError propagates via
-    None too; callers re-decode through the int16 path which raises the
-    precise error)."""
+    """Decode an interleaved scan straight into int8 ZIGZAG-order blocks
+    + exceptions.  Returns (exc_idx, exc_val, max_zigzag_extent) or None
+    when the native library is absent or the data needs the dense path
+    (corrupt → ValueError propagates via None too; callers re-decode
+    through the int16 path which raises the precise error)."""
     lib = _load_native()
     if lib is None:
         return None

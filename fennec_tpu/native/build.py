@@ -88,6 +88,7 @@ class NativeLib:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_longlong,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.fennec_jpeg_decode_progressive_scan.restype = ctypes.c_long
         lib.fennec_jpeg_decode_progressive_scan.argtypes = [
@@ -236,11 +237,12 @@ class NativeLib:
     def decode_scan_i8(self, data: bytes, pos: int, comps,
                        restart_interval: int, out_i8: np.ndarray,
                        flat_base: int, max_exc: int = 16384):
-        """Decode an interleaved scan straight into int8 blocks + sparse
-        |v|>127 exceptions (absolute indices offset by flat_base).
-        out_i8: flat int8 view covering sum(bw*bh)*64 entries.  Returns
-        (exc_idx int32, exc_val int16).  Raises ValueError on corrupt
-        data, OverflowError when exceptions exceed max_exc."""
+        """Decode an interleaved scan straight into int8 ZIGZAG-order
+        blocks + sparse |v|>127 exceptions (absolute indices offset by
+        flat_base).  out_i8: flat int8 view covering sum(bw*bh)*64
+        entries.  Returns (exc_idx int32, exc_val int16, max_zigzag
+        extent).  Raises ValueError on corrupt data, OverflowError when
+        exceptions exceed max_exc."""
         n = len(comps)
         assert out_i8.dtype == np.int8 and out_i8.flags.c_contiguous
         bw = (ctypes.c_int * n)(*[c.bw for c in comps])
@@ -269,6 +271,7 @@ class NativeLib:
         ac_voff = (ctypes.c_int * n)(*offs)
         exc_idx = np.empty(max_exc, dtype=np.int32)
         exc_val = np.empty(max_exc, dtype=np.int16)
+        maxk = ctypes.c_int32(64)
         ne = self._lib.fennec_jpeg_decode_scan_i8(
             data, len(data), pos, n,
             out_i8.ctypes.data_as(ctypes.c_void_p),
@@ -277,12 +280,13 @@ class NativeLib:
             ac_bits, ac_vals, ac_nvals, ac_voff,
             restart_interval, flat_base,
             exc_idx.ctypes.data_as(ctypes.c_void_p),
-            exc_val.ctypes.data_as(ctypes.c_void_p), max_exc)
+            exc_val.ctypes.data_as(ctypes.c_void_p), max_exc,
+            ctypes.byref(maxk))
         if ne == -1:
             raise ValueError("fennec native: corrupt JPEG scan")
         if ne == -2:
             raise OverflowError("fennec native: too many int8 exceptions")
-        return exc_idx[:ne].copy(), exc_val[:ne].copy()
+        return exc_idx[:ne].copy(), exc_val[:ne].copy(), int(maxk.value)
 
     def decode_progressive_scan(self, data: bytes, pos: int,
                                 coefs: List[np.ndarray],

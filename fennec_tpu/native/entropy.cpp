@@ -725,12 +725,16 @@ long fennec_jpeg_decode_progressive_scan(
 
 // Decode an interleaved baseline scan DIRECTLY into an int8 coefficient
 // block with a sparse exception list — the upload format of the batched
-// TPU path (engine/batched.py).  out: (sum of bw[c]*bh[c]) x 64 int8,
-// components concatenated in raster order; coefficients with |v| > 127
-// are stored as 0 with (flat_base + flat_index, value) appended to the
-// exception arrays.  One pass, no intermediate int16 buffers.
-// Returns the exception count, or -1 on corrupt data, -2 on exception
-// overflow (caller falls back to the dense int16 path).
+// TPU path (engine/batched.py).  out: (sum of bw[c]*bh[c]) x 64 int8 in
+// ZIGZAG order (position k of a block row = zigzag index k — photo
+// blocks end early in zigzag order, so the engine can truncate the
+// trailing all-zero columns before upload); components concatenated in
+// raster order.  Coefficients with |v| > 127 are stored as 0 with
+// (flat_base + flat_index, value) appended to the exception arrays.
+// *out_maxk receives the maximum nonzero zigzag extent (highest nonzero
+// zigzag index + 1) across all blocks.  One pass, no intermediate int16
+// buffers.  Returns the exception count, or -1 on corrupt data, -2 on
+// exception overflow (caller falls back to the dense int16 path).
 long fennec_jpeg_decode_scan_i8(const uint8_t *data, long len, long pos,
                                 int ncomp, int8_t *out, const int *bw,
                                 const int *bh, const int *hs, const int *vs,
@@ -740,7 +744,8 @@ long fennec_jpeg_decode_scan_i8(const uint8_t *data, long len, long pos,
                                 const uint8_t *ac_vals, const int *ac_nvals,
                                 const int *ac_voff, int restart_interval,
                                 long long flat_base, int32_t *exc_idx,
-                                int16_t *exc_val, long max_exc) {
+                                int16_t *exc_val, long max_exc,
+                                int32_t *out_maxk) {
   if (ncomp < 1 || ncomp > 4) return -1;
   DecTable dct_[4], act_[4];
   long comp_off[4];
@@ -759,6 +764,7 @@ long fennec_jpeg_decode_scan_i8(const uint8_t *data, long len, long pos,
   int pred[4] = {0, 0, 0, 0};
   int mcu_count = 0;
   long ne = 0;
+  int maxk = 1;  // DC always present
 
   for (int my = 0; my < mcus_y; my++) {
     for (int mx = 0; mx < mcus_x; mx++) {
@@ -798,15 +804,15 @@ long fennec_jpeg_decode_scan_i8(const uint8_t *data, long len, long pos,
               k += run;
               if (k > 63) return -1;
               v = extend((int)r.read_bits(s), s);
-              int nat = kZigzag[k];
               if (v > 127 || v < -127) {
                 if (ne >= max_exc) return -2;
-                exc_idx[ne] = (int32_t)(flat_base + blk + nat);
+                exc_idx[ne] = (int32_t)(flat_base + blk + k);
                 exc_val[ne] = (int16_t)v;
                 ne++;
               } else {
-                bp[nat] = (int8_t)v;
+                bp[k] = (int8_t)v;  // zigzag-order row
               }
+              if (k + 1 > maxk) maxk = k + 1;
               k++;
             }
             if (r.bad) return -1;
@@ -816,6 +822,7 @@ long fennec_jpeg_decode_scan_i8(const uint8_t *data, long len, long pos,
       mcu_count++;
     }
   }
+  if (out_maxk) *out_maxk = maxk;
   return ne;
 }
 

@@ -176,6 +176,29 @@ def batched_decode_resize_search_quantize(
     return q, s, f, packed, fits_int8
 
 
+def _i8_zigzag_to_natural(packed_i8: jax.Array, exc_idx: jax.Array,
+                          exc_val: jax.Array) -> jax.Array:
+    """(B, NT, K≤64) int8 ZIGZAG-order blocks + sparse exceptions →
+    (B, NT, 64) int32 natural-order blocks.
+
+    The upload layout is zigzag-ordered and truncated at the batch's
+    maximum nonzero extent (decode_jpeg_to_coefs_i8); reconstruction is
+    a zero-pad plus a static column permutation — free under XLA.
+    """
+    from ..ops.dct import ZIGZAG
+
+    k = packed_i8.shape[-1]
+    dense = packed_i8.astype(jnp.int32)
+    flat = dense.reshape(-1).at[exc_idx].set(
+        exc_val.astype(jnp.int32), mode="drop")
+    dense = flat.reshape(packed_i8.shape)
+    if k < 64:
+        dense = jnp.pad(dense, ((0, 0), (0, 0), (0, 64 - k)))
+    inv = np.zeros(64, np.int32)
+    inv[np.asarray(ZIGZAG)] = np.arange(64, dtype=np.int32)
+    return dense[:, :, jnp.asarray(inv)]
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def batched_decode_search_quantize_i8(packed_i8: jax.Array,
                                       exc_idx: jax.Array,
@@ -186,15 +209,13 @@ def batched_decode_search_quantize_i8(packed_i8: jax.Array,
                                       out_subsample: bool):
     """Compact-upload variant of batched_decode_search_quantize.
 
-    packed_i8: (B, NT, 64) int8 input coefficients (y|cb|cr concatenated),
-    with |v| > 127 entries zeroed and carried in (exc_idx, exc_val) as
-    flat indices into the whole tensor (~0.5% of coefficients for typical
-    photographic JPEGs) — halves the host→device transfer.
+    packed_i8: (B, NT, K) int8 zigzag-order input coefficients (y|cb|cr
+    concatenated, truncated at the batch's max nonzero extent), with
+    |v| > 127 entries zeroed and carried in (exc_idx, exc_val) as flat
+    indices into the truncated tensor — typically a quarter of the dense
+    int16 host→device bytes.
     """
-    dense = packed_i8.astype(jnp.int32)
-    flat = dense.reshape(-1).at[exc_idx].set(
-        exc_val.astype(jnp.int32), mode="drop")
-    dense = flat.reshape(packed_i8.shape)
+    dense = _i8_zigzag_to_natural(packed_i8, exc_idx, exc_val)
 
     mult = 16 if in_subsample else 8
     ph, pw = h + (-h) % mult, w + (-w) % mult
@@ -276,10 +297,7 @@ def batched_decode_search_emit_i8(packed_i8: jax.Array,
     )
     from ..ops.jpeg_emit import emit_scan_device
 
-    dense = packed_i8.astype(jnp.int32)
-    flat = dense.reshape(-1).at[exc_idx].set(
-        exc_val.astype(jnp.int32), mode="drop")
-    dense = flat.reshape(packed_i8.shape)
+    dense = _i8_zigzag_to_natural(packed_i8, exc_idx, exc_val)
 
     mult_in = 16 if in_subsample else 8
     phi, pwi = h + (-h) % mult_in, w + (-w) % mult_in
@@ -331,10 +349,7 @@ def batched_decode_search_hist_i8(packed_i8: jax.Array,
     from ..ops.jpeg_emit import scan_symbol_hist_device
     from ..ops.jpeg_size import scan_bits_device
 
-    dense = packed_i8.astype(jnp.int32)
-    flat = dense.reshape(-1).at[exc_idx].set(
-        exc_val.astype(jnp.int32), mode="drop")
-    dense = flat.reshape(packed_i8.shape)
+    dense = _i8_zigzag_to_natural(packed_i8, exc_idx, exc_val)
 
     mult_in = 16 if in_subsample else 8
     phi, pwi = h + (-h) % mult_in, w + (-w) % mult_in
