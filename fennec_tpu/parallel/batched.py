@@ -442,6 +442,33 @@ def batched_quality_search_sharded(mesh: Mesh, imgs, targets,
     return fn(jax.device_put(imgs, img_sh), jax.device_put(targets, vec_sh))
 
 
+def batched_search_emit_sharded(mesh: Mesh, imgs, targets,
+                                subsample: bool, max_words: int):
+    """Mesh-sharded flagship path: SSIM-guided search + quantize +
+    device Huffman emission, batch axis sharded over 'data'.
+
+    One SPMD program: every chip searches, quantizes, and bit-packs its
+    shard of the batch; the host pulls per-image (q, ssim, found, words,
+    bits) shards.  No collectives are needed beyond the sharding itself —
+    images are independent, so XLA keeps all work chip-local (the
+    CompressBatch analogue of the reference's per-core worker pool,
+    batch.go:58-128)."""
+    img_sh = NamedSharding(mesh, P("data"))
+    vec_sh = NamedSharding(mesh, P("data"))
+
+    def run(im, t):
+        q, s, f, packed, dcf, acf, bits_std = batched_search_hist(
+            im, t, subsample)
+        words, bits = batched_emit_std(
+            packed, im.shape[1], im.shape[2], subsample, max_words)
+        return q, s, f, words, bits
+
+    fn = jax.jit(run, in_shardings=(img_sh, vec_sh),
+                 out_shardings=(vec_sh,) * 5)
+    return fn(jax.device_put(imgs, img_sh),
+              jax.device_put(targets, vec_sh))
+
+
 @jax.jit
 def batched_ssim(imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
     """Windowed SSIM per batch element: (B, H, W, 4) × 2 → (B,)."""

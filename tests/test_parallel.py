@@ -74,6 +74,35 @@ class TestBatchedSearch:
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    atol=1e-5)
 
+    def test_sharded_search_emit_matches_unsharded(self):
+        """The flagship search+quantize+device-emission path under a
+        'data' mesh: every chip bit-packs its own shard; results must be
+        byte-identical to the single-device program."""
+        from fennec_tpu.ops.jpeg_emit import finalize_scan_host
+        from fennec_tpu.parallel.batched import (
+            batched_emit_std,
+            batched_search_emit_sharded,
+            batched_search_hist,
+        )
+
+        mesh = data_mesh(8)
+        imgs = jnp.asarray(batch_of_images(8, 48, 32), dtype=jnp.float32)
+        targets = jnp.full((8,), 0.90, dtype=jnp.float32)
+        max_words = 2048
+
+        q1, s1, f1, packed, _dcf, _acf, _bits = batched_search_hist(
+            imgs, targets, True)
+        w1, b1 = batched_emit_std(packed, 32, 48, True, max_words)
+        q2, s2, f2, w2, b2 = batched_search_emit_sharded(
+            mesh, imgs, targets, True, max_words)
+
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        for j in range(8):
+            a = finalize_scan_host(np.asarray(w1[j]), int(b1[j]))
+            b = finalize_scan_host(np.asarray(w2[j]), int(b2[j]))
+            assert a == b
+
 
 class TestBatchedSSIM:
     def test_matches_host_ssim(self):
