@@ -19,16 +19,12 @@ from ..ops.jpeg_size import scan_bits_device
 MAX_STEPS = 7  # binary search over [1, 100]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def size_bisect_device(coefs, padded_h: int, padded_w: int,
-                       subsample: bool, *, target_bytes: jax.Array,
-                       lo0: jax.Array, hi0: jax.Array):
-    """Highest quality in [lo0, hi0] whose scan fits target_bytes
-    (header already subtracted by the caller).
-
-    Returns (best_q int32, found bool).  Sizes are exact bit counts /8 —
-    excludes 0xFF stuffing, so callers verify the winner's real bytes.
-    """
+def size_bisect_traceable(coefs, padded_h: int, padded_w: int,
+                          subsample: bool, target_bytes: jax.Array,
+                          lo0: jax.Array, hi0: jax.Array):
+    """Traceable body of size_bisect_device — composable inside larger
+    fused programs (e.g. the target-size engine's downsample→DCT→bisect
+    scale probe, engine/targetsize.py)."""
     all_tables = jnp.asarray(dct_ops.all_quality_tables(),
                              dtype=jnp.float32)
     cy, ccb, ccr = coefs
@@ -59,3 +55,17 @@ def size_bisect_device(coefs, padded_h: int, padded_w: int,
     init = (lo0, hi0, jnp.int32(0), jnp.bool_(False))
     _, _, best_q, found = jax.lax.fori_loop(0, MAX_STEPS, body, init)
     return best_q, found
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def size_bisect_device(coefs, padded_h: int, padded_w: int,
+                       subsample: bool, *, target_bytes: jax.Array,
+                       lo0: jax.Array, hi0: jax.Array):
+    """Highest quality in [lo0, hi0] whose scan fits target_bytes
+    (header already subtracted by the caller).
+
+    Returns (best_q int32, found bool).  Sizes are exact bit counts /8 —
+    excludes 0xFF stuffing, so callers verify the winner's real bytes.
+    """
+    return size_bisect_traceable(coefs, padded_h, padded_w, subsample,
+                                 target_bytes, lo0, hi0)

@@ -20,8 +20,10 @@ stdlib encoder is fixed 4:2:0 anyway (io.go:157-169); fennec-tpu uses
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +52,84 @@ class SizeResult:
 
 def _ctx_err(ctx: Optional[Context]) -> bool:
     return ctx is not None and ctx.done()
+
+
+def _bpp_bounds(target_bytes: int, pixels: int) -> Tuple[int, int]:
+    """Bits-per-pixel-seeded quality bounds (reference
+    targetsize.go:131-143)."""
+    target_bpp = target_bytes * 8 / max(1, pixels)
+    lo, hi = 1, 100
+    if target_bpp < 0.5:
+        hi = 40
+    elif target_bpp < 1.0:
+        lo, hi = 10, 70
+    elif target_bpp < 2.0:
+        lo, hi = 30, 90
+    elif target_bpp > 4.0:
+        lo = 60
+    return lo, hi
+
+
+@functools.lru_cache(maxsize=4096)
+def _header_len(w: int, h: int) -> int:
+    """JFIF container overhead for a 3-component 4:2:0 file — depends
+    only on dimensions (DQT/DHT/SOF/SOS lengths are fixed)."""
+    from ..codecs.jpeg import assemble_jpeg
+    from ..ops.dct import all_quality_tables
+    return len(assemble_jpeg(w, h, all_quality_tables()[50], b"", True))
+
+
+@jax.jit
+def _scale_probe_jit(src: jax.Array, wh: jax.Array, wv: jax.Array, *,
+                     target_scan_bytes: jax.Array, lo0: jax.Array,
+                     hi0: jax.Array):
+    """ONE fused dispatch per scale probe: box downsample → forward DCT
+    → 7-step exact-bit-count quality bisection (4:2:0, matching the
+    size-search encode)."""
+    from ..codecs.jpeg import forward_dct_device
+    from ..ops.resize import box_downsample_device
+    from .size_search import size_bisect_traceable
+
+    img = box_downsample_device(src, wh, wv)
+    h, w = img.shape[0], img.shape[1]
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    coefs = forward_dct_device(img, True)
+    return size_bisect_traceable(coefs, ph, pw, True,
+                                 target_scan_bytes, lo0, hi0)
+
+
+class _ScaleProber:
+    """Device-resident scale probing for the joint scale×quality search.
+
+    The reference runs a full encode per probe (targetsize.go:240-281);
+    the first fennec-tpu version still paid three device round trips per
+    probe (download downsampled pixels, re-upload for the DCT, bisect).
+    Here the source uploads ONCE and every probe is a single fused
+    dispatch.  Probes judge fit by exact scan bits + container bytes
+    (0xFF stuffing excluded — it cannot be known without assembling the
+    stream); the winning scale's candidate is then re-encoded and
+    verified against real bytes by jpeg_quality_search, preserving the
+    under-target guarantee.
+    """
+
+    def __init__(self, arr: np.ndarray):
+        self.h, self.w = arr.shape[:2]
+        self.src = jnp.asarray(to_nrgba_ref(arr), dtype=jnp.float32)
+
+    def probe(self, new_w: int, new_h: int,
+              target_bytes: int) -> Tuple[bool, int]:
+        """(fits, quality) for encoding at new_w×new_h within
+        target_bytes."""
+        from ..ops.resize import box_resize_weights
+
+        wh, wv = box_resize_weights(self.w, self.h, new_w, new_h)
+        lo, hi = _bpp_bounds(target_bytes, new_w * new_h)
+        budget = target_bytes - _header_len(new_w, new_h)
+        q, found = _scale_probe_jit(
+            self.src, jnp.asarray(wh), jnp.asarray(wv),
+            target_scan_bytes=jnp.int32(max(0, budget)),
+            lo0=jnp.int32(lo), hi0=jnp.int32(hi))
+        return bool(found), int(q)
 
 
 class _JpegSizer:
@@ -206,17 +286,7 @@ def jpeg_quality_search(src: np.ndarray, target_bytes: int,
     bits-per-pixel-seeded bounds (reference targetsize.go:125-176)."""
     arr = to_nrgba_ref(src)
     h, w = arr.shape[:2]
-    pixels = max(1, w * h)
-    target_bpp = target_bytes * 8 / pixels
-    lo, hi = 1, 100
-    if target_bpp < 0.5:
-        hi = 40
-    elif target_bpp < 1.0:
-        lo, hi = 10, 70
-    elif target_bpp < 2.0:
-        lo, hi = 30, 90
-    elif target_bpp > 4.0:
-        lo = 60
+    lo, hi = _bpp_bounds(target_bytes, w * h)
 
     if sizer is None:
         sizer = _JpegSizer(arr)
@@ -270,9 +340,11 @@ def jpeg_quality_scale_search(ctx: Optional[Context], src: np.ndarray,
     # reference targetsize.go:210-232
     arr = to_nrgba_ref(src)
     orig_h, orig_w = arr.shape[:2]
-    best = _find_best_scale_binary(ctx, arr, orig_w, orig_h, target_bytes)
-    best = _find_best_scale_fixed(ctx, arr, orig_w, orig_h, target_bytes,
-                                  best)
+    prober = _ScaleProber(arr)
+    best = _find_best_scale_binary(ctx, prober, orig_w, orig_h,
+                                   target_bytes)
+    best = _find_best_scale_fixed(ctx, prober, orig_w, orig_h,
+                                  target_bytes, best)
     if best is None:
         return None
     final_w = int(orig_w * best.scale)
@@ -287,8 +359,9 @@ def jpeg_quality_scale_search(ctx: Optional[Context], src: np.ndarray,
     return r
 
 
-def _find_best_scale_binary(ctx, src, orig_w, orig_h, target_bytes):
-    # reference targetsize.go:240-262
+def _find_best_scale_binary(ctx, prober: _ScaleProber, orig_w, orig_h,
+                            target_bytes):
+    # reference targetsize.go:240-262; each probe is one fused dispatch
     best = None
     lo_scale, hi_scale = 0.05, 1.0
     for _ in range(10):
@@ -299,18 +372,17 @@ def _find_best_scale_binary(ctx, src, orig_w, orig_h, target_bytes):
         if new_w < 8 or new_h < 8:
             lo_scale = mid
             continue
-        probe = box_downsample(src, new_w, new_h)
-        r = jpeg_quality_search(probe, target_bytes, skip_ssim=True)
-        if (r is not None and len(r.data) <= target_bytes
-                and r.quality >= MIN_JPEG_QUALITY):
-            best = _ScaleCandidate(mid, r.quality, len(r.data))
+        fits, q = prober.probe(new_w, new_h, target_bytes)
+        if fits and q >= MIN_JPEG_QUALITY:
+            best = _ScaleCandidate(mid, q, 0)
             lo_scale = mid
         else:
             hi_scale = mid
     return best
 
 
-def _find_best_scale_fixed(ctx, src, orig_w, orig_h, target_bytes, best):
+def _find_best_scale_fixed(ctx, prober: _ScaleProber, orig_w, orig_h,
+                           target_bytes, best):
     # reference targetsize.go:264-281
     for scale in (0.75, 0.50, 0.375, 0.25):
         if _ctx_err(ctx):
@@ -318,12 +390,10 @@ def _find_best_scale_fixed(ctx, src, orig_w, orig_h, target_bytes, best):
         new_w, new_h = int(orig_w * scale), int(orig_h * scale)
         if new_w < 8 or new_h < 8:
             continue
-        probe = box_downsample(src, new_w, new_h)
-        r = jpeg_quality_search(probe, target_bytes, skip_ssim=True)
-        if (r is not None and len(r.data) <= target_bytes
-                and r.quality >= MIN_JPEG_QUALITY):
+        fits, q = prober.probe(new_w, new_h, target_bytes)
+        if fits and q >= MIN_JPEG_QUALITY:
             if best is None or scale > best.scale:
-                best = _ScaleCandidate(scale, r.quality, len(r.data))
+                best = _ScaleCandidate(scale, q, 0)
     return best
 
 
@@ -336,6 +406,7 @@ def scale_search(ctx: Optional[Context], src: np.ndarray, target_bytes: int,
     arr = to_nrgba_ref(src)
     orig_h, orig_w = arr.shape[:2]
     lo, hi, best_scale, best_q = 0.05, 1.0, 0.0, 0
+    prober = _ScaleProber(arr) if fmt == Format.JPEG else None
 
     for _ in range(12):
         if _ctx_err(ctx):
@@ -345,8 +416,12 @@ def scale_search(ctx: Optional[Context], src: np.ndarray, target_bytes: int,
         if new_w < 1 or new_h < 1:
             lo = mid
             continue
-        fits, q = _test_scale_fits(box_downsample(arr, new_w, new_h),
-                                   target_bytes, fmt)
+        if prober is not None and new_w >= 8 and new_h >= 8:
+            ok, q = prober.probe(new_w, new_h, target_bytes)
+            fits, q = (ok and q >= MIN_JPEG_QUALITY), q
+        else:
+            fits, q = _test_scale_fits(box_downsample(arr, new_w, new_h),
+                                       target_bytes, fmt)
         if fits:
             best_scale, best_q, lo = mid, q, mid
         else:
