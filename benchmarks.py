@@ -170,6 +170,30 @@ def bench_compress_balanced_100():
             "detail": {"mean_ssim": round(mean_ssim, 4)}}
 
 
+def bench_target_size():
+    """Full four-strategy target-size engine, 500×500 → 20 KB
+    (reference TargetSize runs its encoder once per bisection step;
+    here every probe is one fused device dispatch)."""
+    from fennec_tpu.types import Format, Options
+
+    import fennec_tpu as fennec
+
+    img = photo_batch(1, 500, 500)[0].astype(np.uint8)
+    opts = Options(format=Format.JPEG, target_size=20_000)
+    fennec.compress_image(None, img, opts)  # warm/compile
+
+    t0 = time.perf_counter()
+    n = 4
+    for _ in range(n):
+        r = fennec.compress_image(None, img, opts)
+    dt = (time.perf_counter() - t0) / n
+    assert r.compressed_size <= 20_000
+    return {"metric": "target_size_500px_images_per_sec",
+            "value": round(1 / dt, 2), "unit": "images/sec/chip",
+            "detail": {"bytes": r.compressed_size,
+                       "quality": r.jpeg_quality}}
+
+
 def bench_analyze():
     """Analyze 1000×1000 (reference: ~5ms on M2, README.md:318)."""
     from fennec_tpu.analyze import analyze
@@ -253,6 +277,7 @@ ALL = {
     "blur": bench_gaussian_blur,
     "adaptive_sharpen": bench_adaptive_sharpen,
     "compress_batch_files": bench_compress_batch_files,
+    "target_size": bench_target_size,
 }
 
 

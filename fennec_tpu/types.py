@@ -340,6 +340,24 @@ class Result:
             raise NoCompressedDataError()
         return w.write(self.compressed_data)
 
+    def load_image(self) -> np.ndarray:
+        """The final image as (H, W, 4) uint8.
+
+        On the standard pixel pipeline this is the processed pre-encode
+        image (`self.image`, reference types.go:224).  On the fused
+        coefficient fast path pixels never reach the host by design, so
+        `image` is None — this accessor then decodes `compressed_data`
+        on demand (identical dimensions; pixel values are the encoded
+        output, i.e. they include the final quantization).
+        """
+        if self.image is not None:
+            return self.image
+        if not self.compressed_data:
+            raise NoCompressedDataError()
+        from .codecs import decode_image
+        self.image = decode_image(self.compressed_data)
+        return self.image
+
     def bytes(self) -> bytes:
         return self.compressed_data
 

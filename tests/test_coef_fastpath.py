@@ -169,6 +169,17 @@ class TestDeviceEntropy:
         for a, b in zip(dev, host):
             assert a.compressed_data == b.compressed_data
 
+    def test_load_image_on_fast_path(self):
+        """Result.image is None on the coefficient fast path (pixels
+        never reach the host); load_image() decodes on demand."""
+        datas = [jpeg_bytes(40, 32, 3)]
+        rs = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG))
+        assert rs[0].image is None
+        img = rs[0].load_image()
+        assert img.shape == (32, 40, 4) and img.dtype == np.uint8
+        assert rs[0].image is not None  # cached
+
     def test_device_std_byte_identical_to_host_std(self):
         datas = [jpeg_bytes(40, 40, 9)]
         dev = compress_jpeg_bytes_batched(
