@@ -64,3 +64,97 @@ def test_solid_image_emission():
         jnp.asarray(qy), jnp.asarray(qcb), jnp.asarray(qcr),
         ph, pw, True, 4096)
     assert finalize_scan_host(np.asarray(words), int(bits)) == want
+
+
+def _emit_vs_host(qy, qcb, qcr, ph, pw, subsample=True):
+    want = encode_scan_from_quantized(qy, qcb, qcr, ph, pw, subsample)
+    max_words = (qy.shape[0] + qcb.shape[0] + qcr.shape[0]) * 64 + 64
+    words, bits = emit_scan_device(
+        jnp.asarray(qy), jnp.asarray(qcb), jnp.asarray(qcr),
+        ph, pw, subsample, max_words)
+    got = finalize_scan_host(np.asarray(words), int(bits))
+    assert got == want
+
+
+class TestAdversarialCoefficients:
+    """Direct coefficient-tensor attacks on the emission kernel: maximal
+    block lengths, ZRL-run extremes, and magnitude boundaries — cases a
+    real encoder pipeline never produces together."""
+
+    def _geom(self, blocks_w=4, blocks_h=4):
+        ph, pw = blocks_h * 16, blocks_w * 16
+        ny = (ph // 8) * (pw // 8)
+        nc = (ph // 16) * (pw // 16)
+        return ph, pw, ny, nc
+
+    def test_all_coefficients_maximal(self):
+        """Every coefficient at ±2047/±1023: the densest legal blocks
+        (~1650 bits each — the LWORDS=64 local buffer's worst case)."""
+        ph, pw, ny, nc = self._geom()
+        rng = np.random.default_rng(0)
+        sign = lambda shape: rng.choice([-1, 1], size=shape)
+        qy = (sign((ny, 64)) * 1023).astype(np.int32)
+        qy[:, 0] = rng.integers(-2047, 2048, ny)
+        qcb = (sign((nc, 64)) * 255).astype(np.int32)
+        qcr = (sign((nc, 64)) * 511).astype(np.int32)
+        _emit_vs_host(qy, qcb, qcr, ph, pw)
+
+    def test_zrl_runs(self):
+        """Single nonzero at the last zigzag position → three ZRLs per
+        block; also gaps of exactly 16/32/47."""
+        from fennec_tpu.ops.dct import ZIGZAG
+        ph, pw, ny, nc = self._geom()
+        qy = np.zeros((ny, 64), np.int32)
+        qy[:, ZIGZAG[63]] = 5          # gap 62: ZRL ZRL ZRL + code
+        qy[1::3, ZIGZAG[17]] = -3      # gap 16: one ZRL
+        qy[2::3, ZIGZAG[33]] = 7       # gap 32: two ZRLs
+        qcb = np.zeros((nc, 64), np.int32)
+        qcb[:, ZIGZAG[48]] = -1
+        qcr = np.zeros((nc, 64), np.int32)
+        qcr[:, 0] = 1024
+        _emit_vs_host(qy, qcb, qcr, ph, pw)
+
+    def test_magnitude_boundaries(self):
+        """Values at every size-category boundary ±(2^k-1), ±2^k."""
+        ph, pw, ny, nc = self._geom()
+        vals = []
+        for k in range(1, 11):
+            vals += [(1 << k) - 1, 1 << k, -((1 << k) - 1), -(1 << k)]
+        qy = np.zeros((ny, 64), np.int32)
+        flat = np.resize(np.asarray(vals, np.int32), ny * 63)
+        qy[:, 1:] = flat.reshape(ny, 63)
+        qcb = np.zeros((nc, 64), np.int32)
+        qcr = np.zeros((nc, 64), np.int32)
+        _emit_vs_host(qy, qcb, qcr, ph, pw)
+
+    def test_dc_only_alternating_extremes(self):
+        """DC prediction chain swinging rail to rail (diff = ±4094)."""
+        ph, pw, ny, nc = self._geom(blocks_w=8, blocks_h=2)
+        qy = np.zeros((ny, 64), np.int32)
+        qy[:, 0] = np.where(np.arange(ny) % 2 == 0, 2047, -2047)
+        qcb = np.zeros((nc, 64), np.int32)
+        qcr = np.zeros((nc, 64), np.int32)
+        _emit_vs_host(qy, qcb, qcr, ph, pw)
+
+    def test_fuzz_roundtrip_decode(self):
+        """Random sparse tensors: emitted stream must decode back to the
+        exact coefficients via the C++ scan decoder."""
+        from fennec_tpu.codecs.jpeg import assemble_jpeg, decode_jpeg_to_coefs
+        from fennec_tpu.ops.dct import all_quality_tables
+        ph, pw, ny, nc = self._geom()
+        rng = np.random.default_rng(7)
+        qy = (rng.integers(-300, 300, (ny, 64))
+              * (rng.random((ny, 64)) < 0.15)).astype(np.int32)
+        qcb = (rng.integers(-80, 80, (nc, 64))
+               * (rng.random((nc, 64)) < 0.1)).astype(np.int32)
+        qcr = np.zeros((nc, 64), np.int32)
+        max_words = (ny + 2 * nc) * 64 + 64
+        words, bits = emit_scan_device(
+            jnp.asarray(qy), jnp.asarray(qcb), jnp.asarray(qcr),
+            ph, pw, True, max_words)
+        scan = finalize_scan_host(np.asarray(words), int(bits))
+        data = assemble_jpeg(pw, ph, all_quality_tables()[50], scan, True)
+        hdr, coefs = decode_jpeg_to_coefs(data)
+        np.testing.assert_array_equal(np.asarray(coefs[0], np.int32), qy)
+        np.testing.assert_array_equal(np.asarray(coefs[1], np.int32), qcb)
+        np.testing.assert_array_equal(np.asarray(coefs[2], np.int32), qcr)
