@@ -10,8 +10,12 @@ mega-batches:
   2. within a bucket, run the vmapped lockstep quality bisection for up to
      BATCH_CHUNK images at a time — every image carries its own (lo, hi)
      search state, so mixed difficulty costs nothing extra;
-  3. entropy-code each winner on the host thread pool (C++ codec, GIL
-     released) while the device works on the next chunk.
+  3. entropy-code the winners.  On TPU the Huffman bitstream is ASSEMBLED
+     ON DEVICE (ops/jpeg_emit.py) — with per-image optimal tables built
+     from device symbol histograms when optimize_huffman is on — and the
+     host only byte-stuffs and wraps the container; on CPU backends the
+     C++ host codec does the scan while the device works on the next
+     chunk (Options.device_entropy=None auto-selects).
 
 PNG-routed images (alpha / few colors under AUTO) take the per-image PNG
 path — palette work is host-side anyway.
