@@ -295,9 +295,70 @@ def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,
         # initial hi (Q=100) and reports bestSSIM=1.0 (compress.go:29-32,82-86).
         quality, ssim_val = 100, 1.0
 
-    data = encode_jpeg_from_coefs(coefs, w, h, quality, subsample,
-                                  optimize=opts.optimize_huffman)
+    if opts.device_entropy is None:
+        use_dev = jax.default_backend() == "tpu"
+    else:
+        use_dev = bool(opts.device_entropy)
+    if use_dev:
+        data = _encode_from_coefs_device(coefs, w, h, quality, subsample,
+                                         opts.optimize_huffman)
+    else:
+        data = encode_jpeg_from_coefs(coefs, w, h, quality, subsample,
+                                      optimize=opts.optimize_huffman)
     return quality, ssim_val, data
+
+
+def _encode_from_coefs_device(coefs, w: int, h: int, quality: int,
+                              subsample: bool, optimize: bool) -> bytes:
+    """Single-image device Huffman emission (byte-identical to the host
+    encoder): quantize at the winning quality, pull only tiny symbol
+    histograms + the exact bit count, emit the bitstream on device with
+    standard or per-image optimal tables, and wrap the container on the
+    host.  The device→host transfer is ≈ the output file size — the
+    coefficient download it replaces runs at tunnel-latency rates."""
+    from ..codecs.huffopt import specs_from_frequencies
+    from ..codecs.jpeg import (
+        _dht_segment_custom,
+        assemble_jpeg,
+        quantize_coefs_device,
+    )
+    from ..ops.jpeg_emit import _code_arrays, finalize_scan_host
+    from ..parallel.batched import (
+        batched_emit_custom,
+        batched_emit_std,
+        packed_hist_bits,
+    )
+
+    qt = jnp.asarray(dct_ops.all_quality_tables()[quality],
+                     dtype=jnp.float32)
+    qy, qcb, qcr = quantize_coefs_device(coefs, qt, subsample)
+    packed = jnp.concatenate([qy, qcb, qcr], axis=0).astype(jnp.int16)[None]
+    dcf, acf, bits_std = packed_hist_bits(packed, h, w, subsample)
+    nbits = int(np.asarray(bits_std)[0])
+    max_words = max(256, 1 << (nbits // 32 + 64).bit_length())
+    dht = None
+    if optimize:
+        dc_specs, ac_specs = specs_from_frequencies(
+            np.asarray(dcf)[0].astype(np.int64),
+            np.asarray(acf)[0].astype(np.int64))
+        dc_tabs = np.zeros((1, 2, 2, 16), np.int32)
+        ac_tabs = np.zeros((1, 2, 2, 256), np.int32)
+        for cls in range(2):
+            c, ln = _code_arrays(*dc_specs[cls], 16)
+            dc_tabs[0, cls, 0], dc_tabs[0, cls, 1] = c, ln
+            c, ln = _code_arrays(*ac_specs[cls], 256)
+            ac_tabs[0, cls, 0], ac_tabs[0, cls, 1] = c, ln
+        words, bits = batched_emit_custom(
+            packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
+            h, w, subsample, max_words)
+        dht = _dht_segment_custom(dc_specs, ac_specs)
+    else:
+        words, bits = batched_emit_std(packed, h, w, subsample, max_words)
+    nb = int(np.asarray(bits)[0])
+    used = min(nb // 32 + 2, max_words)
+    scan = finalize_scan_host(np.asarray(words[0, :used]), nb)
+    return assemble_jpeg(w, h, dct_ops.all_quality_tables()[quality],
+                         scan, subsample, dht=dht)
 
 
 # ── PNG optimizer ───────────────────────────────────────────────────────────

@@ -96,6 +96,31 @@ def batched_search_hist(imgs: jax.Array, targets: jax.Array,
     return jax.vmap(one)(imgs, targets)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def packed_hist_bits(packed: jax.Array, h: int, w: int,
+                     out_subsample: bool):
+    """Symbol histograms + exact standard-table bit count for already-
+    quantized packed blocks (B, Ny+2Nc, 64) — stage 1 of device emission
+    when the search already ran (single-image path, engine/compress.py).
+    Returns (dc_freq (B,2,16), ac_freq (B,2,256), bits (B,))."""
+    from ..ops.jpeg_emit import scan_symbol_hist_device
+    from ..ops.jpeg_size import scan_bits_device
+
+    mult = 16 if out_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if out_subsample else ny
+
+    def one(p):
+        qy, qcb, qcr = p[:ny], p[ny:ny + nc], p[ny + nc:]
+        dcf, acf = scan_symbol_hist_device(qy, qcb, qcr, ph, pw,
+                                           out_subsample)
+        bits = scan_bits_device(qy, qcb, qcr, ph, pw, out_subsample)
+        return dcf, acf, bits
+
+    return jax.vmap(one)(packed)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def batched_emit_std(packed: jax.Array, h: int, w: int,
                      out_subsample: bool, max_words: int):

@@ -137,6 +137,25 @@ class TestTargetSize:
         assert res.format == fennec.PNG
 
 
+class TestSingleImageDeviceEmission:
+    def test_byte_identical_to_host_encoder(self):
+        """compress_image with device_entropy must reproduce the host
+        encoder byte for byte, with and without optimal Huffman."""
+        import fennec_tpu as fennec
+        from conftest import make_noise_image
+
+        img = make_noise_image(80, 64, seed=11)
+        for optimize in (True, False):
+            a = fennec.compress_image(None, img, fennec.Options(
+                format=fennec.JPEG, optimize_huffman=optimize,
+                device_entropy=True))
+            b = fennec.compress_image(None, img, fennec.Options(
+                format=fennec.JPEG, optimize_huffman=optimize,
+                device_entropy=False))
+            assert a.compressed_data == b.compressed_data
+            assert a.jpeg_quality == b.jpeg_quality
+
+
 class TestErrors:
     def test_nil_image(self):
         with pytest.raises(fennec.NilImageError):
