@@ -11,10 +11,8 @@ Baseline: the reference does ~22 images/sec/core for CompressImage
 (Balanced, 500×500) on Apple M2 (BASELINE.md: 45 ms/image).
 """
 
-import concurrent.futures
 import json
 import os
-import sys
 import time
 
 import numpy as np

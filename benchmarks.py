@@ -67,11 +67,6 @@ def bench_ssim_fast_4k_batched():
     from fennec_tpu.ops.color import luminance_device
     from fennec_tpu.ops.resize import box_resize_weights
     from fennec_tpu.ops.ssim import ssim_fast_dims
-    from fennec_tpu.ops.ssim_pallas import (
-        batched_ssim_pallas,
-        pallas_ssim_available,
-    )
-    from fennec_tpu.parallel.batched import batched_ssim
 
     B, W, H = 16, 3840, 2160
     # SSIMFast path downsamples 4K → ≤512 first; model that cost too.

@@ -99,10 +99,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         is_progressive_jpeg,
     )
     from ..ops.resize import resize_weights, smart_resize_dims
-    from ..parallel.batched import (
-        batched_decode_resize_search_quantize,
-        batched_decode_search_quantize,
-    )
+    from ..parallel.batched import batched_decode_resize_search_quantize
 
     if opts.format != Format.JPEG:
         return None

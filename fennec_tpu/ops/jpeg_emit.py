@@ -31,7 +31,7 @@ equality with the C++ encoder is asserted in tests.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
