@@ -94,6 +94,13 @@ def main(argv: Optional[list] = None) -> int:
                    help="Batch worker threads (0 = cpu count)")
     p.add_argument("--skip-existing", action="store_true",
                    help="Batch mode: skip files whose output already exists")
+    p.add_argument("--no-optimize-huffman", action="store_true",
+                   help="Use fixed Annex-K Huffman tables instead of "
+                        "per-image optimal tables (faster, ~3-8% larger)")
+    p.add_argument("--device-entropy", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="Assemble the JPEG bitstream on the accelerator "
+                        "(auto: on when running on TPU)")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Verbose output")
     p.add_argument("input", help="Input image path")
@@ -177,6 +184,11 @@ def _build_options(args) -> Optional[Options]:
     opts.max_height = args.max_height
     if args.no_orient:
         opts.auto_orient = False
+    if getattr(args, "no_optimize_huffman", False):
+        opts.optimize_huffman = False
+    de = getattr(args, "device_entropy", "auto")
+    if de != "auto":
+        opts.device_entropy = (de == "on")
     if args.ssim > 0:
         if args.ssim > 1.0:
             print("Error: --ssim must be in (0, 1]", file=sys.stderr)
