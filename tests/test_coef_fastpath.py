@@ -192,6 +192,24 @@ class TestDeviceEntropy:
                                         optimize_huffman=False))
         assert dev[0].compressed_data == host[0].compressed_data
 
+    @pytest.mark.parametrize("optimize", [True, False])
+    def test_device_entropy_444_output(self, optimize):
+        """4:4:4 output (subsample=False) through the fused device
+        emission, byte-identical to the host encoders."""
+        datas = [jpeg_bytes(56, 40, s) for s in range(2)]
+        dev = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG,
+                                        subsample=False,
+                                        device_entropy=True,
+                                        optimize_huffman=optimize))
+        host = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG,
+                                        subsample=False,
+                                        device_entropy=False,
+                                        optimize_huffman=optimize))
+        for a, b in zip(dev, host):
+            assert a.compressed_data == b.compressed_data
+
 
 class TestInt8Exceptions:
     def test_pack_roundtrip(self):
