@@ -205,17 +205,27 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                       f"{len(pixel_items)}", flush=True)
             if pixel_items:
                 decoded = []
+                decodable = []
                 for i in pixel_items:
-                    img = decode_image(raw[i])
-                    if opts.auto_orient and \
-                            orients[i] > int(Orientation.NORMAL):
-                        img = apply_orientation(
-                            to_nrgba(img), Orientation(orients[i]))
+                    try:
+                        img = decode_image(raw[i])
+                        if opts.auto_orient and \
+                                orients[i] > int(Orientation.NORMAL):
+                            img = apply_orientation(
+                                to_nrgba(img), Orientation(orients[i]))
+                    except Exception as e:
+                        # Per-item capture (batch.go:108-113): one
+                        # undecodable file must not degrade the whole
+                        # fused batch.
+                        results[i].err = e
+                        continue
                     decoded.append(img)
+                    decodable.append(i)
                 pixel_results = compress_images_batched(
                     ctx, decoded, sub_opts, workers=batch_opts.workers)
-                for i, r in zip(pixel_items, pixel_results):
+                for i, r in zip(decodable, pixel_results):
                     compressed_by_index[i] = r
+            live = [i for i in live if results[i].err is None]
             compressed = [compressed_by_index[i] for i in live]
         except Exception as e:
             import warnings

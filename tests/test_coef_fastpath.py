@@ -169,6 +169,31 @@ class TestDeviceEntropy:
         for a, b in zip(dev, host):
             assert a.compressed_data == b.compressed_data
 
+    def test_corrupt_file_does_not_degrade_fused_batch(self, tmp_path):
+        """One undecodable file gets a per-item error; the rest still go
+        through the fused coefficient fast path (reference semantics:
+        batch.go:108-113 — one bad file never aborts the batch)."""
+        import warnings
+
+        paths = []
+        for i in range(3):
+            p = tmp_path / f"g{i}.jpg"
+            p.write_bytes(jpeg_bytes(48, 48, i))
+            paths.append(str(p))
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"\xff\xd8\xff\xdbgarbage-not-a-real-jpeg")
+        paths.append(str(bad))
+        items = [fennec.BatchItem(src=p, dst=str(tmp_path / f"d{i}.jpg"))
+                 for i, p in enumerate(paths)]
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no fused-path-failed warning
+            res = fennec.compress_batch(
+                None, items, fennec.BatchOptions(
+                    fused=True,
+                    default_opts=fennec.Options(format=fennec.JPEG)))
+        assert [r.err is None for r in res] == [True, True, True, False]
+        assert all(r.result.compressed_size > 0 for r in res[:3])
+
     def test_load_image_on_fast_path(self):
         """Result.image is None on the coefficient fast path (pixels
         never reach the host); load_image() decodes on demand."""
