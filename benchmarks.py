@@ -189,6 +189,30 @@ def bench_target_size():
                        "quality": r.jpeg_quality}}
 
 
+def bench_target_size_batch(n: int = 32):
+    """Batched lockstep target-size engine over a 500×500 bucket
+    (engine/targetsize_batched.py): vmapped S1 bisection + lockstep S3
+    scale probes — dispatch count is per-GROUP, not per-image."""
+    from fennec_tpu.engine.batched import compress_images_batched
+    from fennec_tpu.types import Format, Options
+
+    imgs = [photo_batch(1, 500, 500, seed=i)[0].astype(np.uint8)
+            for i in range(n)]
+    opts = Options(format=Format.JPEG, target_size=20_000)
+    compress_images_batched(None, imgs, opts)  # warm/compile
+
+    t0 = time.perf_counter()
+    results = compress_images_batched(None, imgs, opts)
+    dt = time.perf_counter() - t0
+    ips = n / dt
+    over = sum(1 for r in results if r.compressed_size > 20_000)
+    return {"metric": "target_size_batch_500px_images_per_sec",
+            "value": round(ips, 2), "unit": "images/sec/chip",
+            "detail": {"n": n, "over_target": over,
+                       "mean_quality": round(float(np.mean(
+                           [r.jpeg_quality for r in results])), 1)}}
+
+
 def bench_analyze():
     """Analyze 1000×1000 (reference: ~5ms on M2, README.md:318)."""
     from fennec_tpu.analyze import analyze
@@ -273,6 +297,7 @@ ALL = {
     "adaptive_sharpen": bench_adaptive_sharpen,
     "compress_batch_files": bench_compress_batch_files,
     "target_size": bench_target_size,
+    "target_size_batch": bench_target_size_batch,
 }
 
 

@@ -75,10 +75,10 @@ def compress_batch(ctx: Optional[Context], items: List[BatchItem],
     homogeneous = all(it.opts is None for it in items)
     use_fused = batch_opts.fused
     if use_fused is None:
-        use_fused = (homogeneous and len(items) >= 8
-                     and batch_opts.default_opts.target_size == 0)
-    if use_fused and homogeneous \
-            and batch_opts.default_opts.target_size == 0:
+        use_fused = homogeneous and len(items) >= 8
+    if use_fused and homogeneous:
+        # Standard mode uses the mega-batch engine; target-size mode uses
+        # the batched lockstep search (engine/targetsize_batched.py).
         return _compress_batch_fused(ctx, items, batch_opts)
 
     workers = batch_opts.workers if batch_opts.workers > 0 \

@@ -479,6 +479,56 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     return results
 
 
+def _compress_images_targetsize(ctx: Optional[Context],
+                                images: List[np.ndarray],
+                                opts: Options) -> List[Result]:
+    """Target-size mode over many images: same-shape buckets run through
+    the batched lockstep engine (engine/targetsize_batched.py); singleton
+    shapes take the per-image engine.  Per-image results are identical to
+    compress_image with the same options."""
+    from .targetsize import hit_target_size
+    from .targetsize_batched import hit_target_size_batched
+
+    n = len(images)
+    results: List[Optional[Result]] = [None] * n
+    prepped: List[np.ndarray] = [None] * n  # type: ignore[list-item]
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for i, img in enumerate(images):
+        if ctx is not None:
+            ctx.raise_if_done()
+        arr = to_nrgba(validate_image(img))
+        res = Result(original_dimensions=(arr.shape[1], arr.shape[0]))
+        if opts.max_width > 0 or opts.max_height > 0:
+            arr = smart_resize(arr, opts.max_width, opts.max_height)
+        res.image = arr
+        res.final_dimensions = (arr.shape[1], arr.shape[0])
+        results[i] = res
+        prepped[i] = arr
+        buckets.setdefault(arr.shape[:2], []).append(i)
+
+    for shape, idxs in buckets.items():
+        if ctx is not None:
+            ctx.raise_if_done()
+        if len(idxs) >= 2:
+            srs = hit_target_size_batched(
+                ctx, [prepped[i] for i in idxs], opts.target_size, opts)
+        else:
+            srs = [hit_target_size(ctx, prepped[idxs[0]],
+                                   opts.target_size, opts)]
+        for i, sr in zip(idxs, srs):
+            res = results[i]
+            res.compressed_data = sr.data
+            res.format = sr.format
+            res.jpeg_quality = sr.quality
+            res.ssim = sr.ssim
+            res.final_dimensions = (sr.final_w, sr.final_h)
+            if sr.img is not None:
+                res.image = sr.img
+            res.compressed_size = len(sr.data)
+            res.compute_stats()
+    return results  # type: ignore[return-value]
+
+
 def compress_images_batched(ctx: Optional[Context],
                             images: List[np.ndarray],
                             opts: Options,
@@ -497,8 +547,7 @@ def compress_images_batched(ctx: Optional[Context],
         return []
 
     if opts.target_size > 0:
-        from ..api import compress_image
-        return [compress_image(ctx, im, opts) for im in images]
+        return _compress_images_targetsize(ctx, images, opts)
 
     target = opts.quality.target_ssim()
     if 0.0 < opts.target_ssim <= 1.0:

@@ -270,10 +270,10 @@ def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,
     coefs = forward_dct_device(img_dev, subsample)
 
     # Cached SSIMFast reference: downsampled original luminance.
+    from ..ops.resize import box_weights_device
+
     ds_w, ds_h = ssim_fast_dims(w, h)
-    wh, wv = box_resize_weights(w, h, ds_w, ds_h)
-    box_wh = jnp.asarray(wh)
-    box_wv = jnp.asarray(wv)
+    box_wh, box_wv = box_weights_device(w, h, ds_w, ds_h)
     if (ds_w, ds_h) != (w, h):
         r = _box_down_plane(img_dev[..., 0], box_wh, box_wv)
         g = _box_down_plane(img_dev[..., 1], box_wh, box_wv)

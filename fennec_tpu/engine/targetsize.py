@@ -85,7 +85,8 @@ def _scale_probe_jit(src: jax.Array, wh: jax.Array, wv: jax.Array, *,
                      hi0: jax.Array):
     """ONE fused dispatch per scale probe: box downsample → forward DCT
     → 7-step exact-bit-count quality bisection (4:2:0, matching the
-    size-search encode)."""
+    size-search encode).  Weight matrices arrive device-resident
+    (box_weights_device) — probes don't re-ship megabytes per call."""
     from ..codecs.jpeg import forward_dct_device
     from ..ops.resize import box_downsample_device
     from .size_search import size_bisect_traceable
@@ -114,19 +115,20 @@ class _ScaleProber:
 
     def __init__(self, arr: np.ndarray):
         self.h, self.w = arr.shape[:2]
-        self.src = jnp.asarray(to_nrgba_ref(arr), dtype=jnp.float32)
+        # Ship uint8; the probe jit casts on device (4x less transfer).
+        self.src = jnp.asarray(to_nrgba_ref(arr))
 
     def probe(self, new_w: int, new_h: int,
               target_bytes: int) -> Tuple[bool, int]:
         """(fits, quality) for encoding at new_w×new_h within
         target_bytes."""
-        from ..ops.resize import box_resize_weights
+        from ..ops.resize import box_weights_device
 
-        wh, wv = box_resize_weights(self.w, self.h, new_w, new_h)
+        wh, wv = box_weights_device(self.w, self.h, new_w, new_h)
         lo, hi = _bpp_bounds(target_bytes, new_w * new_h)
         budget = target_bytes - _header_len(new_w, new_h)
         q, found = _scale_probe_jit(
-            self.src, jnp.asarray(wh), jnp.asarray(wv),
+            self.src, wh, wv,
             target_scan_bytes=jnp.int32(max(0, budget)),
             lo0=jnp.int32(lo), hi0=jnp.int32(hi))
         return bool(found), int(q)

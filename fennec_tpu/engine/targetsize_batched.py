@@ -1,0 +1,511 @@
+"""Batched (vmapped, lockstep) target-file-size engine.
+
+The per-image engine (engine/targetsize.py) already runs each quality→size
+bisection and each scale probe as one fused device dispatch, but a batch of
+N images still pays ~15 dispatches per image — RPC-latency-bound on hosted
+TPU links.  This module restructures the reference's 4-strategy search
+(targetsize.go:26-348) over a whole same-shape bucket of images:
+
+  * S1 (quality binary search, targetsize.go:125-176): ONE dispatch runs
+    the vmapped forward DCT + exact-bit-count bisection for every image;
+    byte verification (0xFF stuffing) and the optimal-Huffman ascent run
+    as masked whole-batch encode rounds (2 dispatches each, usually 0-1
+    rounds).
+  * S3 (joint scale×quality, targetsize.go:210-281): the per-image binary
+    scale searches advance in LOCKSTEP — at each iteration, images whose
+    search state agrees on the probe scale share one vmapped
+    downsample→DCT→bisect dispatch; the four fixed scales are one dispatch
+    each for the whole bucket.  Final re-encodes group by output geometry.
+  * S2 (median-cut palette PNG) is host-bound (zlib, box splits) and runs
+    per image on the worker pool, exactly as the per-image engine does.
+  * S4 / fallback are rare (only when S1–S3 all fail) and stay per-image.
+
+Candidate ranking (better_fit), the minJPEGQuality=20 floor, BPP-seeded
+bounds, and the scale grids are identical to the per-image engine.  For
+each image the chosen strategy, quality, and output geometry match
+hit_target_size; output bytes normally match too, though a vmapped
+Lanczos resize can round a single pixel differently from the per-image
+resize (f32 knife-edge), shifting the entropy-coded size by a few bytes
+(tests/test_targetsize_batched.py pins the equivalence contract).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import functools
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..image import is_opaque, to_nrgba_ref
+from ..ops import dct as dct_ops
+from ..types import Context, Format, Options
+from .size_search import size_bisect_traceable
+from .targetsize import (
+    MIN_JPEG_QUALITY,
+    SizeResult,
+    _bpp_bounds,
+    _ctx_err,
+    _fallback_encode,
+    _header_len,
+    better_fit,
+    quantize_strategy,
+    scale_search,
+)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# ── Jitted batch kernels ─────────────────────────────────────────────────────
+
+
+@jax.jit
+def _s1_stage1_jit(stack: jax.Array, budget: jax.Array, lo0: jax.Array,
+                   hi0: jax.Array):
+    """Vmapped forward DCT + exact-size quality bisection (4:2:0).
+
+    stack: (B, H, W, 4) uint8/float.  Returns (q, found, coefs) with the
+    unquantized coefficients left RESIDENT on device for the encode rounds.
+    """
+    h, w = int(stack.shape[1]), int(stack.shape[2])
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+
+    def one(im):
+        from ..codecs.jpeg import forward_dct_device
+
+        coefs = forward_dct_device(im.astype(jnp.float32), True)
+        q, found = size_bisect_traceable(coefs, ph, pw, True, budget,
+                                         lo0, hi0)
+        return q, found, jnp.concatenate(coefs, axis=0)
+
+    return jax.vmap(one)(stack)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _quantize_hist_jit(coefs: jax.Array, qvec: jax.Array, h: int, w: int):
+    """Quantize resident (B, NT, 64) coefficients at per-image qualities;
+    also return per-class symbol histograms + the exact standard-table
+    scan bit count (stage 1 of optimal-Huffman emission)."""
+    from ..ops.jpeg_emit import scan_symbol_hist_device
+    from ..ops.jpeg_size import scan_bits_device
+
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16)
+    all_tables = jnp.asarray(dct_ops.all_quality_tables(),
+                             dtype=jnp.float32)
+
+    def one(c, q):
+        qtab = jax.lax.dynamic_index_in_dim(all_tables, q, axis=0,
+                                            keepdims=False)
+        qy = dct_ops.quantize_blocks(c[:ny], qtab[0])
+        qcb = dct_ops.quantize_blocks(c[ny:ny + nc], qtab[1])
+        qcr = dct_ops.quantize_blocks(c[ny + nc:], qtab[1])
+        packed = jnp.concatenate([qy, qcb, qcr], axis=0).astype(jnp.int16)
+        dcf, acf = scan_symbol_hist_device(qy, qcb, qcr, ph, pw, True)
+        bits = scan_bits_device(qy, qcb, qcr, ph, pw, True)
+        return packed, dcf, acf, bits
+
+    return jax.vmap(one)(coefs, qvec)
+
+
+@jax.jit
+def _scale_probe_batched_jit(stack: jax.Array, idx: jax.Array,
+                             wh: jax.Array, wv: jax.Array,
+                             budget: jax.Array, lo0: jax.Array,
+                             hi0: jax.Array):
+    """One lockstep scale probe for a group of images: gather the group
+    from the resident source stack, box-downsample with the SHARED weight
+    matrices (same source dims + same probe scale, device-resident via
+    box_weights_device — no per-probe megabyte uploads), forward DCT, and
+    run the exact-bit-count quality bisection — one dispatch per group."""
+    from ..codecs.jpeg import forward_dct_device
+    from ..ops.resize import box_downsample_device
+
+    sub = stack[idx]
+
+    def one(im):
+        img = box_downsample_device(im.astype(jnp.float32), wh, wv)
+        h, w = int(img.shape[0]), int(img.shape[1])
+        ph, pw = h + (-h) % 16, w + (-w) % 16
+        coefs = forward_dct_device(img, True)
+        return size_bisect_traceable(coefs, ph, pw, True, budget, lo0, hi0)
+
+    return jax.vmap(one)(sub)
+
+
+@jax.jit
+def _resize_group_jit(stack: jax.Array, idx: jax.Array, wh: jax.Array,
+                      wv: jax.Array) -> jax.Array:
+    """Gather a group and Lanczos-resize it with shared device-resident
+    weights (lanczos_weights_device)."""
+    from ..ops.resize import lanczos_resize_device
+
+    return jax.vmap(
+        lambda im: lanczos_resize_device(im.astype(jnp.float32), wh, wv)
+    )(stack[idx])
+
+
+# ── Host-side batch encode (optimal Huffman, byte-identical to the host
+#    encoder — same two-stage emission as the standard-mode batch path) ──────
+
+
+def _encode_batch_at(pool, coefs: jax.Array, qvec: np.ndarray,
+                     h: int, w: int) -> List[bytes]:
+    """Encode every image's resident coefficients at its own quality with
+    per-image optimal Huffman tables (the target-size engine always
+    optimizes, matching _JpegSizer).  2 device dispatches per call."""
+    from ..codecs.huffopt import specs_from_frequencies
+    from ..codecs.jpeg import _dht_segment_custom, assemble_jpeg
+    from ..ops.jpeg_emit import _code_arrays, finalize_scan_host
+    from ..parallel.batched import batched_emit_custom
+
+    b = len(qvec)
+    packed, dcf, acf, bits_std = _quantize_hist_jit(
+        coefs, jnp.asarray(qvec, dtype=jnp.int32), h, w)
+    dcf_h = np.asarray(dcf).astype(np.int64)
+    acf_h = np.asarray(acf).astype(np.int64)
+    bstd_h = np.asarray(bits_std)
+
+    specs: List = [None] * b
+    dc_tabs = np.zeros((b, 2, 2, 16), np.int32)
+    ac_tabs = np.zeros((b, 2, 2, 256), np.int32)
+
+    def build(j: int) -> None:
+        dc_specs, ac_specs = specs_from_frequencies(dcf_h[j], acf_h[j])
+        specs[j] = (dc_specs, ac_specs)
+        for cls in range(2):
+            c, ln = _code_arrays(*dc_specs[cls], 16)
+            dc_tabs[j, cls, 0], dc_tabs[j, cls, 1] = c, ln
+            c, ln = _code_arrays(*ac_specs[cls], 256)
+            ac_tabs[j, cls, 0], ac_tabs[j, cls, 1] = c, ln
+
+    list(pool.map(build, range(b)))
+    # Optimal tables never exceed the standard-table bit count they are
+    # built against, so the exact counts size the word buffer safely.
+    max_words = _next_pow2(int(bstd_h.max()) // 32 + 64)
+    words, bits = batched_emit_custom(
+        packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs), h, w, True,
+        max_words)
+    bits_h = np.asarray(bits)
+    used = min(int(bits_h.max()) // 32 + 2, max_words)
+    words_h = np.asarray(words[:, :used])
+
+    out: List[Optional[bytes]] = [None] * b
+    qtabs = dct_ops.all_quality_tables()
+
+    def emit(j: int) -> None:
+        scan = finalize_scan_host(words_h[j], int(bits_h[j]))
+        dht = _dht_segment_custom(*specs[j])
+        out[j] = assemble_jpeg(w, h, qtabs[int(qvec[j])], scan, True,
+                               dht=dht)
+
+    list(pool.map(emit, range(b)))
+    return out  # type: ignore[return-value]
+
+
+def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
+                     target_bytes: int
+                     ) -> Tuple[np.ndarray, np.ndarray, List[bytes]]:
+    """Vectorized _JpegSizer.search over a resident stack.
+
+    Returns (qualities (B,) int, ok (B,) bool, data list) — ok[i] False
+    means no quality in bounds fit (the per-image search returned None).
+    Matches _JpegSizer.search per image: bisect on the exact bit-count
+    oracle, verify real bytes stepping down, then probe up while the
+    optimized encoding still fits (engine/targetsize.py:166-199).
+    """
+    lo, hi = _bpp_bounds(target_bytes, w * h)
+    budget = max(0, target_bytes - _header_len(w, h))
+    q_dev, found_dev, coefs = _s1_stage1_jit(
+        stack_dev, jnp.int32(budget), jnp.int32(lo), jnp.int32(hi))
+    q = np.asarray(q_dev).astype(np.int64)
+    ok = np.asarray(found_dev).copy()
+    b = q.shape[0]
+    data: List[Optional[bytes]] = [None] * b
+    q = np.where(ok, q, lo)  # placeholder quality for dead lanes
+
+    # Verify-down rounds: stuffing can push the real byte size past the
+    # bit-count oracle; step those images down one quality per round.
+    pending = ok.copy()
+    while pending.any():
+        enc = _encode_batch_at(pool, coefs, q.astype(np.int32), h, w)
+        for j in range(b):
+            if not pending[j]:
+                continue
+            if len(enc[j]) <= target_bytes:
+                data[j] = enc[j]
+                pending[j] = False
+            else:
+                q[j] -= 1
+                if q[j] < lo:
+                    ok[j] = False
+                    pending[j] = False
+                    q[j] = lo
+
+    # Ascent rounds: optimized Huffman beats the standard-table oracle, so
+    # a higher quality may fit — restore maximality (same loop as
+    # _JpegSizer.search), one whole-batch encode per round.
+    climbing = ok & (q < hi)
+    while climbing.any():
+        trial = np.where(climbing, q + 1, q)
+        enc = _encode_batch_at(pool, coefs, trial.astype(np.int32), h, w)
+        for j in range(b):
+            if not climbing[j]:
+                continue
+            if len(enc[j]) <= target_bytes:
+                q[j] += 1
+                data[j] = enc[j]
+                if q[j] >= hi:
+                    climbing[j] = False
+            else:
+                climbing[j] = False
+
+    return q, ok, data  # type: ignore[return-value]
+
+
+# ── Batched strategies ───────────────────────────────────────────────────────
+
+
+def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
+                target_bytes: int) -> List[Optional[SizeResult]]:
+    """Strategy 1 for the whole bucket (reference targetsize.go:125-176)."""
+    from ..codecs.jpeg import decode_jpeg
+    from ..parallel.batched import batched_ssim_fast
+
+    q, ok, data = _s1_search_batch(pool, stack_dev, h, w, target_bytes)
+    b = len(arrs)
+    out: List[Optional[SizeResult]] = [None] * b
+    winners = [j for j in range(b) if ok[j]]
+    if not winners:
+        return out
+
+    # SSIM of every winner vs its source: decode on the pool, score in one
+    # batched dispatch (reference scores SSIMFast per accepted result).
+    decoded: List[Optional[np.ndarray]] = [None] * len(winners)
+
+    def dec(k: int) -> None:
+        decoded[k] = decode_jpeg(data[winners[k]])
+
+    list(pool.map(dec, range(len(winners))))
+    a_stack = np.stack([arrs[j] for j in winners])
+    b_stack = np.stack(decoded)  # type: ignore[arg-type]
+    ssims = batched_ssim_fast(a_stack, b_stack)
+
+    for k, j in enumerate(winners):
+        out[j] = SizeResult(data=data[j], format=Format.JPEG,
+                            quality=int(q[j]), ssim=float(ssims[k]),
+                            final_w=w, final_h=h, img=arrs[j])
+    return out
+
+
+def _probe_scales(ctx, stack_dev, group: List[int], w: int, h: int,
+                  new_w: int, new_h: int, target_bytes: int
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """One lockstep probe: (fits?, quality) per image in `group` for
+    encoding at new_w×new_h within target_bytes."""
+    from ..ops.resize import box_weights_device
+
+    wh, wv = box_weights_device(w, h, new_w, new_h)
+    lo, hi = _bpp_bounds(target_bytes, new_w * new_h)
+    budget = max(0, target_bytes - _header_len(new_w, new_h))
+    padded = _next_pow2(len(group))
+    idx = np.asarray(group + [group[0]] * (padded - len(group)), np.int32)
+    qv, fv = _scale_probe_batched_jit(
+        stack_dev, jnp.asarray(idx), wh, wv,
+        jnp.int32(budget), jnp.int32(lo), jnp.int32(hi))
+    q = np.asarray(qv)[:len(group)]
+    f = np.asarray(fv)[:len(group)]
+    return f, q
+
+
+def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
+                w: int, target_bytes: int,
+                idxs: List[int]) -> List[Optional[SizeResult]]:
+    """Strategy 3 for the bucket: lockstep binary scale search + fixed
+    scale grid + grouped final encodes (reference targetsize.go:210-281)."""
+    from ..parallel.batched import batched_ssim_fast
+
+    b = len(arrs)
+    out: List[Optional[SizeResult]] = [None] * b
+    if not idxs:
+        return out
+
+    # Per-image binary search state over scale ∈ [0.05, 1.0], 10 rounds.
+    lo_s = {i: 0.05 for i in idxs}
+    hi_s = {i: 1.0 for i in idxs}
+    best: Dict[int, Tuple[float, int]] = {}
+
+    for _ in range(10):
+        if _ctx_err(ctx):
+            break
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        mids: Dict[int, float] = {}
+        for i in idxs:
+            mid = (lo_s[i] + hi_s[i]) / 2
+            mids[i] = mid
+            nw, nh = int(w * mid), int(h * mid)
+            if nw < 8 or nh < 8:
+                lo_s[i] = mid  # too small to probe (targetsize.go:247-250)
+                continue
+            groups.setdefault((nw, nh), []).append(i)
+        for (nw, nh), group in groups.items():
+            fits, qs = _probe_scales(ctx, stack_dev, group, w, h, nw, nh,
+                                     target_bytes)
+            for k, i in enumerate(group):
+                if fits[k] and int(qs[k]) >= MIN_JPEG_QUALITY:
+                    best[i] = (mids[i], int(qs[k]))
+                    lo_s[i] = mids[i]
+                else:
+                    hi_s[i] = mids[i]
+
+    for scale in (0.75, 0.50, 0.375, 0.25):
+        if _ctx_err(ctx):
+            break
+        nw, nh = int(w * scale), int(h * scale)
+        if nw < 8 or nh < 8:
+            continue
+        fits, qs = _probe_scales(ctx, stack_dev, idxs, w, h, nw, nh,
+                                 target_bytes)
+        for k, i in enumerate(idxs):
+            if fits[k] and int(qs[k]) >= MIN_JPEG_QUALITY:
+                if i not in best or scale > best[i][0]:
+                    best[i] = (scale, int(qs[k]))
+
+    if not best:
+        return out
+
+    # Final: group winners by output geometry; Lanczos-resize each group
+    # with shared weights, re-run the full S1 on the scaled stack, and
+    # score SSIM vs the ORIGINAL (upscale + SSIMFast, batched).
+    finals: Dict[Tuple[int, int], List[int]] = {}
+    for i, (scale, _q) in best.items():
+        fw, fh = int(w * scale), int(h * scale)
+        finals.setdefault((fw, fh), []).append(i)
+
+    for (fw, fh), group in finals.items():
+        if _ctx_err(ctx):
+            break
+        from ..ops.resize import lanczos_weights_device
+
+        padded = _next_pow2(len(group))
+        idx = np.asarray(group + [group[0]] * (padded - len(group)),
+                         np.int32)
+        dwh, dwv = lanczos_weights_device(w, h, fw, fh)
+        scaled_dev = _resize_group_jit(stack_dev, jnp.asarray(idx),
+                                       dwh, dwv)
+        q2, ok2, data2 = _s1_search_batch(pool, scaled_dev, fh, fw,
+                                          target_bytes)
+        scaled_h = np.asarray(scaled_dev, dtype=np.uint8)
+        # SSIM vs original: upscale the scaled image back to source dims
+        # (compute_ssim_nrgba semantics, targetsize.go:563-568).
+        uwh, uwv = lanczos_weights_device(fw, fh, w, h)
+        up_dev = _resize_group_jit(scaled_dev,
+                                   jnp.asarray(
+                                       np.arange(padded, dtype=np.int32)),
+                                   uwh, uwv)
+        a_stack = np.stack([arrs[i] for i in (group + [group[0]] *
+                                              (padded - len(group)))])
+        ssims = batched_ssim_fast(a_stack, np.asarray(up_dev,
+                                                      dtype=np.uint8))
+        for k, i in enumerate(group):
+            if not ok2[k] or int(q2[k]) < MIN_JPEG_QUALITY:
+                continue
+            out[i] = SizeResult(data=data2[k], format=Format.JPEG,
+                                quality=int(q2[k]), ssim=float(ssims[k]),
+                                final_w=fw, final_h=fh,
+                                img=scaled_h[k])
+    return out
+
+
+# ── Public entry ─────────────────────────────────────────────────────────────
+
+
+def hit_target_size_batched(ctx: Optional[Context],
+                            arrs: List[np.ndarray], target_bytes: int,
+                            opts: Options) -> List[SizeResult]:
+    """Target-size engine over a same-shape bucket of NRGBA images.
+
+    Per-image results are identical to engine/targetsize.py:hit_target_size
+    (same strategies, same ranking); the searches run batched/lockstep on
+    device.  Caller guarantees all images share (H, W).
+    """
+    b = len(arrs)
+    h, w = arrs[0].shape[:2]
+    arrs = [to_nrgba_ref(a) for a in arrs]
+    want_png = opts.format == Format.PNG
+    want_jpeg = opts.format == Format.JPEG
+
+    jpeg_idx = [i for i in range(b)
+                if want_jpeg or (not want_png and is_opaque(arrs[i]))]
+    candidates: List[List[SizeResult]] = [[] for _ in range(b)]
+
+    nworkers = min(16, os.cpu_count() or 4)
+    pool = concurrent.futures.ThreadPoolExecutor(nworkers)
+    try:
+        stack_dev = None
+        if jpeg_idx and not _ctx_err(ctx):
+            # Upload the bucket ONCE (uint8); every S1/S3 probe reuses it.
+            stack_dev = jnp.asarray(np.stack(arrs))
+
+            s1 = _s1_batched(pool, stack_dev, arrs, h, w, target_bytes)
+            for i in jpeg_idx:
+                r = s1[i]
+                if r is not None and r.quality >= MIN_JPEG_QUALITY:
+                    candidates[i].append(r)
+
+        if not want_jpeg and not _ctx_err(ctx):
+            # S2: host-bound (median-cut + zlib); worker pool per image.
+            s2: List[Optional[SizeResult]] = [None] * b
+
+            def run_s2(i: int) -> None:
+                s2[i] = quantize_strategy(arrs[i], target_bytes)
+
+            list(pool.map(run_s2, range(b)))
+            for i in range(b):
+                if s2[i] is not None:
+                    candidates[i].append(s2[i])
+
+        if jpeg_idx and not _ctx_err(ctx):
+            s3 = _s3_batched(ctx, pool, stack_dev, arrs, h, w,
+                             target_bytes, jpeg_idx)
+            for i in jpeg_idx:
+                if s3[i] is not None:
+                    candidates[i].append(s3[i])
+
+        results: List[Optional[SizeResult]] = [None] * b
+        for i in range(b):
+            if not candidates[i]:
+                continue
+            bst = candidates[i][0]
+            for c in candidates[i][1:]:
+                if better_fit(c, bst, target_bytes):
+                    bst = c
+            results[i] = bst
+
+        # S4 + fallback: only images with no candidate (rare) — per image.
+        for i in range(b):
+            if results[i] is not None:
+                continue
+            can_jpeg = i in jpeg_idx
+            if not _ctx_err(ctx):
+                fmt = opts.format
+                if fmt == Format.AUTO:
+                    fmt = Format.JPEG if can_jpeg else Format.PNG
+                r = scale_search(ctx, arrs[i], target_bytes, fmt)
+                if r is not None:
+                    results[i] = r
+                    continue
+            results[i] = _fallback_encode(arrs[i], target_bytes,
+                                          can_jpeg, opts)
+        return results  # type: ignore[return-value]
+    finally:
+        pool.shutdown()

@@ -19,6 +19,7 @@ scores downsampled uint8 images.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple, Union
 
@@ -90,6 +91,22 @@ def box_resize_weights(src_w: int, src_h: int, dst_w: int,
             box_weights(dst_h, src_h).astype(np.float32))
 
 
+@functools.lru_cache(maxsize=32)
+def box_weights_device(src_w: int, src_h: int, dst_w: int, dst_h: int):
+    """Device-resident box weights, cached per shape — repeated probes
+    (quality/scale searches, SSIMFast loops) ship the matrices once per
+    process instead of per call (megabytes/dispatch on hosted links)."""
+    wh, wv = box_resize_weights(src_w, src_h, dst_w, dst_h)
+    return jnp.asarray(wh), jnp.asarray(wv)
+
+
+@functools.lru_cache(maxsize=32)
+def lanczos_weights_device(src_w: int, src_h: int, dst_w: int, dst_h: int):
+    """Device-resident Lanczos weights, cached per shape."""
+    wh, wv = resize_weights(src_w, src_h, dst_w, dst_h)
+    return jnp.asarray(wh), jnp.asarray(wv)
+
+
 # ── Host wrappers ───────────────────────────────────────────────────────────
 
 
@@ -111,9 +128,8 @@ def lanczos_resize(img: Array, dst_w: int, dst_h: int) -> np.ndarray:
         return np.zeros((max(dst_h, 0), max(dst_w, 0), 4), dtype=np.uint8)
     if src_w == dst_w and src_h == dst_h:
         return arr.copy()
-    wh, wv = resize_weights(src_w, src_h, dst_w, dst_h)
-    out = lanczos_resize_device(jnp.asarray(arr),
-                                jnp.asarray(wh), jnp.asarray(wv))
+    wh, wv = lanczos_weights_device(src_w, src_h, dst_w, dst_h)
+    out = lanczos_resize_device(jnp.asarray(arr), wh, wv)
     return np.asarray(out, dtype=np.uint8)
 
 
@@ -123,9 +139,8 @@ def box_downsample(img: Array, dst_w: int, dst_h: int) -> np.ndarray:
     src_h, src_w = arr.shape[:2]
     if src_w <= 0 or src_h <= 0 or dst_w <= 0 or dst_h <= 0:
         return np.zeros((0, 0, 4), dtype=np.uint8)
-    wh, wv = box_resize_weights(src_w, src_h, dst_w, dst_h)
-    out = box_downsample_device(jnp.asarray(arr),
-                                jnp.asarray(wh), jnp.asarray(wv))
+    wh, wv = box_weights_device(src_w, src_h, dst_w, dst_h)
+    out = box_downsample_device(jnp.asarray(arr), wh, wv)
     return np.asarray(out, dtype=np.uint8)
 
 

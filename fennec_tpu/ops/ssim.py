@@ -198,16 +198,16 @@ def ssim_fast(img1: Array, img2: Array, max_dim: int = 512) -> float:
     h, w = a.shape[:2]
     new_w, new_h = ssim_fast_dims(w, h, max_dim)
     if (new_w, new_h) != (w, h):
-        wh, wv = box_resize_weights(w, h, new_w, new_h)
+        from .resize import box_weights_device
+
+        wh, wv = box_weights_device(w, h, new_w, new_h)
         if new_w < 8 or new_h < 8:
             # Tiny after downsample → pixel SSIM on the downsampled pair.
-            da = box_downsample_device(_device_f32(a), jnp.asarray(wh),
-                                       jnp.asarray(wv))
-            db = box_downsample_device(_device_f32(b), jnp.asarray(wh),
-                                       jnp.asarray(wv))
+            da = box_downsample_device(_device_f32(a), wh, wv)
+            db = box_downsample_device(_device_f32(b), wh, wv)
             return float(pixel_ssim_device(da, db))
         return float(ssim_fast_downsampled_device(
-            _device_f32(a), _device_f32(b), jnp.asarray(wh), jnp.asarray(wv)))
+            _device_f32(a), _device_f32(b), wh, wv))
     if w < 8 or h < 8:
         return pixel_ssim(a, b)
     if w <= 8 or h <= 8:

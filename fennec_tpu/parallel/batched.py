@@ -503,6 +503,69 @@ def batched_ssim(imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
     return jax.vmap(one)(imgs_a, imgs_b)
 
 
+@jax.jit
+def _batched_ssim_fast_ds(imgs_a: jax.Array, imgs_b: jax.Array,
+                          wh: jax.Array, wv: jax.Array) -> jax.Array:
+    """Vmapped SSIMFast inner with shared device-resident box weights."""
+    from ..ops.ssim import ssim_fast_downsampled_device
+
+    return jax.vmap(
+        lambda a, b: ssim_fast_downsampled_device(a, b, wh, wv)
+    )(imgs_a, imgs_b)
+
+
+@jax.jit
+def _batched_pixel_ssim(imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
+    from ..ops.ssim import pixel_ssim_device
+
+    return jax.vmap(
+        lambda a, b: pixel_ssim_device(a.astype(jnp.float32),
+                                       b.astype(jnp.float32))
+    )(imgs_a, imgs_b)
+
+
+@jax.jit
+def _batched_pixel_ssim_ds(imgs_a: jax.Array, imgs_b: jax.Array,
+                           wh: jax.Array, wv: jax.Array) -> jax.Array:
+    from ..ops.resize import box_downsample_device
+    from ..ops.ssim import pixel_ssim_device
+
+    def one(a, b):
+        da = box_downsample_device(a.astype(jnp.float32), wh, wv)
+        db = box_downsample_device(b.astype(jnp.float32), wh, wv)
+        return pixel_ssim_device(da, db)
+
+    return jax.vmap(one)(imgs_a, imgs_b)
+
+
+def batched_ssim_fast(imgs_a, imgs_b) -> np.ndarray:
+    """SSIMFast per batch element (reference ssim.go:48-70 semantics,
+    512px cap, identical edge-case routing to ops/ssim.py:ssim_fast) in
+    ONE device dispatch for the whole batch.  Inputs: (B, H, W, 4) arrays
+    sharing dimensions; returns (B,) float64-ish host floats."""
+    from ..ops.ssim import ssim_fast_dims
+
+    a = jnp.asarray(imgs_a)
+    b = jnp.asarray(imgs_b)
+    h, w = int(a.shape[1]), int(a.shape[2])
+    new_w, new_h = ssim_fast_dims(w, h)
+    if (new_w, new_h) != (w, h):
+        from ..ops.resize import box_weights_device
+
+        wh, wv = box_weights_device(w, h, new_w, new_h)
+        if new_w < 8 or new_h < 8:
+            return np.asarray(_batched_pixel_ssim_ds(a, b, wh, wv))
+        return np.asarray(_batched_ssim_fast_ds(a, b, wh, wv))
+    if w < 8 or h < 8:
+        if w * h == 0:
+            return np.ones(a.shape[0])
+        return np.asarray(_batched_pixel_ssim(a, b))
+    if w <= 8 or h <= 8:
+        return np.ones(a.shape[0])  # zero window positions (ssim.go:162-164)
+    return np.asarray(batched_ssim(a.astype(jnp.float32),
+                                   b.astype(jnp.float32)))
+
+
 def batched_ssim_sharded(mesh: Mesh, imgs_a, imgs_b,
                          spatial: bool = False) -> jax.Array:
     """Mesh-sharded batched SSIM.  With spatial=True the row axis also

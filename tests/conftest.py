@@ -22,6 +22,19 @@ import jax
 # is registered; the config update forces the CPU backend deterministically.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-dominated (hundreds of
+# shape-specialized programs), and very large in-process LLVM JIT volume
+# has been observed to segfault XLA CPU in long custom test orderings —
+# cached executables sidestep both.  FENNEC_TEST_NO_CACHE=1 disables.
+if not os.environ.get("FENNEC_TEST_NO_CACHE"):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/fennec_jax_cache_tests"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 import numpy as np
 import pytest
 
