@@ -83,7 +83,14 @@ def optimal_spec(freq: np.ndarray) -> Tuple[List[int], List[int]]:
 def specs_from_frequencies(dc_freq: np.ndarray, ac_freq: np.ndarray):
     """Build (dc_specs, ac_specs) lists for classes [luma, chroma] from
     (2, 16) and (2, 256) frequency arrays; classes with no symbols get a
-    minimal valid table."""
+    minimal valid table.  Uses the C++ K.2 builder when available (the
+    Python merge loop costs ~2 ms per image — a real term on the batch
+    pipeline's single-core host)."""
+    return specs_from_frequencies_batch(dc_freq[None], ac_freq[None])[0]
+
+
+def _specs_from_frequencies_py(dc_freq: np.ndarray, ac_freq: np.ndarray):
+    """Pure-Python path (also the parity oracle for the C++ builder)."""
     dc_specs, ac_specs = [], []
     for cls in range(2):
         dfi = dc_freq[cls].copy()
@@ -95,3 +102,33 @@ def specs_from_frequencies(dc_freq: np.ndarray, ac_freq: np.ndarray):
         dc_specs.append(optimal_spec(dfi))
         ac_specs.append(optimal_spec(afi))
     return dc_specs, ac_specs
+
+
+def specs_from_frequencies_batch(dc_freq: np.ndarray, ac_freq: np.ndarray):
+    """Batch spec construction: (B, 2, 16) / (B, 2, 256) int64 → list of
+    per-image (dc_specs, ac_specs), one C call for the whole batch."""
+    from ..native import _load_native
+
+    lib = _load_native()
+    if lib is not None:
+        try:
+            bits, vals, nvals = lib.build_optimal_specs(dc_freq, ac_freq)
+        except Exception:
+            lib = None
+        else:
+            # table order from C: dc-luma, dc-chroma, ac-luma, ac-chroma
+            out = []
+            for j in range(bits.shape[0]):
+                dc_specs = [
+                    (bits[j, cls].tolist(),
+                     vals[j, cls, :nvals[j, cls]].tolist())
+                    for cls in range(2)]
+                ac_specs = [
+                    (bits[j, 2 + cls].tolist(),
+                     vals[j, 2 + cls, :nvals[j, 2 + cls]].tolist())
+                    for cls in range(2)]
+                out.append((dc_specs, ac_specs))
+            return out
+    return [
+        _specs_from_frequencies_py(dc_freq[j], ac_freq[j])
+        for j in range(dc_freq.shape[0])]

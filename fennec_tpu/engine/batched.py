@@ -224,14 +224,15 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         for j, i in enumerate(chunk_ids):
             pending.append(pool.submit(emit_one, i, j))
 
-    def _collect_opt(chunk_ids, handles):
-        """Device-entropy with PER-IMAGE OPTIMAL tables: stage-1 handles
-        carry tiny symbol histograms and device-resident coefficients;
-        build K.2 tables on the host pool, then dispatch the stage-2
-        emission on the resident coefficients."""
-        from ..codecs.huffopt import specs_from_frequencies
-        from ..codecs.jpeg import _dht_segment_custom
-        from ..ops.jpeg_emit import _code_arrays, finalize_scan_host
+    def _stage_a_opt(chunk_ids, handles):
+        """Stage A of the optimal-Huffman pipeline: pull the SMALL search
+        outputs + symbol histograms (blocks only until the search kernel
+        finishes), build per-image K.2 tables on the host pool, and
+        dispatch the stage-2 emission on the RESIDENT coefficients.  The
+        words pull + container wrap happen one pipeline stage later
+        (stage B), overlapped with the next chunk's search."""
+        from ..codecs.huffopt import specs_from_frequencies_batch
+        from ..ops.jpeg_emit import _code_arrays
         from ..parallel.batched import batched_emit_custom
 
         qs, ssims, found, packed, dc_freq, ac_freq, bits_std = handles
@@ -245,23 +246,31 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         opt_words = _next_pow2(int(np.asarray(bits_std).max()) // 32 + 64)
         nb = dcf.shape[0]
 
-        specs: List = [None] * nb
+        # One C call builds every image's K.2 tables (the Python merge
+        # loop was the pipeline's largest single-core CPU term).
+        specs: List = specs_from_frequencies_batch(dcf, acf)
         dc_tabs = np.zeros((nb, 2, 2, 16), np.int32)
         ac_tabs = np.zeros((nb, 2, 2, 256), np.int32)
-
-        def build(j: int) -> None:
-            dc_specs, ac_specs = specs_from_frequencies(dcf[j], acf[j])
-            specs[j] = (dc_specs, ac_specs)
+        for j in range(nb):
+            dc_specs, ac_specs = specs[j]
             for cls in range(2):
                 c, ln = _code_arrays(*dc_specs[cls], 16)
                 dc_tabs[j, cls, 0], dc_tabs[j, cls, 1] = c, ln
                 c, ln = _code_arrays(*ac_specs[cls], 256)
                 ac_tabs[j, cls, 0], ac_tabs[j, cls, 1] = c, ln
 
-        list(pool.map(build, range(nb)))
         words, bits = batched_emit_custom(
             packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
             h, w, subsample, opt_words)
+        return (chunk_ids, (q_host, s_host, f_host, specs, words, bits,
+                            opt_words))
+
+    def _stage_b_opt(chunk_ids, state):
+        """Stage B: pull the emitted words and wrap containers."""
+        from ..codecs.jpeg import _dht_segment_custom
+        from ..ops.jpeg_emit import finalize_scan_host
+
+        q_host, s_host, f_host, specs, words, bits, opt_words = state
         bits_h = np.asarray(bits)
         used = min(int(bits_h.max()) // 32 + 2, opt_words)
         words_h = np.asarray(words[:, :used])
@@ -294,7 +303,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         if kind == "emit":
             return _collect_emit(chunk_ids, handles)
         if kind == "opt":
-            return _collect_opt(chunk_ids, handles)
+            return _stage_b_opt(*_stage_a_opt(chunk_ids, handles))
         (qs, ssims, found, packed, fits8) = handles
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
@@ -416,16 +425,18 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         emit_words = min(_next_pow2(biggest // 4 + 1024),
                          n_blocks * 53 + 64)
 
-    for start in range(0, n, BATCH_CHUNK):
-        if ctx is not None:
-            ctx.raise_if_done()
-        chunk = list(range(start, min(start + BATCH_CHUNK, n)))
-        b = len(chunk)
-        padded = _next_pow2(b)
-        targets = jnp.full((padded,), target, dtype=jnp.float32)
+    starts = list(range(0, n, BATCH_CHUNK))
 
-        # ── dispatch (async): device call enqueued, handles kept ──
-        if rwh is not None:
+    if rwh is not None:
+        # Resize path: dense int16 stacks were decoded up front; keep the
+        # simple two-deep dispatch/collect pipeline.
+        for start in starts:
+            if ctx is not None:
+                ctx.raise_if_done()
+            chunk = list(range(start, min(start + BATCH_CHUNK, n)))
+            b = len(chunk)
+            padded = _next_pow2(b)
+            targets = jnp.full((padded,), target, dtype=jnp.float32)
             ys = np.stack(
                 [decoded[chunk[j % b]][0][0] for j in range(padded)])
             cbs = np.stack(
@@ -438,41 +449,90 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
                 jnp.asarray(qts), h, w, in_sub, subsample,
                 resize_wh=rwh, resize_wv=rwv, targets=targets)
-            entry = ("quant", chunk, handles)
-        elif use_device_entropy and opts.optimize_huffman:
-            from ..parallel.batched import batched_decode_search_hist_i8
-
-            i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
-            handles = batched_decode_search_hist_i8(
-                jnp.asarray(i8), jnp.asarray(ei), jnp.asarray(ev),
-                jnp.asarray(qts), targets, h, w, in_sub, subsample)
-            entry = ("opt", chunk, handles)
-        elif use_device_entropy:
-            from ..parallel.batched import batched_decode_search_emit_i8
-
-            i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
-            handles = batched_decode_search_emit_i8(
-                jnp.asarray(i8), jnp.asarray(ei), jnp.asarray(ev),
-                jnp.asarray(qts), targets, h, w, in_sub, subsample,
-                emit_words)
-            entry = ("emit", chunk, handles)
-        else:
-            from ..parallel.batched import batched_decode_search_quantize_i8
-
-            i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
-            handles = batched_decode_search_quantize_i8(
-                jnp.asarray(i8), jnp.asarray(ei), jnp.asarray(ev),
-                jnp.asarray(qts), targets, h, w, in_sub, subsample)
-            entry = ("quant", chunk, handles)
-
-        # Pipeline: keep up to two chunks in flight; collect the oldest
-        # while the device works on the newest.
-        inflight.append(entry)
-        if len(inflight) >= 2:
+            inflight.append(("quant", chunk, handles))
+            if len(inflight) >= 2:
+                _collect(inflight.pop(0))
+        while inflight:
             _collect(inflight.pop(0))
+        for fut in pending:
+            fut.result()
+        pool.shutdown()
+        return results
 
-    while inflight:
-        _collect(inflight.pop(0))
+    # ── Pipelined no-resize path ──
+    # Three overlapped stages around the single device FIFO:
+    #   feeder thread : C++ decode into the int8 upload buffer + the
+    #                   host→device copy for chunk k+2 — uploads never
+    #                   block the dispatch thread;
+    #   stage A (k-1) : pull the small search outputs (+ histograms),
+    #                   build optimal tables, dispatch stage-2 emission
+    #                   on the resident coefficients;
+    #   stage B (k-2) : pull emitted words, byte-stuff + wrap on the pool.
+    # Steady state: the device runs search(k) while the host does A/B for
+    # older chunks and the feeder prepares newer ones.
+    def _make_chunk(start):
+        chunk = list(range(start, min(start + BATCH_CHUNK, n)))
+        padded = _next_pow2(len(chunk))
+        i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
+        return (chunk, padded, jnp.asarray(i8), jnp.asarray(qts),
+                jnp.asarray(ei), jnp.asarray(ev))
+
+    feeder = concurrent.futures.ThreadPoolExecutor(2)
+    futs = [feeder.submit(_make_chunk, s) for s in starts[:2]]
+    searchq: List = []
+    emitq: List = []
+    try:
+        for i in range(len(starts)):
+            if ctx is not None:
+                ctx.raise_if_done()
+            chunk, padded, di8, dqts, dei, dev_ = futs[i].result()
+            futs[i] = None
+            if i + 2 < len(starts):
+                futs.append(feeder.submit(_make_chunk, starts[i + 2]))
+            targets = jnp.full((padded,), target, dtype=jnp.float32)
+            if use_device_entropy and opts.optimize_huffman:
+                from ..parallel.batched import batched_decode_search_hist_i8
+
+                handles = batched_decode_search_hist_i8(
+                    di8, dei, dev_, dqts, targets, h, w, in_sub,
+                    subsample)
+                searchq.append(("opt", chunk, handles))
+            elif use_device_entropy:
+                from ..parallel.batched import batched_decode_search_emit_i8
+
+                handles = batched_decode_search_emit_i8(
+                    di8, dei, dev_, dqts, targets, h, w, in_sub,
+                    subsample, emit_words)
+                searchq.append(("emit", chunk, handles))
+            else:
+                from ..parallel.batched import (
+                    batched_decode_search_quantize_i8,
+                )
+
+                handles = batched_decode_search_quantize_i8(
+                    di8, dei, dev_, dqts, targets, h, w, in_sub,
+                    subsample)
+                searchq.append(("quant", chunk, handles))
+
+            if len(searchq) >= 2:
+                e = searchq.pop(0)
+                if e[0] == "opt":
+                    emitq.append(_stage_a_opt(e[1], e[2]))
+                else:
+                    _collect(e)
+            if len(emitq) >= 2:
+                _stage_b_opt(*emitq.pop(0))
+
+        while searchq:
+            e = searchq.pop(0)
+            if e[0] == "opt":
+                emitq.append(_stage_a_opt(e[1], e[2]))
+            else:
+                _collect(e)
+        while emitq:
+            _stage_b_opt(*emitq.pop(0))
+    finally:
+        feeder.shutdown(wait=True)
     for fut in pending:
         fut.result()
     pool.shutdown()
@@ -586,7 +646,6 @@ def compress_images_batched(ctx: Optional[Context],
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     subsample = bool(opts.subsample)
     pending = []
-    inflight = []
     if opts.device_entropy is None:
         use_device_entropy = jax.default_backend() == "tpu"
     else:
@@ -648,13 +707,15 @@ def compress_images_batched(ctx: Optional[Context],
         for j, i in enumerate(chunk_ids):
             pending.append(pool.submit(encode_one, i, j))
 
-    def _collect_dev(chunk_ids, h, w, handles, use_opt):
-        """Stage-2 device emission on resident coefficients, word buffer
-        sized from the exact standard-table bit counts (optimal tables
-        never exceed them, so overflow is impossible)."""
-        from ..codecs.huffopt import specs_from_frequencies
-        from ..codecs.jpeg import _dht_segment_custom
-        from ..ops.jpeg_emit import _code_arrays, finalize_scan_host
+    def _stage_a_dev(chunk_ids, h, w, handles, use_opt):
+        """Stage A: pull small search outputs + histograms, build tables
+        (one C call), dispatch the stage-2 emission on the resident
+        coefficients; the words pull happens one stage later, overlapped
+        with the next chunk's search.  Word buffer sized from the exact
+        standard-table bit counts (optimal tables never exceed them, so
+        overflow is impossible)."""
+        from ..codecs.huffopt import specs_from_frequencies_batch
+        from ..ops.jpeg_emit import _code_arrays
         from ..parallel.batched import batched_emit_custom, batched_emit_std
 
         qs, ssims, found, packed, dc_freq, ac_freq, bits_std = handles
@@ -669,25 +730,32 @@ def compress_images_batched(ctx: Optional[Context],
             dcf = np.asarray(dc_freq).astype(np.int64)
             acf = np.asarray(ac_freq).astype(np.int64)
             nb = dcf.shape[0]
+            specs = specs_from_frequencies_batch(dcf, acf)
             dc_tabs = np.zeros((nb, 2, 2, 16), np.int32)
             ac_tabs = np.zeros((nb, 2, 2, 256), np.int32)
-
-            def build(j: int) -> None:
-                dc_specs, ac_specs = specs_from_frequencies(dcf[j], acf[j])
-                specs[j] = (dc_specs, ac_specs)
+            for j in range(nb):
+                dc_specs, ac_specs = specs[j]
                 for cls in range(2):
                     c, ln = _code_arrays(*dc_specs[cls], 16)
                     dc_tabs[j, cls, 0], dc_tabs[j, cls, 1] = c, ln
                     c, ln = _code_arrays(*ac_specs[cls], 256)
                     ac_tabs[j, cls, 0], ac_tabs[j, cls, 1] = c, ln
 
-            list(pool.map(build, range(nb)))
             words, bits = batched_emit_custom(
                 packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
                 h, w, subsample, emit_words)
         else:
             words, bits = batched_emit_std(packed, h, w, subsample,
                                            emit_words)
+        return (chunk_ids, h, w, (q_host, s_host, f_host, specs, words,
+                                  bits, emit_words, use_opt))
+
+    def _stage_b_dev(chunk_ids, h, w, state):
+        from ..codecs.jpeg import _dht_segment_custom
+        from ..ops.jpeg_emit import finalize_scan_host
+
+        (q_host, s_host, f_host, specs, words, bits, emit_words,
+         use_opt) = state
         bits_h = np.asarray(bits)
         used = min(int(bits_h.max()) // 32 + 2, emit_words)
         words_h = np.asarray(words[:, :used])
@@ -706,50 +774,75 @@ def compress_images_batched(ctx: Optional[Context],
         for j, i in enumerate(chunk_ids):
             pending.append(pool.submit(emit_one, i, j))
 
-    def _collect(entry):
-        kind, chunk_ids, (h, w), handles = entry
-        if kind == "dev":
-            return _collect_dev(chunk_ids, h, w, handles,
-                                bool(opts.optimize_huffman))
-        return _collect_quant(chunk_ids, h, w, handles)
+    # ── Pipelined dispatch: feeder thread builds + uploads pixel stacks
+    # for chunk k+2; stage A (k-1) builds tables and dispatches emission;
+    # stage B (k-2) pulls words and wraps (same 3-stage scheme as the
+    # coefficient fast path in compress_jpeg_bytes_batched). ──
+    from ..image import is_opaque
 
+    jobs = []  # (h, w, chunk)
     for (h, w), idxs in jpeg_buckets.items():
         for start in range(0, len(idxs), BATCH_CHUNK):
+            jobs.append((h, w, idxs[start:start + BATCH_CHUNK]))
+
+    def _make_stack(job):
+        h, w, chunk = job
+        b = len(chunk)
+        # Pad the chunk to a power of two to bound recompilation; ship
+        # uint8 (4x less transfer); opaque chunks ship RGB-only (25%
+        # less) — alpha is synthesized on device by the search kernels.
+        padded = _next_pow2(b)
+        nch = 3 if all(is_opaque(prepped[i]) for i in chunk) else 4
+        stack = np.empty((padded, h, w, nch), dtype=np.uint8)
+        for j, i in enumerate(chunk):
+            stack[j] = prepped[i][..., :nch]
+        for j in range(b, padded):
+            stack[j] = stack[0]
+        return h, w, chunk, padded, jnp.asarray(stack)
+
+    feeder = concurrent.futures.ThreadPoolExecutor(2)
+    futs = [feeder.submit(_make_stack, j) for j in jobs[:2]]
+    searchq: List = []
+    emitq: List = []
+
+    def _drain_search():
+        e = searchq.pop(0)
+        if e[0] == "dev":
+            emitq.append(_stage_a_dev(e[1], *e[2], e[3],
+                                      bool(opts.optimize_huffman)))
+        else:
+            _collect_quant(e[1], *e[2], e[3])
+
+    try:
+        for k in range(len(jobs)):
             if ctx is not None:
                 ctx.raise_if_done()
-            chunk = idxs[start:start + BATCH_CHUNK]
-            b = len(chunk)
-            # Pad the chunk to a power of two to bound recompilation;
-            # ship uint8 (4x less transfer), cast to f32 on device.
-            padded = _next_pow2(b)
-            # Opaque chunks ship RGB-only (25% less transfer); alpha is
-            # synthesized on device by the batched search kernels.
-            from ..image import is_opaque
-            nch = 3 if all(is_opaque(prepped[i]) for i in chunk) else 4
-            stack = np.empty((padded, h, w, nch), dtype=np.uint8)
-            for j, i in enumerate(chunk):
-                stack[j] = prepped[i][..., :nch]
-            for j in range(b, padded):
-                stack[j] = stack[0]
+            h, w, chunk, padded, stack_dev = futs[k].result()
+            futs[k] = None
+            if k + 2 < len(jobs):
+                futs.append(feeder.submit(_make_stack, jobs[k + 2]))
             targets = jnp.full((padded,), target, dtype=jnp.float32)
             if use_device_entropy:
                 from ..parallel.batched import batched_search_hist
 
-                handles = batched_search_hist(
-                    jnp.asarray(stack), targets, subsample)
-                entry = ("dev", chunk, (h, w), handles)
+                handles = batched_search_hist(stack_dev, targets,
+                                              subsample)
+                searchq.append(("dev", chunk, (h, w), handles))
             else:
-                handles = batched_search_and_quantize(
-                    jnp.asarray(stack), targets, subsample)
-                entry = ("quant", chunk, (h, w), handles)
-            # Two chunks in flight: collect the oldest while the device
-            # works on the newest.
-            inflight.append(entry)
-            if len(inflight) >= 2:
-                _collect(inflight.pop(0))
+                handles = batched_search_and_quantize(stack_dev, targets,
+                                                      subsample)
+                searchq.append(("quant", chunk, (h, w), handles))
+            if len(searchq) >= 2:
+                _drain_search()
+            if len(emitq) >= 2:
+                _stage_b_dev(*emitq.pop(0))
 
-    while inflight:
-        _collect(inflight.pop(0))
+        while searchq:
+            _drain_search()
+        while emitq:
+            _stage_b_dev(*emitq.pop(0))
+    finally:
+        feeder.shutdown(wait=True)
     for fut in pending:
         fut.result()
     pool.shutdown()

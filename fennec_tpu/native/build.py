@@ -108,6 +108,11 @@ class NativeLib:
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.fennec_build_optimal_specs.restype = ctypes.c_long
+        lib.fennec_build_optimal_specs.argtypes = [
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.fennec_png_unfilter.restype = ctypes.c_int
         lib.fennec_png_unfilter.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -148,6 +153,29 @@ class NativeLib:
         if rc != 0:
             raise RuntimeError("fennec native: count_symbols failed")
         return dc_freq, ac_freq
+
+    def build_optimal_specs(self, dc_freq: np.ndarray,
+                            ac_freq: np.ndarray):
+        """Batch T.81 K.2 optimal-table construction.
+
+        dc_freq (B, 2, 16) / ac_freq (B, 2, 256) int64 → (bits (B, 4, 16)
+        u8, vals (B, 4, 256) u8, nvals (B, 4) i32); table order per image
+        is dc-luma, dc-chroma, ac-luma, ac-chroma."""
+        dcf = np.ascontiguousarray(dc_freq, dtype=np.int64)
+        acf = np.ascontiguousarray(ac_freq, dtype=np.int64)
+        b = dcf.shape[0]
+        bits = np.zeros((b, 4, 16), dtype=np.uint8)
+        vals = np.zeros((b, 4, 256), dtype=np.uint8)
+        nvals = np.zeros((b, 4), dtype=np.int32)
+        rc = self._lib.fennec_build_optimal_specs(
+            b, dcf.ctypes.data_as(ctypes.c_void_p),
+            acf.ctypes.data_as(ctypes.c_void_p),
+            bits.ctypes.data_as(ctypes.c_void_p),
+            vals.ctypes.data_as(ctypes.c_void_p),
+            nvals.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise RuntimeError("fennec native: build_optimal_specs failed")
+        return bits, vals, nvals
 
     def encode_scan_custom(self, comps, dc_specs, ac_specs,
                            restart_interval: int = 0) -> bytes:

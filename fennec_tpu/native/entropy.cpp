@@ -960,4 +960,99 @@ long fennec_png_filter(const uint8_t *data, int h, int stride, int bpp,
   return opos;
 }
 
+// ── Optimal Huffman table construction (T.81 Annex K.2) ────────────────────
+// Faithful port of codecs/huffopt.py:optimal_spec (libjpeg
+// jpeg_gen_optimal_table semantics, identical tie-breaking: among equal
+// minima pick the LARGEST index).  The Python version costs ~2 ms per
+// table set per image — on a single-core host that is the batch
+// pipeline's biggest CPU term; here it is microseconds.
+
+static void fennec_optimal_spec_one(const int64_t *freq_in, int n,
+                                    uint8_t *bits16, uint8_t *vals,
+                                    int32_t *nvals) {
+  int64_t f[257];
+  int32_t codesize[257];
+  int32_t others[257];
+  int64_t total = 0;
+  for (int i = 0; i < n; i++) { f[i] = freq_in[i]; total += f[i]; }
+  if (total == 0) f[0] = 1;  // minimal valid table (huffopt.py:90-94)
+  f[n] = 1;  // reserved symbol: no all-ones code
+  for (int i = 0; i <= n; i++) { codesize[i] = 0; others[i] = -1; }
+
+  for (;;) {
+    int64_t m1 = -1; int v1 = -1; int live = 0;
+    for (int i = 0; i <= n; i++) {
+      if (f[i] <= 0) continue;
+      live++;
+      if (m1 < 0 || f[i] < m1) { m1 = f[i]; v1 = i; }
+      else if (f[i] == m1) v1 = i;  // largest index among minima
+    }
+    if (live <= 1) break;
+    int64_t m2 = -1; int v2 = -1;
+    for (int i = 0; i <= n; i++) {
+      if (f[i] <= 0 || i == v1) continue;
+      if (m2 < 0 || f[i] < m2) { m2 = f[i]; v2 = i; }
+      else if (f[i] == m2) v2 = i;
+    }
+    f[v1] += f[v2];
+    f[v2] = 0;
+    codesize[v1]++;
+    while (others[v1] != -1) { v1 = others[v1]; codesize[v1]++; }
+    others[v1] = v2;
+    codesize[v2]++;
+    while (others[v2] != -1) { v2 = others[v2]; codesize[v2]++; }
+  }
+
+  int64_t bits[33];
+  for (int i = 0; i < 33; i++) bits[i] = 0;
+  for (int s = 0; s <= n; s++)
+    if (codesize[s] > 0) bits[codesize[s] > 32 ? 32 : codesize[s]]++;
+
+  // Limit code lengths to 16 bits (K.2 Figure K.3).
+  int i = 32;
+  while (i > 16) {
+    while (bits[i] > 0) {
+      int j = i - 2;
+      while (bits[j] == 0) j--;
+      bits[i] -= 2;
+      bits[i - 1] += 1;
+      bits[j + 1] += 2;
+      bits[j] -= 1;
+    }
+    i--;
+  }
+  while (bits[i] == 0) i--;
+  bits[i] -= 1;  // drop the reserved symbol's slot
+  for (int k = 0; k < 16; k++) bits16[k] = (uint8_t)bits[k + 1];
+
+  // VALS: real symbols ordered by (code length, symbol value) — codesize
+  // can exceed 32 only pathologically; 257 merges bound it.
+  int m = 0;
+  for (int len = 1; len <= 257 && m < n; len++)
+    for (int s = 0; s < n; s++)
+      if (codesize[s] == len) vals[m++] = (uint8_t)s;
+  *nvals = m;
+}
+
+// Batch: nimg images, dc_freq (nimg,2,16) i64, ac_freq (nimg,2,256) i64 →
+// dht_bits (nimg,4,16) u8, dht_vals (nimg,4,256) u8, dht_nvals (nimg,4)
+// i32, table order per image: dc luma, dc chroma, ac luma, ac chroma.
+long fennec_build_optimal_specs(long nimg, const int64_t *dc_freq,
+                                const int64_t *ac_freq, uint8_t *dht_bits,
+                                uint8_t *dht_vals, int32_t *dht_nvals) {
+  for (long j = 0; j < nimg; j++) {
+    for (int cls = 0; cls < 2; cls++) {
+      fennec_optimal_spec_one(dc_freq + (j * 2 + cls) * 16, 16,
+                              dht_bits + (j * 4 + cls) * 16,
+                              dht_vals + (j * 4 + cls) * 256,
+                              dht_nvals + j * 4 + cls);
+      fennec_optimal_spec_one(ac_freq + (j * 2 + cls) * 256, 256,
+                              dht_bits + (j * 4 + 2 + cls) * 16,
+                              dht_vals + (j * 4 + 2 + cls) * 256,
+                              dht_nvals + j * 4 + 2 + cls);
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

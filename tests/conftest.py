@@ -10,6 +10,12 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # The XLA:CPU thunk runtime's parallel LLVM codegen segfaults
+    # deterministically under this suite's compile volume (crashes inside
+    # backend_compile_and_load / _cache_write / _cache_read once enough
+    # large programs compiled in-process); serial codegen is stable.
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 

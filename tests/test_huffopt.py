@@ -92,3 +92,46 @@ class TestOptimizedEncoding:
         assert res_opt.jpeg_quality == res_std.jpeg_quality
         assert res_opt.ssim == res_std.ssim
         assert res_opt.compressed_size <= res_std.compressed_size
+
+
+class TestNativeSpecBuilder:
+    """The C++ K.2 builder (native/entropy.cpp:fennec_build_optimal_specs)
+    must reproduce the Python merge loop exactly — same tie-breaking
+    (largest index among equal minima), same 16-bit length limiting, same
+    (length, symbol) VALS order."""
+
+    def test_matches_python_randomized(self):
+        from fennec_tpu.codecs.huffopt import (
+            _specs_from_frequencies_py,
+            specs_from_frequencies_batch,
+        )
+        from fennec_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        cases = []
+        for i in range(60):
+            dcf = rng.integers(0, 5000, (2, 16)).astype(np.int64)
+            acf = (rng.zipf(1.35, (2, 256))
+                   * rng.integers(0, 25)).astype(np.int64)
+            if i % 5 == 0:
+                acf[1] = 0                     # empty class
+            if i % 7 == 0:
+                dcf[:] = 0                     # all-empty class pair
+            if i % 9 == 0:
+                acf[0] = 0
+                acf[0, 3] = 1                  # single live symbol
+            if i % 11 == 0:
+                acf[0] = 1                     # flat tiny frequencies
+            cases.append((dcf, acf))
+        batch = specs_from_frequencies_batch(
+            np.stack([c[0] for c in cases]),
+            np.stack([c[1] for c in cases]))
+        for (dcf, acf), got in zip(cases, batch):
+            want = _specs_from_frequencies_py(dcf, acf)
+            for cls in range(2):
+                assert list(got[0][cls][0]) == list(want[0][cls][0])
+                assert list(got[0][cls][1]) == list(want[0][cls][1])
+                assert list(got[1][cls][0]) == list(want[1][cls][0])
+                assert list(got[1][cls][1]) == list(want[1][cls][1])
