@@ -36,7 +36,7 @@ from ..image import is_grayscale, to_gray, to_nrgba_ref
 from ..ops import dct as dct_ops
 from ..ops.color import clamp_u8_device, ycbcr_to_rgb
 from ..ops.resize import box_resize_weights
-from ..ops.ssim import ssim_fast_dims, ssim_map_device
+from ..ops.ssim import ssim_fast_dims
 from ..types import Options
 
 MAX_BISECT_STEPS = 7  # ceil(log2(100)) — covers any [lo, hi] ⊆ [1, 100]
@@ -113,6 +113,13 @@ def _bisect_device(coefs, img_rgb_ds_lum, box_wh, box_wv,
     # mean the downsample matmuls can be skipped entirely.
     needs_ds = (box_wh.shape[0] != w) or (box_wv.shape[0] != h)
 
+    # The original's windowed stats never change across probes — hoist
+    # them out of the bisection loop (2 of 5 window passes per probe;
+    # bit-identical, ops/ssim.py:ssim_premaps_device).
+    from ..ops.ssim import ssim_map_device_pre, ssim_premaps_device
+
+    pre_a = ssim_premaps_device(img_rgb_ds_lum) if use_windowed else None
+
     def score(quality: jax.Array) -> jax.Array:
         qtab = jax.lax.dynamic_index_in_dim(all_tables, quality, axis=0,
                                             keepdims=False)
@@ -127,7 +134,8 @@ def _bisect_device(coefs, img_rgb_ds_lum, box_wh, box_wv,
             lum = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
                    + 0.114 * rgb[..., 2])
         if use_windowed:
-            return jnp.mean(ssim_map_device(img_rgb_ds_lum, lum))
+            return jnp.mean(ssim_map_device_pre(pre_a, img_rgb_ds_lum,
+                                                lum))
         if constant_one:
             return jnp.float32(1.0)
         # tiny image: global-moment pixelSSIM on luminance

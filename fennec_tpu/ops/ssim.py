@@ -106,6 +106,36 @@ def windowed_ssim_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
     return jnp.mean(ssim_map_device(lum_a, lum_b))
 
 
+def ssim_premaps_device(lum_a: jax.Array) -> jax.Array:
+    """Loop-invariant a-side windowed stats (mu_a, raw_aa), shape
+    (2, H-8, W-8).
+
+    The quality bisection scores SSIM against the SAME original image at
+    every probe — its windowed mean/raw-second-moment never change.
+    Splitting them out of the per-probe stack is bit-identical (each
+    map's separable conv is an independent per-channel slice-FMA chain)
+    and removes 2 of the 5 window passes from the loop body."""
+    g = jnp.asarray(gaussian_window_1d(WINDOW_SIZE, 1.5), dtype=jnp.float32)
+    return _sep_conv_valid(jnp.stack([lum_a, lum_a * lum_a]), g)
+
+
+def ssim_map_device_pre(pre_a: jax.Array, lum_a: jax.Array,
+                        lum_b: jax.Array) -> jax.Array:
+    """ssim_map_device with the a-side stats precomputed
+    (ssim_premaps_device) — same values, 3 window passes instead of 5."""
+    g = jnp.asarray(gaussian_window_1d(WINDOW_SIZE, 1.5), dtype=jnp.float32)
+    stats_b = _sep_conv_valid(
+        jnp.stack([lum_b, lum_b * lum_b, lum_a * lum_b]), g)
+    mu_a, raw_aa = pre_a[0], pre_a[1]
+    mu_b, raw_bb, raw_ab = stats_b
+    sig_aa = raw_aa - mu_a * mu_a
+    sig_bb = raw_bb - mu_b * mu_b
+    sig_ab = raw_ab - mu_a * mu_b
+    num = (2.0 * mu_a * mu_b + SSIM_C1) * (2.0 * sig_ab + SSIM_C2)
+    den = (mu_a * mu_a + mu_b * mu_b + SSIM_C1) * (sig_aa + sig_bb + SSIM_C2)
+    return num / den
+
+
 @jax.jit
 def pixel_ssim_device(img_a: jax.Array, img_b: jax.Array) -> jax.Array:
     """Global-moment SSIM for tiny images (reference ssim.go:169-204).
