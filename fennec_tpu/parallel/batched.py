@@ -566,6 +566,39 @@ def batched_ssim_fast(imgs_a, imgs_b) -> np.ndarray:
                                    b.astype(jnp.float32)))
 
 
+def batched_size_search_sharded(mesh: Mesh, imgs, target_scan_bytes: int,
+                                lo0: int, hi0: int):
+    """Mesh-sharded target-size quality bisection (strategy S1 of the
+    target-size engine): each chip runs the vmapped forward DCT +
+    exact-bit-count bisection for its shard of a same-shape bucket —
+    the SPMD form of engine/targetsize_batched.py's stage 1.
+
+    imgs: (B, H, W, 4) uint8/float, B divisible by the 'data' axis.
+    Returns (best_q (B,) int32, found (B,) bool).
+    """
+    from ..codecs.jpeg import forward_dct_device
+    from ..engine.size_search import size_bisect_traceable
+
+    img_sh = NamedSharding(mesh, P("data"))
+    vec_sh = NamedSharding(mesh, P("data"))
+
+    def run(stack):
+        h, w = int(stack.shape[1]), int(stack.shape[2])
+        ph, pw = h + (-h) % 16, w + (-w) % 16
+
+        def one(im):
+            coefs = forward_dct_device(im.astype(jnp.float32), True)
+            return size_bisect_traceable(
+                coefs, ph, pw, True, jnp.int32(target_scan_bytes),
+                jnp.int32(lo0), jnp.int32(hi0))
+
+        return jax.vmap(one)(stack)
+
+    fn = jax.jit(run, in_shardings=(img_sh,),
+                 out_shardings=(vec_sh, vec_sh))
+    return fn(jax.device_put(jnp.asarray(imgs), img_sh))
+
+
 def batched_ssim_sharded(mesh: Mesh, imgs_a, imgs_b,
                          spatial: bool = False) -> jax.Array:
     """Mesh-sharded batched SSIM.  With spatial=True the row axis also

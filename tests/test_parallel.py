@@ -130,3 +130,27 @@ class TestBatchedSSIM:
         unsharded = batched_ssim(a, b)
         np.testing.assert_allclose(np.asarray(sharded),
                                    np.asarray(unsharded), atol=1e-5)
+
+
+class TestShardedSizeSearch:
+    def test_matches_unsharded_bisect(self):
+        # SPMD form of the target-size engine's S1: each virtual chip
+        # bisects its shard; results must match the single-device path.
+        from fennec_tpu.codecs.jpeg import forward_dct_device
+        from fennec_tpu.engine.size_search import size_bisect_device
+        from fennec_tpu.parallel.batched import batched_size_search_sharded
+
+        mesh = data_mesh(8)
+        imgs = batch_of_images(8, 48, 48)
+        budget, lo, hi = 900, 1, 100
+        qs, found = batched_size_search_sharded(mesh, imgs, budget, lo, hi)
+        qs, found = np.asarray(qs), np.asarray(found)
+        for i in range(8):
+            coefs = forward_dct_device(
+                jnp.asarray(imgs[i], dtype=jnp.float32), True)
+            q1, f1 = size_bisect_device(
+                coefs, 48, 48, True, target_bytes=jnp.int32(budget),
+                lo0=jnp.int32(lo), hi0=jnp.int32(hi))
+            assert bool(found[i]) == bool(f1)
+            if bool(f1):
+                assert int(qs[i]) == int(q1)
