@@ -69,6 +69,20 @@ def example_batch(src: str, tmp: str) -> None:
     print("batch:", fennec.summarize(results))
 
 
+def example_target_size_batch(src: str, tmp: str) -> None:
+    """Byte budgets over a whole batch: same-shape buckets run the
+    4-strategy search lockstep on device (engine/targetsize_batched.py)."""
+    items = [fennec.BatchItem(src=src,
+                              dst=os.path.join(tmp, f"ts{i}.jpg"))
+             for i in range(4)]
+    results = fennec.compress_batch(
+        None, items,
+        fennec.BatchOptions(default_opts=fennec.Options(
+            target_size=20 * 1024)))
+    sizes = [r.result.compressed_size for r in results if r.result]
+    print(f"target_size batch: sizes={sizes} (target 20480)")
+
+
 def example_ssim() -> None:
     """Direct metric access."""
     a = np.zeros((64, 64, 4), dtype=np.uint8)
@@ -88,4 +102,5 @@ if __name__ == "__main__":
         example_target_size(src, tmp)
         example_analyze(src)
         example_batch(src, tmp)
+        example_target_size_batch(src, tmp)
         example_ssim()

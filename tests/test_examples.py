@@ -25,4 +25,5 @@ def test_examples_run_clean():
     assert "target_size:" in out
     assert "analyze:" in out
     assert "Batch: 4/4 succeeded" in out
+    assert "target_size batch:" in out
     assert "ssim(black, nearly-black)" in out
