@@ -280,6 +280,7 @@ def summarize(results: List[BatchResult]) -> BatchSummary:
     """Aggregate batch results (reference batch.go:140-158)."""
     s = BatchSummary(total=len(results))
     ssim_sum = 0.0
+    scored = 0
     for r in results:
         if r.err is not None:
             s.failed += 1
@@ -288,6 +289,9 @@ def summarize(results: List[BatchResult]) -> BatchSummary:
         if r.result is not None:
             s.total_saved += r.result.original_size - r.result.compressed_size
             ssim_sum += r.result.ssim
-    if s.succeeded > 0:
-        s.avg_ssim = ssim_sum / s.succeeded
+            scored += 1
+    # Items skipped via skip_existing count as succeeded but carry no
+    # Result; averaging over them would dilute avg_ssim toward zero.
+    if scored > 0:
+        s.avg_ssim = ssim_sum / scored
     return s
