@@ -11,6 +11,7 @@ from .engine.pipeline import compress_image_internal
 from .exif import Orientation
 from .io import encode_to_bytes, open_with_orientation
 from .types import Context, Options, ProgressStage, Result
+from .utils.profiling import stage
 
 
 def compress_file(ctx: Optional[Context], src: str, dst: str,
@@ -22,7 +23,8 @@ def compress_file(ctx: Optional[Context], src: str, dst: str,
     opts.validate()
     opts.report_progress(ctx, ProgressStage.ANALYZING, 0.0)
 
-    img, orient, file_size = open_with_orientation(src)
+    with stage("open + decode"):
+        img, orient, file_size = open_with_orientation(src)
     result = compress_image_internal(ctx, img, orient, opts)
     result.original_size = file_size
     result.compute_stats()
@@ -37,8 +39,9 @@ def compress_file(ctx: Optional[Context], src: str, dst: str,
         result.compressed_size = len(data)
         result.compute_stats()
 
-    with open(dst, "wb") as f:
-        f.write(data)
+    with stage("write"):
+        with open(dst, "wb") as f:
+            f.write(data)
 
     opts.report_progress(ctx, ProgressStage.WRITING, 1.0)
     return result

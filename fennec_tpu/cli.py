@@ -218,10 +218,14 @@ def run_compression(args) -> int:
         opts.on_progress = on_progress
 
     output = args.output or default_output(args.input)
+    from .utils.profiling import StageTimer, use_timer
+
+    timer = StageTimer()
     start = time.monotonic()
     try:
-        result = compress_file(Context.background(), args.input, output,
-                               opts)
+        with use_timer(timer):
+            result = compress_file(Context.background(), args.input,
+                                   output, opts)
     except Exception as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
@@ -229,6 +233,9 @@ def run_compression(args) -> int:
 
     if args.verbose:
         print(f"{result}\n  Time: {elapsed * 1000:.0f}ms")
+        report = timer.report()
+        if report:
+            print(f"  Stages:\n{report}", file=sys.stderr)
     else:
         print(f"{args.input} -> {output} | {result.format} | "
               f"SSIM: {result.ssim:.4f} | "

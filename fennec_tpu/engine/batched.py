@@ -46,6 +46,30 @@ from .compress import compress_png
 BATCH_CHUNK = int(os.environ.get("FENNEC_BATCH_CHUNK", "64"))
 
 
+def _batch_timer():
+    """Per-call StageTimer when FENNEC_DEBUG_BATCH is set, else None."""
+    if os.environ.get("FENNEC_DEBUG_BATCH"):
+        from ..utils.profiling import StageTimer
+
+        return StageTimer()
+    return None
+
+
+def _tstage(timer, name: str):
+    import contextlib
+
+    return timer.stage(name) if timer is not None \
+        else contextlib.nullcontext()
+
+
+def _treport(timer, tag: str) -> None:
+    if timer is not None and timer.totals:
+        import sys
+
+        print(f"fennec: {tag} stage breakdown:\n{timer.report()}",
+              file=sys.stderr, flush=True)
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -430,33 +454,38 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     if rwh is not None:
         # Resize path: dense int16 stacks were decoded up front; keep the
         # simple two-deep dispatch/collect pipeline.
-        for start in starts:
-            if ctx is not None:
-                ctx.raise_if_done()
-            chunk = list(range(start, min(start + BATCH_CHUNK, n)))
-            b = len(chunk)
-            padded = _next_pow2(b)
-            targets = jnp.full((padded,), target, dtype=jnp.float32)
-            ys = np.stack(
-                [decoded[chunk[j % b]][0][0] for j in range(padded)])
-            cbs = np.stack(
-                [decoded[chunk[j % b]][0][1] for j in range(padded)])
-            crs = np.stack(
-                [decoded[chunk[j % b]][0][2] for j in range(padded)])
-            qts = np.stack(
-                [decoded[chunk[j % b]][1] for j in range(padded)])
-            handles = batched_decode_resize_search_quantize(
-                jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
-                jnp.asarray(qts), h, w, in_sub, subsample,
-                resize_wh=rwh, resize_wv=rwv, targets=targets)
-            inflight.append(("quant", chunk, handles))
-            if len(inflight) >= 2:
+        try:
+            for start in starts:
+                if ctx is not None:
+                    ctx.raise_if_done()
+                chunk = list(range(start, min(start + BATCH_CHUNK, n)))
+                b = len(chunk)
+                padded = _next_pow2(b)
+                targets = jnp.full((padded,), target, dtype=jnp.float32)
+                ys = np.stack(
+                    [decoded[chunk[j % b]][0][0] for j in range(padded)])
+                cbs = np.stack(
+                    [decoded[chunk[j % b]][0][1] for j in range(padded)])
+                crs = np.stack(
+                    [decoded[chunk[j % b]][0][2] for j in range(padded)])
+                qts = np.stack(
+                    [decoded[chunk[j % b]][1] for j in range(padded)])
+                handles = batched_decode_resize_search_quantize(
+                    jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+                    jnp.asarray(qts), h, w, in_sub, subsample,
+                    resize_wh=rwh, resize_wv=rwv, targets=targets)
+                inflight.append(("quant", chunk, handles))
+                if len(inflight) >= 2:
+                    _collect(inflight.pop(0))
+            while inflight:
                 _collect(inflight.pop(0))
-        while inflight:
-            _collect(inflight.pop(0))
-        for fut in pending:
-            fut.result()
-        pool.shutdown()
+            for fut in pending:
+                fut.result()
+        finally:
+            # Cancellation/exception must not leak encode workers still
+            # writing results after the call has raised: queued futures
+            # are cancelled, in-flight ones complete before we return.
+            pool.shutdown(wait=True, cancel_futures=True)
         return results
 
     # ── Pipelined no-resize path ──
@@ -470,12 +499,15 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     #   stage B (k-2) : pull emitted words, byte-stuff + wrap on the pool.
     # Steady state: the device runs search(k) while the host does A/B for
     # older chunks and the feeder prepares newer ones.
+    timer = _batch_timer()
+
     def _make_chunk(start):
-        chunk = list(range(start, min(start + BATCH_CHUNK, n)))
-        padded = _next_pow2(len(chunk))
-        i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
-        return (chunk, padded, jnp.asarray(i8), jnp.asarray(qts),
-                jnp.asarray(ei), jnp.asarray(ev))
+        with _tstage(timer, "prep + upload (feeder)"):
+            chunk = list(range(start, min(start + BATCH_CHUNK, n)))
+            padded = _next_pow2(len(chunk))
+            i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
+            return (chunk, padded, jnp.asarray(i8), jnp.asarray(qts),
+                    jnp.asarray(ei), jnp.asarray(ev))
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
     futs = [feeder.submit(_make_chunk, s) for s in starts[:2]]
@@ -490,52 +522,65 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             if i + 2 < len(starts):
                 futs.append(feeder.submit(_make_chunk, starts[i + 2]))
             targets = jnp.full((padded,), target, dtype=jnp.float32)
-            if use_device_entropy and opts.optimize_huffman:
-                from ..parallel.batched import batched_decode_search_hist_i8
+            with _tstage(timer, "search dispatch"):
+                if use_device_entropy and opts.optimize_huffman:
+                    from ..parallel.batched import (
+                        batched_decode_search_hist_i8,
+                    )
 
-                handles = batched_decode_search_hist_i8(
-                    di8, dei, dev_, dqts, targets, h, w, in_sub,
-                    subsample)
-                searchq.append(("opt", chunk, handles))
-            elif use_device_entropy:
-                from ..parallel.batched import batched_decode_search_emit_i8
+                    handles = batched_decode_search_hist_i8(
+                        di8, dei, dev_, dqts, targets, h, w, in_sub,
+                        subsample)
+                    searchq.append(("opt", chunk, handles))
+                elif use_device_entropy:
+                    from ..parallel.batched import (
+                        batched_decode_search_emit_i8,
+                    )
 
-                handles = batched_decode_search_emit_i8(
-                    di8, dei, dev_, dqts, targets, h, w, in_sub,
-                    subsample, emit_words)
-                searchq.append(("emit", chunk, handles))
-            else:
-                from ..parallel.batched import (
-                    batched_decode_search_quantize_i8,
-                )
+                    handles = batched_decode_search_emit_i8(
+                        di8, dei, dev_, dqts, targets, h, w, in_sub,
+                        subsample, emit_words)
+                    searchq.append(("emit", chunk, handles))
+                else:
+                    from ..parallel.batched import (
+                        batched_decode_search_quantize_i8,
+                    )
 
-                handles = batched_decode_search_quantize_i8(
-                    di8, dei, dev_, dqts, targets, h, w, in_sub,
-                    subsample)
-                searchq.append(("quant", chunk, handles))
+                    handles = batched_decode_search_quantize_i8(
+                        di8, dei, dev_, dqts, targets, h, w, in_sub,
+                        subsample)
+                    searchq.append(("quant", chunk, handles))
 
             if len(searchq) >= 2:
                 e = searchq.pop(0)
                 if e[0] == "opt":
-                    emitq.append(_stage_a_opt(e[1], e[2]))
+                    with _tstage(timer, "stage A: pull + tables + emit"):
+                        emitq.append(_stage_a_opt(e[1], e[2]))
                 else:
                     _collect(e)
             if len(emitq) >= 2:
-                _stage_b_opt(*emitq.pop(0))
+                with _tstage(timer, "stage B: words pull + wrap"):
+                    _stage_b_opt(*emitq.pop(0))
 
         while searchq:
             e = searchq.pop(0)
             if e[0] == "opt":
-                emitq.append(_stage_a_opt(e[1], e[2]))
+                with _tstage(timer, "stage A: pull + tables + emit"):
+                    emitq.append(_stage_a_opt(e[1], e[2]))
             else:
                 _collect(e)
         while emitq:
-            _stage_b_opt(*emitq.pop(0))
+            with _tstage(timer, "stage B: words pull + wrap"):
+                _stage_b_opt(*emitq.pop(0))
+        for fut in pending:
+            fut.result()
+        _treport(timer, "coef-fastpath")
     finally:
-        feeder.shutdown(wait=True)
-    for fut in pending:
-        fut.result()
-    pool.shutdown()
+        # Feeder first (its chunk prep uses `pool` internally), then the
+        # emit pool: cancel queued encodes, wait out in-flight ones so no
+        # worker writes results after an exception has propagated.
+        feeder.shutdown(wait=True, cancel_futures=True)
+        pool.shutdown(wait=True, cancel_futures=True)
     return results
 
 
@@ -785,20 +830,23 @@ def compress_images_batched(ctx: Optional[Context],
         for start in range(0, len(idxs), BATCH_CHUNK):
             jobs.append((h, w, idxs[start:start + BATCH_CHUNK]))
 
+    timer = _batch_timer()
+
     def _make_stack(job):
-        h, w, chunk = job
-        b = len(chunk)
-        # Pad the chunk to a power of two to bound recompilation; ship
-        # uint8 (4x less transfer); opaque chunks ship RGB-only (25%
-        # less) — alpha is synthesized on device by the search kernels.
-        padded = _next_pow2(b)
-        nch = 3 if all(is_opaque(prepped[i]) for i in chunk) else 4
-        stack = np.empty((padded, h, w, nch), dtype=np.uint8)
-        for j, i in enumerate(chunk):
-            stack[j] = prepped[i][..., :nch]
-        for j in range(b, padded):
-            stack[j] = stack[0]
-        return h, w, chunk, padded, jnp.asarray(stack)
+        with _tstage(timer, "stack + upload (feeder)"):
+            h, w, chunk = job
+            b = len(chunk)
+            # Pad the chunk to a power of two to bound recompilation; ship
+            # uint8 (4x less transfer); opaque chunks ship RGB-only (25%
+            # less) — alpha is synthesized on device by the search kernels.
+            padded = _next_pow2(b)
+            nch = 3 if all(is_opaque(prepped[i]) for i in chunk) else 4
+            stack = np.empty((padded, h, w, nch), dtype=np.uint8)
+            for j, i in enumerate(chunk):
+                stack[j] = prepped[i][..., :nch]
+            for j in range(b, padded):
+                stack[j] = stack[0]
+            return h, w, chunk, padded, jnp.asarray(stack)
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
     futs = [feeder.submit(_make_stack, j) for j in jobs[:2]]
@@ -808,10 +856,12 @@ def compress_images_batched(ctx: Optional[Context],
     def _drain_search():
         e = searchq.pop(0)
         if e[0] == "dev":
-            emitq.append(_stage_a_dev(e[1], *e[2], e[3],
-                                      bool(opts.optimize_huffman)))
+            with _tstage(timer, "stage A: pull + tables + emit"):
+                emitq.append(_stage_a_dev(e[1], *e[2], e[3],
+                                          bool(opts.optimize_huffman)))
         else:
-            _collect_quant(e[1], *e[2], e[3])
+            with _tstage(timer, "pull + host encode queue"):
+                _collect_quant(e[1], *e[2], e[3])
 
     try:
         for k in range(len(jobs)):
@@ -822,28 +872,32 @@ def compress_images_batched(ctx: Optional[Context],
             if k + 2 < len(jobs):
                 futs.append(feeder.submit(_make_stack, jobs[k + 2]))
             targets = jnp.full((padded,), target, dtype=jnp.float32)
-            if use_device_entropy:
-                from ..parallel.batched import batched_search_hist
+            with _tstage(timer, "search dispatch"):
+                if use_device_entropy:
+                    from ..parallel.batched import batched_search_hist
 
-                handles = batched_search_hist(stack_dev, targets,
-                                              subsample)
-                searchq.append(("dev", chunk, (h, w), handles))
-            else:
-                handles = batched_search_and_quantize(stack_dev, targets,
-                                                      subsample)
-                searchq.append(("quant", chunk, (h, w), handles))
+                    handles = batched_search_hist(stack_dev, targets,
+                                                  subsample)
+                    searchq.append(("dev", chunk, (h, w), handles))
+                else:
+                    handles = batched_search_and_quantize(
+                        stack_dev, targets, subsample)
+                    searchq.append(("quant", chunk, (h, w), handles))
             if len(searchq) >= 2:
                 _drain_search()
             if len(emitq) >= 2:
-                _stage_b_dev(*emitq.pop(0))
+                with _tstage(timer, "stage B: words pull + wrap"):
+                    _stage_b_dev(*emitq.pop(0))
 
         while searchq:
             _drain_search()
         while emitq:
-            _stage_b_dev(*emitq.pop(0))
+            with _tstage(timer, "stage B: words pull + wrap"):
+                _stage_b_dev(*emitq.pop(0))
+        for fut in pending:
+            fut.result()
+        _treport(timer, "pixel-path")
     finally:
-        feeder.shutdown(wait=True)
-    for fut in pending:
-        fut.result()
-    pool.shutdown()
+        feeder.shutdown(wait=True, cancel_futures=True)
+        pool.shutdown(wait=True, cancel_futures=True)
     return results  # type: ignore[return-value]

@@ -212,6 +212,25 @@ def _encode_batch_at(pool, coefs: jax.Array, qvec: np.ndarray,
     return out  # type: ignore[return-value]
 
 
+def _encode_lanes(pool, coefs: jax.Array, qvec: np.ndarray,
+                  sel: np.ndarray, h: int, w: int
+                  ) -> List[Tuple[int, bytes]]:
+    """Encode only the selected lanes of the resident coefficient stack
+    (gathered into a pow2-padded sub-batch to bound recompiles); returns
+    (lane, bytes) pairs.  A straggler lane needing many verify/ascent
+    rounds no longer re-encodes the whole bucket each round."""
+    b = int(coefs.shape[0])
+    if len(sel) == b:
+        enc = _encode_batch_at(pool, coefs, qvec.astype(np.int32), h, w)
+        return list(enumerate(enc))
+    padded = _next_pow2(len(sel))
+    idx = np.asarray(list(sel) + [int(sel[0])] * (padded - len(sel)),
+                     np.int32)
+    sub = jnp.take(coefs, jnp.asarray(idx), axis=0)
+    enc = _encode_batch_at(pool, sub, qvec[idx].astype(np.int32), h, w)
+    return [(int(sel[k]), enc[k]) for k in range(len(sel))]
+
+
 def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
                      target_bytes: int
                      ) -> Tuple[np.ndarray, np.ndarray, List[bytes]]:
@@ -235,14 +254,13 @@ def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
 
     # Verify-down rounds: stuffing can push the real byte size past the
     # bit-count oracle; step those images down one quality per round.
+    # Only still-pending lanes are re-encoded each round.
     pending = ok.copy()
     while pending.any():
-        enc = _encode_batch_at(pool, coefs, q.astype(np.int32), h, w)
-        for j in range(b):
-            if not pending[j]:
-                continue
-            if len(enc[j]) <= target_bytes:
-                data[j] = enc[j]
+        for j, e in _encode_lanes(pool, coefs, q,
+                                  np.nonzero(pending)[0], h, w):
+            if len(e) <= target_bytes:
+                data[j] = e
                 pending[j] = False
             else:
                 q[j] -= 1
@@ -253,17 +271,15 @@ def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
 
     # Ascent rounds: optimized Huffman beats the standard-table oracle, so
     # a higher quality may fit — restore maximality (same loop as
-    # _JpegSizer.search), one whole-batch encode per round.
+    # _JpegSizer.search), encoding only the still-climbing lanes.
     climbing = ok & (q < hi)
     while climbing.any():
         trial = np.where(climbing, q + 1, q)
-        enc = _encode_batch_at(pool, coefs, trial.astype(np.int32), h, w)
-        for j in range(b):
-            if not climbing[j]:
-                continue
-            if len(enc[j]) <= target_bytes:
+        for j, e in _encode_lanes(pool, coefs, trial,
+                                  np.nonzero(climbing)[0], h, w):
+            if len(e) <= target_bytes:
                 q[j] += 1
-                data[j] = enc[j]
+                data[j] = e
                 if q[j] >= hi:
                     climbing[j] = False
             else:
@@ -276,15 +292,26 @@ def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
 
 
 def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
-                target_bytes: int) -> List[Optional[SizeResult]]:
-    """Strategy 1 for the whole bucket (reference targetsize.go:125-176)."""
+                target_bytes: int,
+                idxs: List[int]) -> List[Optional[SizeResult]]:
+    """Strategy 1 for the bucket's JPEG-eligible subset only (reference
+    targetsize.go:125-176) — images excluded from idxs (e.g. transparent
+    under AUTO) are never searched, mirroring _s3_batched."""
     from ..codecs.jpeg import decode_jpeg
     from ..parallel.batched import batched_ssim_fast
 
-    q, ok, data = _s1_search_batch(pool, stack_dev, h, w, target_bytes)
     b = len(arrs)
     out: List[Optional[SizeResult]] = [None] * b
-    winners = [j for j in range(b) if ok[j]]
+    if not idxs:
+        return out
+    if len(idxs) == b:
+        sub_dev = stack_dev
+    else:
+        padded = _next_pow2(len(idxs))
+        sel = np.asarray(idxs + [idxs[0]] * (padded - len(idxs)), np.int32)
+        sub_dev = jnp.take(stack_dev, jnp.asarray(sel), axis=0)
+    q, ok, data = _s1_search_batch(pool, sub_dev, h, w, target_bytes)
+    winners = [(k, i) for k, i in enumerate(idxs) if ok[k]]
     if not winners:
         return out
 
@@ -292,18 +319,18 @@ def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
     # batched dispatch (reference scores SSIMFast per accepted result).
     decoded: List[Optional[np.ndarray]] = [None] * len(winners)
 
-    def dec(k: int) -> None:
-        decoded[k] = decode_jpeg(data[winners[k]])
+    def dec(m: int) -> None:
+        decoded[m] = decode_jpeg(data[winners[m][0]])
 
     list(pool.map(dec, range(len(winners))))
-    a_stack = np.stack([arrs[j] for j in winners])
+    a_stack = np.stack([arrs[i] for _, i in winners])
     b_stack = np.stack(decoded)  # type: ignore[arg-type]
     ssims = batched_ssim_fast(a_stack, b_stack)
 
-    for k, j in enumerate(winners):
-        out[j] = SizeResult(data=data[j], format=Format.JPEG,
-                            quality=int(q[j]), ssim=float(ssims[k]),
-                            final_w=w, final_h=h, img=arrs[j])
+    for m, (k, i) in enumerate(winners):
+        out[i] = SizeResult(data=data[k], format=Format.JPEG,
+                            quality=int(q[k]), ssim=float(ssims[m]),
+                            final_w=w, final_h=h, img=arrs[i])
     return out
 
 
@@ -456,7 +483,8 @@ def hit_target_size_batched(ctx: Optional[Context],
             # Upload the bucket ONCE (uint8); every S1/S3 probe reuses it.
             stack_dev = jnp.asarray(np.stack(arrs))
 
-            s1 = _s1_batched(pool, stack_dev, arrs, h, w, target_bytes)
+            s1 = _s1_batched(pool, stack_dev, arrs, h, w, target_bytes,
+                             jpeg_idx)
             for i in jpeg_idx:
                 r = s1[i]
                 if r is not None and r.quality >= MIN_JPEG_QUALITY:

@@ -91,20 +91,52 @@ def box_resize_weights(src_w: int, src_h: int, dst_w: int,
             box_weights(dst_h, src_h).astype(np.float32))
 
 
-@functools.lru_cache(maxsize=32)
+# Device weight matrices are cached per geometry so repeated probes
+# (quality/scale searches, SSIMFast loops) ship them once per process
+# instead of per call (megabytes/dispatch on hosted links).  The cache is
+# byte-bounded, not entry-bounded: one 4K pair is tens of MB of HBM, so a
+# plain lru_cache(32) could pin ~1 GB in a long-lived process.
+_WEIGHT_CACHE_BUDGET = 128 * 1024 * 1024  # bytes of HBM, per process
+_weight_cache: "dict[tuple, Tuple[jax.Array, jax.Array]]" = {}
+_weight_cache_bytes = 0
+
+
+def _weight_cache_get(key, make):
+    global _weight_cache_bytes
+    hit = _weight_cache.get(key)
+    if hit is not None:
+        _weight_cache[key] = _weight_cache.pop(key)  # LRU bump
+        return hit
+    wh, wv = make()
+    pair = (jnp.asarray(wh), jnp.asarray(wv))
+    size = wh.nbytes + wv.nbytes
+    while _weight_cache and _weight_cache_bytes + size > _WEIGHT_CACHE_BUDGET:
+        owh, owv = _weight_cache.pop(next(iter(_weight_cache)))
+        _weight_cache_bytes -= owh.nbytes + owv.nbytes
+    _weight_cache[key] = pair
+    _weight_cache_bytes += size
+    return pair
+
+
+def clear_weight_caches() -> None:
+    """Release all cached device-resident resample weight matrices."""
+    global _weight_cache_bytes
+    _weight_cache.clear()
+    _weight_cache_bytes = 0
+
+
 def box_weights_device(src_w: int, src_h: int, dst_w: int, dst_h: int):
-    """Device-resident box weights, cached per shape — repeated probes
-    (quality/scale searches, SSIMFast loops) ship the matrices once per
-    process instead of per call (megabytes/dispatch on hosted links)."""
-    wh, wv = box_resize_weights(src_w, src_h, dst_w, dst_h)
-    return jnp.asarray(wh), jnp.asarray(wv)
+    """Device-resident box weights, cached per shape (byte-bounded LRU)."""
+    return _weight_cache_get(
+        ("box", src_w, src_h, dst_w, dst_h),
+        lambda: box_resize_weights(src_w, src_h, dst_w, dst_h))
 
 
-@functools.lru_cache(maxsize=32)
 def lanczos_weights_device(src_w: int, src_h: int, dst_w: int, dst_h: int):
-    """Device-resident Lanczos weights, cached per shape."""
-    wh, wv = resize_weights(src_w, src_h, dst_w, dst_h)
-    return jnp.asarray(wh), jnp.asarray(wv)
+    """Device-resident Lanczos weights, cached per shape (byte-bounded)."""
+    return _weight_cache_get(
+        ("lanczos", src_w, src_h, dst_w, dst_h),
+        lambda: resize_weights(src_w, src_h, dst_w, dst_h))
 
 
 # ── Host wrappers ───────────────────────────────────────────────────────────

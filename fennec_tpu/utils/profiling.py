@@ -43,6 +43,34 @@ class StageTimer:
         return "\n".join(lines)
 
 
+# Ambient timer: production paths call `stage("name")` unconditionally;
+# it is a no-op unless a caller (CLI -v, FENNEC_DEBUG_BATCH) installed a
+# StageTimer via use_timer().
+_active: Optional[StageTimer] = None
+
+
+@contextlib.contextmanager
+def use_timer(timer: StageTimer) -> Iterator[StageTimer]:
+    """Install `timer` as the ambient stage timer for the block."""
+    global _active
+    prev = _active
+    _active = timer
+    try:
+        yield timer
+    finally:
+        _active = prev
+
+
+@contextlib.contextmanager
+def stage(name: str) -> Iterator[None]:
+    """Time a named stage on the ambient timer (no-op when none)."""
+    if _active is None:
+        yield
+        return
+    with _active.stage(name):
+        yield
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: Optional[str] = None) -> Iterator[None]:
     """Wrap a block in a jax.profiler trace when log_dir is given; no-op

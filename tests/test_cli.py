@@ -111,6 +111,9 @@ class TestCLIEndToEnd:
         r = run_cli("-v", photo_png, str(tmp_path / "v.jpg"))
         assert r.returncode == 0
         assert "Fennec Result" in r.stdout
+        # -v also prints the per-stage wall-time table (StageTimer).
+        assert "Stages:" in r.stderr
+        assert "ms avg" in r.stderr
 
     def test_missing_input_error(self, tmp_path):
         r = run_cli(str(tmp_path / "missing.png"), str(tmp_path / "o.jpg"))
