@@ -302,6 +302,9 @@ class JpegHeader:
         self.scan_comps: List[dict] = []  # comp idx, dc table id, ac table id
         self.scan_offset = 0
         self.progressive = False
+        # Adobe APP14 color transform: None = no marker; 0 = none
+        # (RGB/CMYK by component count), 1 = YCbCr, 2 = YCCK.
+        self.adobe_transform: "int | None" = None
 
 
 def parse_jpeg(data: bytes) -> JpegHeader:
@@ -342,6 +345,10 @@ def parse_jpeg(data: bytes) -> JpegHeader:
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedFormatError(
                 f"fennec: unsupported JPEG SOF marker 0x{marker:02X}")
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            # 'Adobe' + version(2) + flags0(2) + flags1(2) + transform(1)
+            if len(seg) >= 12:
+                hdr.adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             _parse_sos(seg, hdr)
             hdr.scan_offset = pos + 2 + seg_len
@@ -592,8 +599,31 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     return np.asarray(out, dtype=np.uint8)
 
 
+def jpeg_color_mode(hdr: JpegHeader) -> str:
+    """Frame color model, following Go stdlib's heuristics
+    (reference io.go:82 decodes via image/jpeg, whose reader treats a
+    3-component frame as RGB when the Adobe APP14 transform is 0 or the
+    component IDs are 'R','G','B', and a 4-component frame as YCCK when
+    the transform is 2, else Adobe-inverted CMYK)."""
+    if hdr.ncomp == 1:
+        return "gray"
+    if hdr.ncomp == 3:
+        ids = [c["id"] for c in hdr.comps]
+        if hdr.adobe_transform == 0 or ids == [0x52, 0x47, 0x42]:
+            return "rgb"
+        return "ycbcr"
+    if hdr.ncomp == 4:
+        return "ycck" if hdr.adobe_transform == 2 else "cmyk"
+    raise UnsupportedFormatError(
+        f"fennec: unsupported {hdr.ncomp}-component JPEG")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline or progressive JPEG to (H, W, 4) uint8 NRGBA."""
+    """Decode a baseline or progressive JPEG to (H, W, 4) uint8 NRGBA.
+
+    Handles grayscale, YCbCr, Adobe RGB, and 4-component Adobe
+    CMYK/YCCK frames (the reference gets these via Go stdlib
+    image/jpeg; io.go:82)."""
     if is_progressive_jpeg(data):
         return _decode_progressive(data)
     hdr, coefs = decode_jpeg_to_coefs(data)
@@ -613,7 +643,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         planes.append(plane)
 
     out = _combine_planes_device(tuple(planes), hdr.height, hdr.width,
-                                 hdr.ncomp)
+                                 jpeg_color_mode(hdr))
     return np.asarray(out, dtype=np.uint8)
 
 
@@ -631,11 +661,32 @@ def _decode_plane_device(qcoefs, qtable, ph: int, pw: int,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _combine_planes_device(planes, h: int, w: int, ncomp: int):
-    if ncomp == 1:
+def _combine_planes_device(planes, h: int, w: int, mode: str):
+    if mode == "gray":
         y = jnp.clip(jnp.floor(planes[0][:h, :w] + 0.5), 0, 255)
         rgb = jnp.stack([y, y, y], axis=-1)
-    else:
+    elif mode == "rgb":
+        rgb = clamp_u8_device(
+            jnp.stack([p[:h, :w] for p in planes[:3]], axis=-1))
+    elif mode in ("cmyk", "ycck"):
+        # Adobe 4-component frames store INVERTED ink values; Go stdlib
+        # inverts all four planes into image.CMYK and color.CMYKToRGB
+        # then computes r = (255-C)(255-K)/255 — the two inversions
+        # cancel, leaving rgb = base * k_raw / 255 (floor division on
+        # uint8-rounded planes) with base = the raw CMY samples (cmyk)
+        # or the YCbCr→RGB conversion of the first three planes (ycck).
+        if mode == "ycck":
+            ycc = jnp.stack([p[:h, :w] for p in planes[:3]], axis=-1)
+            base = clamp_u8_device(ycbcr_to_rgb(ycc))
+        else:
+            base = clamp_u8_device(
+                jnp.stack([p[:h, :w] for p in planes[:3]], axis=-1))
+        k = clamp_u8_device(planes[3][:h, :w])[..., None]
+        # Integer division keeps Go's exact x*k/255 semantics (a float
+        # divide can land at 254.9999 and floor one unit low).
+        rgb = ((base.astype(jnp.int32) * k.astype(jnp.int32)) //
+               255).astype(jnp.float32)
+    else:  # ycbcr
         ycc = jnp.stack([p[:h, :w] for p in planes[:3]], axis=-1)
         rgb = clamp_u8_device(ycbcr_to_rgb(ycc))
     alpha = jnp.full((h, w, 1), 255.0, dtype=jnp.float32)

@@ -171,6 +171,179 @@ def _bisect_device(coefs, img_rgb_ds_lum, box_wh, box_wv,
     return best_q, best_ssim, found
 
 
+def _use_pallas_ssim() -> bool:
+    """Trace-time routing: fused Pallas SSIM on TPU, jnp elsewhere.
+    FENNEC_NO_PALLAS=1 forces the jnp path (A/B, debugging)."""
+    import os
+
+    if os.environ.get("FENNEC_NO_PALLAS"):
+        return False
+    from ..ops.ssim_pallas import pallas_ssim_available
+
+    return pallas_ssim_available()
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def _bisect_device_batch(coefs, lum_orig, box_wh, box_wv,
+                         padded_h: int, padded_w: int, subsample: bool,
+                         h: int, w: int, use_pallas: bool, *,
+                         targets: jax.Array, lo0: jax.Array):
+    """Batch-wise device quality bisection: all B images advance their
+    binary searches in lockstep, and each probe scores the WHOLE batch
+    with one fused Pallas SSIM kernel (ops/ssim_pallas.py) on TPU — the
+    statistic maps never touch HBM.  Falls back to the premap-hoisted
+    jnp window formulation off-TPU (bit-compatible ≤2e-7).
+
+    coefs: (cy, ccb, ccr) each (B, N, 64); lum_orig: (B, dh, dw);
+    targets/lo0: (B,).  Returns (best_q, best_ssim, found) each (B,).
+    """
+    all_tables = jnp.asarray(dct_ops.all_quality_tables(),
+                             dtype=jnp.float32)  # (101, 2, 64)
+    ds_h, ds_w = lum_orig.shape[1], lum_orig.shape[2]
+    use_windowed = ds_h > 8 and ds_w > 8
+    constant_one = (ds_h == 8 or ds_w == 8) and ds_h >= 8 and ds_w >= 8
+    needs_ds = (box_wh.shape[0] != w) or (box_wv.shape[0] != h)
+
+    if use_windowed and not use_pallas:
+        from ..ops.ssim import ssim_map_device_pre, ssim_premaps_device
+
+        pre_a = jax.vmap(ssim_premaps_device)(lum_orig)
+
+    def score(mid: jax.Array) -> jax.Array:  # (B,) int32 → (B,) f32
+        qtabs = jnp.take(all_tables, mid, axis=0)  # (B, 2, 64)
+
+        def recon_one(cy, ccb, ccr, qtab):
+            rgb = _reconstruct_rgb((cy, ccb, ccr), qtab, padded_h,
+                                   padded_w, subsample, h, w)
+            if needs_ds:
+                r = _box_down_plane(rgb[..., 0], box_wh, box_wv)
+                g = _box_down_plane(rgb[..., 1], box_wh, box_wv)
+                b = _box_down_plane(rgb[..., 2], box_wh, box_wv)
+                return 0.299 * r + 0.587 * g + 0.114 * b
+            return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                    + 0.114 * rgb[..., 2])
+
+        lum = jax.vmap(recon_one)(coefs[0], coefs[1], coefs[2], qtabs)
+        if use_windowed:
+            if use_pallas:
+                from ..ops.ssim_pallas import batched_ssim_pallas
+
+                return batched_ssim_pallas(lum_orig, lum)
+            return jax.vmap(lambda p, la, lb: jnp.mean(
+                ssim_map_device_pre(p, la, lb)))(pre_a, lum_orig, lum)
+        if constant_one:
+            return jnp.ones((lum.shape[0],), jnp.float32)
+        mu_a = jnp.mean(lum_orig, axis=(1, 2))
+        mu_b = jnp.mean(lum, axis=(1, 2))
+        da = lum_orig - mu_a[:, None, None]
+        db = lum - mu_b[:, None, None]
+        c1 = (0.01 * 255.0) ** 2
+        c2 = (0.03 * 255.0) ** 2
+        num = (2 * mu_a * mu_b + c1) * (2 * jnp.mean(da * db,
+                                                     axis=(1, 2)) + c2)
+        den = ((mu_a ** 2 + mu_b ** 2 + c1)
+               * (jnp.mean(da * da, axis=(1, 2))
+                  + jnp.mean(db * db, axis=(1, 2)) + c2))
+        return num / den
+
+    def body(_, state):
+        lo, hi, best_q, best_ssim, found = state
+        active = lo <= hi
+        mid = (lo + hi) // 2
+        s = score(mid)
+        ok = jnp.logical_and(active, s >= targets)
+        best_q = jnp.where(ok, mid, best_q)
+        best_ssim = jnp.where(ok, s, best_ssim)
+        found = jnp.logical_or(found, ok)
+        hi = jnp.where(jnp.logical_and(active, ok), mid - 1, hi)
+        lo = jnp.where(jnp.logical_and(active, jnp.logical_not(ok)),
+                       mid + 1, lo)
+        return lo, hi, best_q, best_ssim, found
+
+    bsz = lum_orig.shape[0]
+    init = (lo0, jnp.full((bsz,), 100, jnp.int32),
+            jnp.full((bsz,), 100, jnp.int32),
+            jnp.ones((bsz,), jnp.float32),
+            jnp.zeros((bsz,), jnp.bool_))
+    _, _, best_q, best_ssim, found = jax.lax.fori_loop(
+        0, MAX_BISECT_STEPS, body, init)
+    return best_q, best_ssim, found
+
+
+def _batched_search_core(imgs: jax.Array, targets: jax.Array,
+                         subsample: bool):
+    """Shared prep + lockstep bisection for the batch-wise search paths.
+    Returns (best_q, best_ssim, found, coefs)."""
+    h, w = int(imgs.shape[1]), int(imgs.shape[2])
+    t = jnp.clip(targets, 0.0, 0.999)
+    imgs = imgs.astype(jnp.float32)
+    coefs = jax.vmap(lambda im: forward_dct_device(im, subsample))(imgs)
+
+    ds_w, ds_h = ssim_fast_dims(w, h)
+    wh, wv = box_resize_weights(w, h, ds_w, ds_h)
+    box_wh = jnp.asarray(wh)
+    box_wv = jnp.asarray(wv)
+
+    def lum_one(im):
+        if (ds_w, ds_h) != (w, h):
+            r = _box_down_plane(im[..., 0], box_wh, box_wv)
+            g = _box_down_plane(im[..., 1], box_wh, box_wv)
+            b = _box_down_plane(im[..., 2], box_wh, box_wv)
+            return 0.299 * r + 0.587 * g + 0.114 * b
+        return (0.299 * im[..., 0] + 0.587 * im[..., 1]
+                + 0.114 * im[..., 2])
+
+    lum_orig = jax.vmap(lum_one)(imgs)
+    lo0 = jnp.where(t >= 0.99, 75,
+                    jnp.where(t >= 0.97, 50,
+                              jnp.where(t >= 0.94, 30,
+                                        jnp.where(t >= 0.90, 15,
+                                                  1)))).astype(jnp.int32)
+    mult = 16 if subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    best_q, best_ssim, found = _bisect_device_batch(
+        coefs, lum_orig, box_wh, box_wv, ph, pw, subsample, h, w,
+        _use_pallas_ssim(), targets=t, lo0=lo0)
+    return best_q, best_ssim, found, coefs
+
+
+def batched_quality_search_device(imgs: jax.Array, targets: jax.Array,
+                                  subsample: bool = True):
+    """Batch-wise quality search: (B, H, W, 4) + (B,) targets →
+    (q, ssim, found) each (B,).  Semantically identical to
+    jax.vmap(quality_search_device) but each probe's SSIM scores the
+    whole batch with ONE fused Pallas kernel call on TPU."""
+    q, s, f, _ = _batched_search_core(imgs, targets, subsample)
+    return q, s, f
+
+
+def batched_quality_search_quantize_device(imgs: jax.Array,
+                                           targets: jax.Array,
+                                           subsample: bool = True):
+    """Batch-wise quality_search_quantize_device: (B, H, W, 4) float32 →
+    (q (B,), ssim (B,), found (B,), packed (B, NT, 64) int16).
+
+    Semantically identical to jax.vmap(quality_search_quantize_device)
+    but the bisection runs lockstep over the batch so each probe's SSIM
+    is ONE fused Pallas kernel call on TPU.
+    """
+    best_q, best_ssim, found, coefs = _batched_search_core(
+        imgs, targets, subsample)
+    final_q = jnp.where(found, best_q, 100)
+    all_tables = jnp.asarray(dct_ops.all_quality_tables(),
+                             dtype=jnp.float32)
+    qtabs = jnp.take(all_tables, final_q, axis=0)
+
+    def quant_one(cy, ccb, ccr, qtab):
+        qy = dct_ops.quantize_blocks(cy, qtab[0])
+        qcb = dct_ops.quantize_blocks(ccb, qtab[1])
+        qcr = dct_ops.quantize_blocks(ccr, qtab[1])
+        return jnp.concatenate([qy, qcb, qcr], axis=0).astype(jnp.int16)
+
+    packed = jax.vmap(quant_one)(coefs[0], coefs[1], coefs[2], qtabs)
+    return best_q, best_ssim, found, packed
+
+
 def quality_search_device(img: jax.Array, target: jax.Array,
                           subsample: bool = True):
     """Fully traceable single-image SSIM-guided quality search.
@@ -293,9 +466,13 @@ def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,
 
     mult = 16 if subsample else 8
     ph, pw = h + (-h) % mult, w + (-w) % mult
-    best_q, best_ssim, found = _bisect_device(
-        coefs, lum_orig, box_wh, box_wv, ph, pw, subsample, h, w,
-        target=jnp.float32(target_ssim), lo0=jnp.int32(_seed_lo(target_ssim)))
+    best_q, best_ssim, found = _bisect_device_batch(
+        (coefs[0][None], coefs[1][None], coefs[2][None]),
+        lum_orig[None], box_wh, box_wv, ph, pw, subsample, h, w,
+        _use_pallas_ssim(),
+        targets=jnp.full((1,), target_ssim, jnp.float32),
+        lo0=jnp.full((1,), _seed_lo(target_ssim), jnp.int32))
+    best_q, best_ssim, found = best_q[0], best_ssim[0], found[0]
     quality = int(best_q)
     ssim_val = float(best_ssim)
     if not bool(found):

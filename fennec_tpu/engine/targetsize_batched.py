@@ -95,7 +95,7 @@ def _quantize_hist_jit(coefs: jax.Array, qvec: jax.Array, h: int, w: int):
     also return per-class symbol histograms + the exact standard-table
     scan bit count (stage 1 of optimal-Huffman emission)."""
     from ..ops.jpeg_emit import scan_symbol_hist_device
-    from ..ops.jpeg_size import scan_bits_device
+    from ..ops.jpeg_size import bits_std_from_hist
 
     ph, pw = h + (-h) % 16, w + (-w) % 16
     ny = (ph // 8) * (pw // 8)
@@ -111,10 +111,12 @@ def _quantize_hist_jit(coefs: jax.Array, qvec: jax.Array, h: int, w: int):
         qcr = dct_ops.quantize_blocks(c[ny + nc:], qtab[1])
         packed = jnp.concatenate([qy, qcb, qcr], axis=0).astype(jnp.int16)
         dcf, acf = scan_symbol_hist_device(qy, qcb, qcr, ph, pw, True)
-        bits = scan_bits_device(qy, qcb, qcr, ph, pw, True)
-        return packed, dcf, acf, bits
+        return packed, dcf, acf
 
-    return jax.vmap(one)(coefs, qvec)
+    packed, dcf, acf = jax.vmap(one)(coefs, qvec)
+    # Exact standard-table bit count = a dot over the histograms
+    # (ops/jpeg_size.bits_std_from_hist) — no second coefficient pass.
+    return packed, dcf, acf, bits_std_from_hist(dcf, acf)
 
 
 @jax.jit

@@ -160,3 +160,29 @@ def scan_bits_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
 def scan_bytes_estimate(bits: jax.Array) -> jax.Array:
     """ceil(bits/8) — the scan body size before 0xFF byte stuffing."""
     return (bits + 7) // 8
+
+
+def bits_std_from_hist(dc_freq: jax.Array,
+                       ac_freq: jax.Array) -> jax.Array:
+    """Exact standard-table scan bits from per-class symbol frequencies
+    (ops/jpeg_emit.scan_symbol_hist_device).
+
+    Every emitted field's length is a pure function of its symbol: a DC
+    symbol s costs len(dc_code[s]) + s magnitude bits, an AC symbol
+    (r, s) costs len(ac_code[rs]) + (rs & 15), and ZRL (0xF0) / EOB
+    (0x00) carry no magnitude bits (their low nibble is 0).  So the
+    total is one dot product over the (2, 16) + (2, 256) histograms —
+    this replaces a full scan_bits_device pass over the coefficients in
+    the histogram paths (tests pin equality).
+
+    dc_freq: (..., 2, 16) int; ac_freq: (..., 2, 256) int →
+    (...,) int32 total bits.
+    """
+    dc_l, ac_l, dc_c, ac_c = _length_tables()
+    dc_len = jnp.asarray(np.stack([dc_l, dc_c]))           # (2, 16)
+    ac_len = jnp.asarray(np.stack([ac_l, ac_c]))           # (2, 256)
+    dc_extra = jnp.arange(16, dtype=jnp.int32)
+    ac_extra = jnp.arange(256, dtype=jnp.int32) & 15
+    dc_bits = jnp.sum(dc_freq * (dc_len + dc_extra), axis=(-2, -1))
+    ac_bits = jnp.sum(ac_freq * (ac_len + ac_extra), axis=(-2, -1))
+    return (dc_bits + ac_bits).astype(jnp.int32)

@@ -23,6 +23,7 @@ Window semantics replicate the reference exactly:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple, Union
 
@@ -100,10 +101,39 @@ def ssim_map_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
     return num / den
 
 
-@jax.jit
-def windowed_ssim_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
-    """Mean windowed SSIM (reference ssim.go:73-166). Shapes must be > 8."""
+def _use_pallas() -> bool:
+    """Trace-time routing: the fused Pallas kernel on TPU, jnp elsewhere
+    (FENNEC_NO_PALLAS=1 forces the jnp path)."""
+    import os
+
+    if os.environ.get("FENNEC_NO_PALLAS"):
+        return False
+    try:
+        from .ssim_pallas import pallas_ssim_available
+
+        return pallas_ssim_available()
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _windowed_ssim_routed(lum_a: jax.Array, lum_b: jax.Array,
+                          use_pallas: bool) -> jax.Array:
+    if use_pallas:
+        from .ssim_pallas import batched_ssim_pallas
+
+        return batched_ssim_pallas(lum_a[None], lum_b[None])[0]
     return jnp.mean(ssim_map_device(lum_a, lum_b))
+
+
+def windowed_ssim_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
+    """Mean windowed SSIM (reference ssim.go:73-166). Shapes must be > 8.
+
+    On TPU this is the fused Pallas kernel (ops/ssim_pallas.py) — the
+    statistic maps never touch HBM; elsewhere the jnp separable-window
+    formulation (parity ≤2e-7, pinned in tests/test_ssim_pallas.py).
+    """
+    return _windowed_ssim_routed(lum_a, lum_b, _use_pallas())
 
 
 def ssim_premaps_device(lum_a: jax.Array) -> jax.Array:

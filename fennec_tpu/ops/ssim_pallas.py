@@ -34,9 +34,8 @@ except Exception:  # pragma: no cover
 BAND = 128  # output rows processed per VMEM-resident band
 
 
-def _make_kernel(oh_real: int, w: int, n_bands: int):
+def _wsum_factory():
     g = gaussian_window_1d(WINDOW_SIZE, 1.5)
-    ow = w - WINDOW_SIZE
 
     def wsum(x, axis, out_len):
         acc = None
@@ -45,6 +44,13 @@ def _make_kernel(oh_real: int, w: int, n_bands: int):
             term = sl * np.float32(g[k])
             acc = term if acc is None else acc + term
         return acc
+
+    return wsum
+
+
+def _make_kernel(oh_real: int, ow_real: int, w: int, n_bands: int):
+    wsum = _wsum_factory()
+    ow = w - WINDOW_SIZE
 
     def kernel(a_hbm, b_hbm, out_ref, sa, sb, sem_a, sem_b):
         i = pl.program_id(0)
@@ -74,17 +80,29 @@ def _make_kernel(oh_real: int, w: int, n_bands: int):
             den = (mu_a * mu_a + mu_b * mu_b + np.float32(SSIM_C1)) * \
                 (sig_aa + sig_bb + np.float32(SSIM_C2))
             vals = num / den
-            # Mask window rows past the real image (H was padded so every
-            # band is full height).
+            # Mask window positions past the real image (H was padded so
+            # every band is full height; W to the 128-lane tiling).
             rows = jax.lax.broadcasted_iota(jnp.int32, (BAND, ow), 0) + row0
             vals = jnp.where(rows < oh_real, vals, 0.0)
+            if ow_real < ow:
+                cols = jax.lax.broadcasted_iota(jnp.int32, (BAND, ow), 1)
+                vals = jnp.where(cols < ow_real, vals, 0.0)
             return acc + jnp.sum(vals)
 
         total = jax.lax.fori_loop(0, n_bands, band_body, jnp.float32(0.0))
-        mean = total / np.float32(oh_real * ow)
+        mean = total / np.float32(oh_real * ow_real)
         out_ref[pl.ds(i, 1), :] = mean.reshape(1, 1)
 
     return kernel
+
+
+def _pad_to(x: jax.Array, h_pad: int, w_pad: int) -> jax.Array:
+    ph = h_pad - x.shape[-2]
+    pw = w_pad - x.shape[-1]
+    if ph == 0 and pw == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
+    return jnp.pad(x, pad)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -93,19 +111,19 @@ def batched_ssim_pallas(lum_a: jax.Array, lum_b: jax.Array,
     """(B, H, W) float32 luminance pairs → (B,) mean windowed SSIM.
 
     Same window semantics as ops/ssim.windowed_ssim_device (centers
-    y ∈ [4, h-4), x ∈ [4, w-4)).  H and W must exceed the 8px window.
+    y ∈ [4, h-4) × [4, w-4)).  H and W must exceed the 8px window;
+    arbitrary W is handled by lane padding + masking.
     """
     bsz, h, w = lum_a.shape
     assert h > WINDOW_SIZE and w > WINDOW_SIZE, "image too small for SSIM"
-    oh_real = h - WINDOW_SIZE
+    oh_real, ow_real = h - WINDOW_SIZE, w - WINDOW_SIZE
     n_bands = -(-oh_real // BAND)
     h_pad = n_bands * BAND + WINDOW_SIZE
-    if h_pad != h:
-        pad = ((0, 0), (0, h_pad - h), (0, 0))
-        lum_a = jnp.pad(lum_a, pad)
-        lum_b = jnp.pad(lum_b, pad)
+    w_pad = -(-w // 128) * 128  # Mosaic DMA slices need 128-lane tiles
+    lum_a = _pad_to(lum_a, h_pad, w_pad)
+    lum_b = _pad_to(lum_b, h_pad, w_pad)
 
-    kernel = _make_kernel(oh_real, w, n_bands)
+    kernel = _make_kernel(oh_real, ow_real, w_pad, n_bands)
     out = pl.pallas_call(
         kernel,
         grid=(bsz,),
@@ -119,8 +137,8 @@ def batched_ssim_pallas(lum_a: jax.Array, lum_b: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BAND + WINDOW_SIZE, w), jnp.float32),
-            pltpu.VMEM((BAND + WINDOW_SIZE, w), jnp.float32),
+            pltpu.VMEM((BAND + WINDOW_SIZE, w_pad), jnp.float32),
+            pltpu.VMEM((BAND + WINDOW_SIZE, w_pad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

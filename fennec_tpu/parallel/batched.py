@@ -17,8 +17,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.compress import (
-    quality_search_device,
-    quality_search_quantize_device,
+    batched_quality_search_device,
+    batched_quality_search_quantize_device,
 )
 from ..ops.color import luminance_device
 from ..ops.ssim import ssim_map_device
@@ -28,10 +28,10 @@ from ..ops.ssim import ssim_map_device
 def batched_quality_search(imgs: jax.Array, targets: jax.Array,
                            subsample: bool = True):
     """(B, H, W, 4) float32 images + (B,) targets → per-image
-    (quality int32, ssim f32, found bool), all on device."""
-    return jax.vmap(
-        lambda im, t: quality_search_device(im, t, subsample)
-    )(imgs, targets)
+    (quality int32, ssim f32, found bool), all on device.  Lockstep
+    bisection; each probe scores the batch via one fused Pallas SSIM
+    kernel on TPU (engine/compress._bisect_device_batch)."""
+    return batched_quality_search_device(imgs, targets, subsample)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -54,9 +54,8 @@ def batched_search_and_quantize(imgs: jax.Array, targets: jax.Array,
     if imgs.shape[-1] == 3:
         alpha = jnp.full(imgs.shape[:-1] + (1,), 255.0, dtype=jnp.float32)
         imgs = jnp.concatenate([imgs, alpha], axis=-1)
-    q, s, f, packed = jax.vmap(
-        lambda im, t: quality_search_quantize_device(im, t, subsample)
-    )(imgs, targets)
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, subsample)
     fits_int8 = jnp.all(jnp.abs(packed) <= 127)
     return q, s, f, packed, fits_int8
 
@@ -71,7 +70,7 @@ def batched_search_hist(imgs: jax.Array, targets: jax.Array,
     tables never exceed the standard-table size, so overflow is
     impossible by construction."""
     from ..ops.jpeg_emit import scan_symbol_hist_device
-    from ..ops.jpeg_size import scan_bits_device
+    from ..ops.jpeg_size import bits_std_from_hist
 
     imgs = imgs.astype(jnp.float32)
     if imgs.shape[-1] == 3:
@@ -83,17 +82,18 @@ def batched_search_hist(imgs: jax.Array, targets: jax.Array,
     ny = (ph // 8) * (pw // 8)
     nc = (ph // 16) * (pw // 16) if subsample else ny
 
-    def one(im, t):
-        q, s, f, packed = quality_search_quantize_device(im, t, subsample)
-        qy = packed[:ny]
-        qcb = packed[ny:ny + nc]
-        qcr = packed[ny + nc:]
-        dc_freq, ac_freq = scan_symbol_hist_device(
-            qy, qcb, qcr, ph, pw, subsample)
-        bits_std = scan_bits_device(qy, qcb, qcr, ph, pw, subsample)
-        return q, s, f, packed, dc_freq, ac_freq, bits_std
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, subsample)
 
-    return jax.vmap(one)(imgs, targets)
+    def hist_one(p):
+        return scan_symbol_hist_device(p[:ny], p[ny:ny + nc],
+                                       p[ny + nc:], ph, pw, subsample)
+
+    dc_freq, ac_freq = jax.vmap(hist_one)(packed)
+    # The exact standard-table bit count is a dot over the histograms —
+    # no separate coefficient pass (ops/jpeg_size.bits_std_from_hist).
+    bits_std = bits_std_from_hist(dc_freq, ac_freq)
+    return q, s, f, packed, dc_freq, ac_freq, bits_std
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -104,7 +104,7 @@ def packed_hist_bits(packed: jax.Array, h: int, w: int,
     when the search already ran (single-image path, engine/compress.py).
     Returns (dc_freq (B,2,16), ac_freq (B,2,256), bits (B,))."""
     from ..ops.jpeg_emit import scan_symbol_hist_device
-    from ..ops.jpeg_size import scan_bits_device
+    from ..ops.jpeg_size import bits_std_from_hist
 
     mult = 16 if out_subsample else 8
     ph, pw = h + (-h) % mult, w + (-w) % mult
@@ -113,12 +113,11 @@ def packed_hist_bits(packed: jax.Array, h: int, w: int,
 
     def one(p):
         qy, qcb, qcr = p[:ny], p[ny:ny + nc], p[ny + nc:]
-        dcf, acf = scan_symbol_hist_device(qy, qcb, qcr, ph, pw,
-                                           out_subsample)
-        bits = scan_bits_device(qy, qcb, qcr, ph, pw, out_subsample)
-        return dcf, acf, bits
+        return scan_symbol_hist_device(qy, qcb, qcr, ph, pw,
+                                       out_subsample)
 
-    return jax.vmap(one)(packed)
+    dcf, acf = jax.vmap(one)(packed)
+    return dcf, acf, bits_std_from_hist(dcf, acf)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -154,19 +153,14 @@ def batched_decode_search_quantize(in_y: jax.Array, in_cb: jax.Array,
     device, runs the SSIM-guided search, and is re-quantized at its
     winning quality.  Returns (q, ssim, found, packed_out, fits_int8).
     """
-    from ..engine.compress import (
-        decode_jpeg_image_device,
-        quality_search_quantize_device,
-    )
+    from ..engine.compress import decode_jpeg_image_device
 
-    def one(y, cb, cr, qt, t):
-        img = decode_jpeg_image_device(
-            y.astype(jnp.float32), cb.astype(jnp.float32),
-            cr.astype(jnp.float32), qt.astype(jnp.float32),
-            h, w, in_subsample)
-        return quality_search_quantize_device(img, t, out_subsample)
-
-    q, s, f, packed = jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+    imgs = jax.vmap(lambda y, cb, cr, qt: decode_jpeg_image_device(
+        y.astype(jnp.float32), cb.astype(jnp.float32),
+        cr.astype(jnp.float32), qt.astype(jnp.float32),
+        h, w, in_subsample))(in_y, in_cb, in_cr, in_qtabs)
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, out_subsample)
     fits_int8 = jnp.all(jnp.abs(packed) <= 127)
     return q, s, f, packed, fits_int8
 
@@ -182,21 +176,19 @@ def batched_decode_resize_search_quantize(
     Same as batched_decode_search_quantize plus a smart-resize between
     reconstruction and the quality search (weight matrices precomputed on
     host, ops/resize.py)."""
-    from ..engine.compress import (
-        decode_jpeg_image_device,
-        quality_search_quantize_device,
-    )
+    from ..engine.compress import decode_jpeg_image_device
     from ..ops.resize import lanczos_resize_device
 
-    def one(y, cb, cr, qt, t):
+    def dec_one(y, cb, cr, qt):
         img = decode_jpeg_image_device(
             y.astype(jnp.float32), cb.astype(jnp.float32),
             cr.astype(jnp.float32), qt.astype(jnp.float32),
             h, w, in_subsample)
-        img = lanczos_resize_device(img, resize_wh, resize_wv)
-        return quality_search_quantize_device(img, t, out_subsample)
+        return lanczos_resize_device(img, resize_wh, resize_wv)
 
-    q, s, f, packed = jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+    imgs = jax.vmap(dec_one)(in_y, in_cb, in_cr, in_qtabs)
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, out_subsample)
     fits_int8 = jnp.all(jnp.abs(packed) <= 127)
     return q, s, f, packed, fits_int8
 
@@ -250,19 +242,14 @@ def batched_decode_search_quantize_i8(packed_i8: jax.Array,
     in_cb = dense[:, ny:ny + nc]
     in_cr = dense[:, ny + nc:]
 
-    from ..engine.compress import (
-        decode_jpeg_image_device,
-        quality_search_quantize_device,
-    )
+    from ..engine.compress import decode_jpeg_image_device
 
-    def one(y, cb, cr, qt, t):
-        img = decode_jpeg_image_device(
-            y.astype(jnp.float32), cb.astype(jnp.float32),
-            cr.astype(jnp.float32), qt.astype(jnp.float32),
-            h, w, in_subsample)
-        return quality_search_quantize_device(img, t, out_subsample)
-
-    q, s, f, packed = jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+    imgs = jax.vmap(lambda y, cb, cr, qt: decode_jpeg_image_device(
+        y.astype(jnp.float32), cb.astype(jnp.float32),
+        cr.astype(jnp.float32), qt.astype(jnp.float32),
+        h, w, in_subsample))(in_y, in_cb, in_cr, in_qtabs)
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, out_subsample)
     fits_int8 = jnp.all(jnp.abs(packed) <= 127)
     return q, s, f, packed, fits_int8
 
@@ -280,10 +267,7 @@ def batched_decode_search_emit(in_y: jax.Array, in_cb: jax.Array,
     device→host transfer shrinks to ≈ the size of the output files.
     Returns (q, ssim, found, words (B, max_words) u32, bits (B,) i32).
     """
-    from ..engine.compress import (
-        decode_jpeg_image_device,
-        quality_search_quantize_device,
-    )
+    from ..engine.compress import decode_jpeg_image_device
     from ..ops.jpeg_emit import emit_scan_device
 
     mult = 16 if out_subsample else 8
@@ -291,19 +275,16 @@ def batched_decode_search_emit(in_y: jax.Array, in_cb: jax.Array,
     ny = (ph // 8) * (pw // 8)
     nc = (ph // 16) * (pw // 16) if out_subsample else ny
 
-    def one(y, cb, cr, qt, t):
-        img = decode_jpeg_image_device(
-            y.astype(jnp.float32), cb.astype(jnp.float32),
-            cr.astype(jnp.float32), qt.astype(jnp.float32),
-            h, w, in_subsample)
-        q, s, f, packed = quality_search_quantize_device(img, t,
-                                                         out_subsample)
-        words, bits = emit_scan_device(
-            packed[:ny], packed[ny:ny + nc], packed[ny + nc:],
-            ph, pw, out_subsample, max_words)
-        return q, s, f, words, bits
-
-    return jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+    imgs = jax.vmap(lambda y, cb, cr, qt: decode_jpeg_image_device(
+        y.astype(jnp.float32), cb.astype(jnp.float32),
+        cr.astype(jnp.float32), qt.astype(jnp.float32),
+        h, w, in_subsample))(in_y, in_cb, in_cr, in_qtabs)
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, out_subsample)
+    words, bits = jax.vmap(lambda p: emit_scan_device(
+        p[:ny], p[ny:ny + nc], p[ny + nc:],
+        ph, pw, out_subsample, max_words))(packed)
+    return q, s, f, words, bits
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
@@ -316,10 +297,7 @@ def batched_decode_search_emit_i8(packed_i8: jax.Array,
     exception coefficients in, device-assembled Huffman bitstream out —
     the transfers in BOTH directions shrink to near the entropy content.
     Returns (q, ssim, found, words (B, max_words) u32, bits (B,) i32)."""
-    from ..engine.compress import (
-        decode_jpeg_image_device,
-        quality_search_quantize_device,
-    )
+    from ..engine.compress import decode_jpeg_image_device
     from ..ops.jpeg_emit import emit_scan_device
 
     dense = _i8_zigzag_to_natural(packed_i8, exc_idx, exc_val)
@@ -337,19 +315,16 @@ def batched_decode_search_emit_i8(packed_i8: jax.Array,
     ny = (ph // 8) * (pw // 8)
     nc = (ph // 16) * (pw // 16) if out_subsample else ny
 
-    def one(y, cb, cr, qt, t):
-        img = decode_jpeg_image_device(
-            y.astype(jnp.float32), cb.astype(jnp.float32),
-            cr.astype(jnp.float32), qt.astype(jnp.float32),
-            h, w, in_subsample)
-        q, s, f, packed = quality_search_quantize_device(img, t,
-                                                         out_subsample)
-        words, bits = emit_scan_device(
-            packed[:ny], packed[ny:ny + nc], packed[ny + nc:],
-            ph, pw, out_subsample, max_words)
-        return q, s, f, words, bits
-
-    return jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+    imgs = jax.vmap(lambda y, cb, cr, qt: decode_jpeg_image_device(
+        y.astype(jnp.float32), cb.astype(jnp.float32),
+        cr.astype(jnp.float32), qt.astype(jnp.float32),
+        h, w, in_subsample))(in_y, in_cb, in_cr, in_qtabs)
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, out_subsample)
+    words, bits = jax.vmap(lambda p: emit_scan_device(
+        p[:ny], p[ny:ny + nc], p[ny + nc:],
+        ph, pw, out_subsample, max_words))(packed)
+    return q, s, f, words, bits
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
@@ -367,12 +342,9 @@ def batched_decode_search_hist_i8(packed_i8: jax.Array,
     which builds T.81 K.2 optimal tables and dispatches stage 2
     (batched_emit_custom) on the resident coefficients.
     """
-    from ..engine.compress import (
-        decode_jpeg_image_device,
-        quality_search_quantize_device,
-    )
+    from ..engine.compress import decode_jpeg_image_device
     from ..ops.jpeg_emit import scan_symbol_hist_device
-    from ..ops.jpeg_size import scan_bits_device
+    from ..ops.jpeg_size import bits_std_from_hist
 
     dense = _i8_zigzag_to_natural(packed_i8, exc_idx, exc_val)
 
@@ -389,23 +361,17 @@ def batched_decode_search_hist_i8(packed_i8: jax.Array,
     ny = (ph // 8) * (pw // 8)
     nc = (ph // 16) * (pw // 16) if out_subsample else ny
 
-    def one(y, cb, cr, qt, t):
-        img = decode_jpeg_image_device(
-            y.astype(jnp.float32), cb.astype(jnp.float32),
-            cr.astype(jnp.float32), qt.astype(jnp.float32),
-            h, w, in_subsample)
-        q, s, f, packed = quality_search_quantize_device(img, t,
-                                                         out_subsample)
-        qyo = packed[:ny]
-        qcbo = packed[ny:ny + nc]
-        qcro = packed[ny + nc:]
-        dc_freq, ac_freq = scan_symbol_hist_device(
-            qyo, qcbo, qcro, ph, pw, out_subsample)
-        bits_std = scan_bits_device(qyo, qcbo, qcro, ph, pw,
-                                    out_subsample)
-        return q, s, f, packed, dc_freq, ac_freq, bits_std
-
-    return jax.vmap(one)(in_y, in_cb, in_cr, in_qtabs, targets)
+    imgs = jax.vmap(lambda y, cb, cr, qt: decode_jpeg_image_device(
+        y.astype(jnp.float32), cb.astype(jnp.float32),
+        cr.astype(jnp.float32), qt.astype(jnp.float32),
+        h, w, in_subsample))(in_y, in_cb, in_cr, in_qtabs)
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, out_subsample)
+    dc_freq, ac_freq = jax.vmap(lambda p: scan_symbol_hist_device(
+        p[:ny], p[ny:ny + nc], p[ny + nc:],
+        ph, pw, out_subsample))(packed)
+    bits_std = bits_std_from_hist(dc_freq, ac_freq)
+    return q, s, f, packed, dc_freq, ac_freq, bits_std
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
@@ -455,15 +421,19 @@ def batched_quality_search_sharded(mesh: Mesh, imgs, targets,
                                    subsample: bool = True):
     """Mesh-sharded batched search: batch axis over the 'data' mesh axis.
 
-    XLA compiles one SPMD program; each chip runs the bisection for its
-    shard of the batch — the TPU-native CompressBatch.
+    shard_map runs the lockstep bisection per chip on its LOCAL shard of
+    the batch — each chip's probes score through the fused Pallas SSIM
+    kernel on TPU (a per-device kernel composes with shard_map, unlike a
+    jit-partitioned custom call) — the TPU-native CompressBatch.
     """
+    from jax.experimental.shard_map import shard_map
+
     img_sh = NamedSharding(mesh, P("data"))
     vec_sh = NamedSharding(mesh, P("data"))
-    fn = jax.jit(
-        lambda im, t: batched_quality_search(im, t, subsample),
-        in_shardings=(img_sh, vec_sh),
-        out_shardings=(vec_sh, vec_sh, vec_sh))
+    fn = jax.jit(shard_map(
+        lambda im, t: batched_quality_search_device(im, t, subsample),
+        mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")), check_rep=False))
     return fn(jax.device_put(imgs, img_sh), jax.device_put(targets, vec_sh))
 
 
@@ -472,12 +442,14 @@ def batched_search_emit_sharded(mesh: Mesh, imgs, targets,
     """Mesh-sharded flagship path: SSIM-guided search + quantize +
     device Huffman emission, batch axis sharded over 'data'.
 
-    One SPMD program: every chip searches, quantizes, and bit-packs its
-    shard of the batch; the host pulls per-image (q, ssim, found, words,
-    bits) shards.  No collectives are needed beyond the sharding itself —
-    images are independent, so XLA keeps all work chip-local (the
+    One SPMD program via shard_map: every chip searches, quantizes, and
+    bit-packs its LOCAL shard of the batch; the host pulls per-image
+    (q, ssim, found, words, bits) shards.  No collectives are needed —
+    images are independent, so all work stays chip-local (the
     CompressBatch analogue of the reference's per-core worker pool,
     batch.go:58-128)."""
+    from jax.experimental.shard_map import shard_map
+
     img_sh = NamedSharding(mesh, P("data"))
     vec_sh = NamedSharding(mesh, P("data"))
 
@@ -488,30 +460,66 @@ def batched_search_emit_sharded(mesh: Mesh, imgs, targets,
             packed, im.shape[1], im.shape[2], subsample, max_words)
         return q, s, f, words, bits
 
-    fn = jax.jit(run, in_shardings=(img_sh, vec_sh),
-                 out_shardings=(vec_sh,) * 5)
+    fn = jax.jit(shard_map(run, mesh=mesh,
+                           in_specs=(P("data"), P("data")),
+                           out_specs=(P("data"),) * 5, check_rep=False))
     return fn(jax.device_put(imgs, img_sh),
               jax.device_put(targets, vec_sh))
 
 
 @jax.jit
-def batched_ssim(imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
-    """Windowed SSIM per batch element: (B, H, W, 4) × 2 → (B,)."""
+def batched_ssim_xla(imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
+    """jnp windowed SSIM per batch element — the shardable formulation
+    (XLA partitions the window slicing with halo exchange under a
+    spatial mesh axis; a Pallas kernel would not partition)."""
     def one(a, b):
         return jnp.mean(ssim_map_device(luminance_device(a),
                                         luminance_device(b)))
     return jax.vmap(one)(imgs_a, imgs_b)
 
 
-@jax.jit
-def _batched_ssim_fast_ds(imgs_a: jax.Array, imgs_b: jax.Array,
-                          wh: jax.Array, wv: jax.Array) -> jax.Array:
-    """Vmapped SSIMFast inner with shared device-resident box weights."""
-    from ..ops.ssim import ssim_fast_downsampled_device
+@functools.partial(jax.jit, static_argnums=(2,))
+def _batched_ssim_routed(imgs_a: jax.Array, imgs_b: jax.Array,
+                         use_pallas: bool) -> jax.Array:
+    if use_pallas:
+        from ..ops.ssim_pallas import batched_ssim_pallas
 
-    return jax.vmap(
-        lambda a, b: ssim_fast_downsampled_device(a, b, wh, wv)
-    )(imgs_a, imgs_b)
+        la = jax.vmap(lambda a: luminance_device(
+            a.astype(jnp.float32)))(imgs_a)
+        lb = jax.vmap(lambda b: luminance_device(
+            b.astype(jnp.float32)))(imgs_b)
+        return batched_ssim_pallas(la, lb)
+    return batched_ssim_xla(imgs_a, imgs_b)
+
+
+def batched_ssim(imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
+    """Windowed SSIM per batch element: (B, H, W, 4) × 2 → (B,).
+    Fused Pallas kernel on TPU; jnp elsewhere (batched_ssim_xla)."""
+    from ..ops.ssim import _use_pallas
+
+    return _batched_ssim_routed(imgs_a, imgs_b, _use_pallas())
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _batched_ssim_fast_ds(imgs_a: jax.Array, imgs_b: jax.Array,
+                          wh: jax.Array, wv: jax.Array,
+                          use_pallas: bool = False) -> jax.Array:
+    """Batched SSIMFast inner with shared device-resident box weights:
+    box-downsample + luminance vmapped, then one fused Pallas scoring
+    call on TPU (jnp window formulation elsewhere)."""
+    from ..ops.resize import box_downsample_device
+
+    def lum_one(im):
+        return luminance_device(
+            box_downsample_device(im.astype(jnp.float32), wh, wv))
+
+    la = jax.vmap(lum_one)(imgs_a)
+    lb = jax.vmap(lum_one)(imgs_b)
+    if use_pallas:
+        from ..ops.ssim_pallas import batched_ssim_pallas
+
+        return batched_ssim_pallas(la, lb)
+    return jax.vmap(lambda a, b: jnp.mean(ssim_map_device(a, b)))(la, lb)
 
 
 @jax.jit
@@ -555,7 +563,10 @@ def batched_ssim_fast(imgs_a, imgs_b) -> np.ndarray:
         wh, wv = box_weights_device(w, h, new_w, new_h)
         if new_w < 8 or new_h < 8:
             return np.asarray(_batched_pixel_ssim_ds(a, b, wh, wv))
-        return np.asarray(_batched_ssim_fast_ds(a, b, wh, wv))
+        from ..ops.ssim import _use_pallas
+
+        return np.asarray(_batched_ssim_fast_ds(a, b, wh, wv,
+                                                _use_pallas()))
     if w < 8 or h < 8:
         if w * h == 0:
             return np.ones(a.shape[0])
@@ -610,7 +621,7 @@ def batched_ssim_sharded(mesh: Mesh, imgs_a, imgs_b,
         else P("data", None, None, None)
     img_sh = NamedSharding(mesh, spec)
     out_sh = NamedSharding(mesh, P("data"))
-    fn = jax.jit(batched_ssim, in_shardings=(img_sh, img_sh),
+    fn = jax.jit(batched_ssim_xla, in_shardings=(img_sh, img_sh),
                  out_shardings=out_sh)
     return fn(jax.device_put(imgs_a, img_sh),
               jax.device_put(imgs_b, img_sh))

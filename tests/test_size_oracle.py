@@ -91,3 +91,34 @@ class TestDeviceSizeSearch:
         assert r is not None
         assert len(r.data) <= 6000
         assert r.ssim > 0
+
+
+class TestBitsFromHist:
+    """bits_std_from_hist must equal the full scan_bits_device pass —
+    the histogram paths size emission buffers from it."""
+
+    @pytest.mark.parametrize("seed,h,w", [(0, 48, 48), (1, 64, 80),
+                                          (2, 16, 16)])
+    def test_matches_scan_bits(self, seed, h, w):
+        import jax.numpy as jnp
+
+        from fennec_tpu.ops.jpeg_emit import scan_symbol_hist_device
+        from fennec_tpu.ops.jpeg_size import (
+            bits_std_from_hist,
+            scan_bits_device,
+        )
+
+        rng = np.random.default_rng(seed)
+        ny = (h // 8) * (w // 8)
+        nc = (h // 16) * (w // 16)
+        qy = rng.integers(-120, 120, (ny, 64)).astype(np.int32)
+        qcb = rng.integers(-25, 25, (nc, 64)).astype(np.int32)
+        qcr = rng.integers(-25, 25, (nc, 64)).astype(np.int32)
+        # Photo-like sparsity: zero most high-frequency coefficients.
+        qy[:, 20:] = np.where(rng.random((ny, 44)) < 0.9, 0, qy[:, 20:])
+        full = int(scan_bits_device(jnp.asarray(qy), jnp.asarray(qcb),
+                                    jnp.asarray(qcr), h, w, True))
+        dcf, acf = scan_symbol_hist_device(
+            jnp.asarray(qy), jnp.asarray(qcb), jnp.asarray(qcr), h, w,
+            True)
+        assert int(bits_std_from_hist(dcf, acf)) == full
