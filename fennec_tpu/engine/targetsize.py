@@ -48,6 +48,16 @@ class SizeResult:
     final_w: int = 0
     final_h: int = 0
     img: Optional[np.ndarray] = None
+    # Deferred pixel fetch: batched engines keep candidate images
+    # device-resident and only pull the RANKING WINNER's pixels
+    # (materialize() is called on the chosen candidate).
+    img_fetch: "Optional[object]" = None
+
+    def materialize(self) -> "SizeResult":
+        if self.img is None and self.img_fetch is not None:
+            self.img = self.img_fetch()
+        self.img_fetch = None
+        return self
 
 
 def _ctx_err(ctx: Optional[Context]) -> bool:

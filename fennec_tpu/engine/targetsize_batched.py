@@ -52,7 +52,6 @@ from .targetsize import (
     _fallback_encode,
     _header_len,
     better_fit,
-    quantize_strategy,
     scale_search,
 )
 
@@ -287,10 +286,152 @@ def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
             else:
                 climbing[j] = False
 
-    return q, ok, data  # type: ignore[return-value]
+    return q, ok, data, coefs  # type: ignore[return-value]
 
 
 # ── Batched strategies ───────────────────────────────────────────────────────
+
+
+@jax.jit
+def _palette_map_batched_jit(stack: jax.Array, idx: jax.Array,
+                             palettes: jax.Array) -> jax.Array:
+    """Map each gathered image's pixels to its own palette: stack
+    (B, H, W, 4) resident bucket, idx (P,) lanes, palettes (P, 256, 3)
+    float32 padded with large sentinels.  One dispatch per level for the
+    whole bucket instead of one per image (argmin keeps the reference's
+    first-match tie-break; sentinel rows never win).
+
+    lax.map (not vmap) over lanes: even the fused (H·W, 256) score
+    matrix is ~¼ GB at 500² — vmapping would multiply it by the lane
+    count and spill HBM."""
+    from ..ops.quantize import _palette_scores
+
+    def one(args):
+        i, pal = args
+        im = jax.lax.dynamic_index_in_dim(stack, i, axis=0,
+                                          keepdims=False)
+        rgb = im[..., :3].astype(jnp.float32).reshape(-1, 3)
+        return jnp.argmin(_palette_scores(rgb, pal),
+                          axis=-1).astype(jnp.int32).reshape(
+            im.shape[0], im.shape[1])
+
+    return jax.lax.map(one, (idx, palettes))
+
+
+def _s2_batched(pool, stack_dev, arrs: List[np.ndarray],
+                target_bytes: int,
+                idxs: List[int]) -> List[Optional[SizeResult]]:
+    """Strategy 2 for the bucket (reference targetsize.go:180-206):
+    median-cut box splits on the host pool, ONE palette-map dispatch per
+    level for all still-pending images, PNG deflate on the pool, and one
+    batched SSIM dispatch for every winner.  Per-image results identical
+    to quantize_strategy."""
+    from ..codecs import png as png_codec
+    from ..ops.quantize import median_cut_levels, palette_to_nrgba
+    from ..parallel.batched import batched_ssim_fast
+
+    b = len(arrs)
+    out: List[Optional[SizeResult]] = [None] * b
+    if not idxs:
+        return out
+    h, w = arrs[0].shape[:2]
+    pending = list(idxs)
+    winners: List[Tuple[int, bytes, np.ndarray]] = []
+    LEVELS = (256, 128, 64, 32, 16)
+    # One median-cut run per image snapshots every level's palette.
+    level_pals: Dict[int, dict] = {}
+
+    for max_colors in LEVELS:
+        if not pending:
+            break
+        pals: List[Optional[np.ndarray]] = [None] * len(pending)
+
+        def build(k: int) -> None:
+            i = pending[k]
+            if i not in level_pals:
+                level_pals[i] = median_cut_levels(arrs[i], LEVELS)
+            pals[k] = level_pals[i][max_colors]
+
+        list(pool.map(build, range(len(pending))))
+        padded = _next_pow2(len(pending))
+        lanes = np.asarray(pending + [pending[0]] * (padded -
+                                                     len(pending)),
+                           np.int32)
+        pal_stack = np.full((padded, 256, 3), 1e9, np.float32)
+        for k, pal in enumerate(pals):
+            pal_stack[k, :pal.shape[0]] = pal[:, :3].astype(np.float32)
+        idx_dev = _palette_map_batched_jit(stack_dev, jnp.asarray(lanes),
+                                           jnp.asarray(pal_stack))
+        idx_host = np.asarray(idx_dev).astype(np.uint8)
+
+        datas: List[Optional[bytes]] = [None] * len(pending)
+
+        def encode(k: int) -> None:
+            datas[k] = png_codec.encode_png_paletted(idx_host[k], pals[k])
+
+        list(pool.map(encode, range(len(pending))))
+        nxt = []
+        for k, i in enumerate(pending):
+            if len(datas[k]) <= target_bytes:
+                quantized = palette_to_nrgba(idx_host[k], pals[k])
+                winners.append((i, datas[k], quantized))
+            else:
+                nxt.append(i)
+        pending = nxt
+
+    if winners:
+        a_stack = np.stack([arrs[i] for i, _, _ in winners])
+        b_stack = np.stack([qimg for _, _, qimg in winners])
+        ssims = batched_ssim_fast(a_stack, b_stack)
+        for m, (i, data, qimg) in enumerate(winners):
+            out[i] = SizeResult(data=data, format=Format.PNG, quality=0,
+                                ssim=float(ssims[m]), final_w=w,
+                                final_h=h, img=qimg)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _ssim_at_q_jit(stack, coefs_cat, qvec, box_wh, box_wv,
+                   h: int, w: int, use_pallas: bool):
+    """SSIMFast of each lane's reconstruction-at-quality vs its source.
+
+    The emitted winner file's coefficients ARE quantize(coefs, q), so
+    reconstructing from the RESIDENT unquantized coefficients at the
+    winning quality is bit-identical to decoding the produced JPEG —
+    and skips a 25 MB coefficient re-upload per bucket (the old decode
+    path was transfer-bound on hosted links)."""
+    from .compress import _box_down_plane, _reconstruct_rgb
+
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16)
+    all_tables = jnp.asarray(dct_ops.all_quality_tables(),
+                             dtype=jnp.float32)
+    qtabs = jnp.take(all_tables, qvec, axis=0)
+    needs_ds = (box_wh.shape[0] != w) or (box_wv.shape[0] != h)
+
+    def lum_of(rgb):
+        if needs_ds:
+            r = _box_down_plane(rgb[..., 0], box_wh, box_wv)
+            g = _box_down_plane(rgb[..., 1], box_wh, box_wv)
+            b = _box_down_plane(rgb[..., 2], box_wh, box_wv)
+            return 0.299 * r + 0.587 * g + 0.114 * b
+        return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                + 0.114 * rgb[..., 2])
+
+    lum_a = jax.vmap(lambda im: lum_of(im[..., :3].astype(jnp.float32))
+                     )(stack)
+    lum_b = jax.vmap(lambda c, qt: lum_of(_reconstruct_rgb(
+        (c[:ny], c[ny:ny + nc], c[ny + nc:]), qt, ph, pw, True, h, w))
+    )(coefs_cat, qtabs)
+    if use_pallas:
+        from ..ops.ssim_pallas import batched_ssim_pallas
+
+        return batched_ssim_pallas(lum_a, lum_b)
+    from ..ops.ssim import ssim_map_device
+
+    return jax.vmap(lambda a, b: jnp.mean(ssim_map_device(a, b))
+                    )(lum_a, lum_b)
 
 
 def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
@@ -299,7 +440,6 @@ def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
     """Strategy 1 for the bucket's JPEG-eligible subset only (reference
     targetsize.go:125-176) — images excluded from idxs (e.g. transparent
     under AUTO) are never searched, mirroring _s3_batched."""
-    from ..codecs.jpeg import decode_jpeg
     from ..parallel.batched import batched_ssim_fast
 
     b = len(arrs)
@@ -312,22 +452,34 @@ def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
         padded = _next_pow2(len(idxs))
         sel = np.asarray(idxs + [idxs[0]] * (padded - len(idxs)), np.int32)
         sub_dev = jnp.take(stack_dev, jnp.asarray(sel), axis=0)
-    q, ok, data = _s1_search_batch(pool, sub_dev, h, w, target_bytes)
+    q, ok, data, coefs = _s1_search_batch(pool, sub_dev, h, w,
+                                          target_bytes)
     winners = [(k, i) for k, i in enumerate(idxs) if ok[k]]
     if not winners:
         return out
 
-    # SSIM of every winner vs its source: decode on the pool, score in one
-    # batched dispatch (reference scores SSIMFast per accepted result).
-    decoded: List[Optional[np.ndarray]] = [None] * len(winners)
+    # SSIM of every winner vs its source: reconstruct from the RESIDENT
+    # coefficients at the winning quality (bit-identical to decoding the
+    # emitted file) and score in ONE dispatch — no coefficient
+    # re-upload, no per-winner decode round-trips.
+    from ..ops.resize import box_weights_device
+    from ..ops.ssim import ssim_fast_dims
+    from .compress import _use_pallas_ssim
 
-    def dec(m: int) -> None:
-        decoded[m] = decode_jpeg(data[winners[m][0]])
+    ds_w, ds_h = ssim_fast_dims(w, h)
+    if ds_w > 8 and ds_h > 8:
+        wh_d, wv_d = box_weights_device(w, h, ds_w, ds_h)
+        qfin = np.where(ok, q, 1).astype(np.int32)
+        ssims_all = np.asarray(_ssim_at_q_jit(
+            sub_dev, coefs, jnp.asarray(qfin), wh_d, wv_d, h, w,
+            _use_pallas_ssim()))
+        ssims = [float(ssims_all[k]) for k, _ in winners]
+    else:  # tiny bucket: decode + pixel-SSIM routing (rare)
+        from ..codecs.jpeg import decode_jpeg
 
-    list(pool.map(dec, range(len(winners))))
-    a_stack = np.stack([arrs[i] for _, i in winners])
-    b_stack = np.stack(decoded)  # type: ignore[arg-type]
-    ssims = batched_ssim_fast(a_stack, b_stack)
+        decoded = [decode_jpeg(data[k]) for k, _ in winners]
+        a_stack = np.stack([arrs[i] for _, i in winners])
+        ssims = batched_ssim_fast(a_stack, np.stack(decoded))
 
     for m, (k, i) in enumerate(winners):
         out[i] = SizeResult(data=data[k], format=Format.JPEG,
@@ -336,11 +488,13 @@ def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
     return out
 
 
-def _probe_scales(ctx, stack_dev, group: List[int], w: int, h: int,
-                  new_w: int, new_h: int, target_bytes: int
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """One lockstep probe: (fits?, quality) per image in `group` for
-    encoding at new_w×new_h within target_bytes."""
+def _probe_scales_dispatch(stack_dev, group: List[int], w: int, h: int,
+                           new_w: int, new_h: int, target_bytes: int):
+    """Dispatch one lockstep probe (ASYNC — the caller collects): device
+    handles for (quality, fits) per image in `group` at new_w×new_h.
+    Dispatch/collect are split so one bisection round's geometry groups
+    all enter the device queue before the first result is pulled —
+    dispatch RPC latency overlaps device compute on hosted links."""
     from ..ops.resize import box_weights_device
 
     wh, wv = box_weights_device(w, h, new_w, new_h)
@@ -348,12 +502,14 @@ def _probe_scales(ctx, stack_dev, group: List[int], w: int, h: int,
     budget = max(0, target_bytes - _header_len(new_w, new_h))
     padded = _next_pow2(len(group))
     idx = np.asarray(group + [group[0]] * (padded - len(group)), np.int32)
-    qv, fv = _scale_probe_batched_jit(
+    return _scale_probe_batched_jit(
         stack_dev, jnp.asarray(idx), wh, wv,
         jnp.int32(budget), jnp.int32(lo), jnp.int32(hi))
-    q = np.asarray(qv)[:len(group)]
-    f = np.asarray(fv)[:len(group)]
-    return f, q
+
+
+def _probe_collect(handles, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    qv, fv = handles
+    return np.asarray(fv)[:n], np.asarray(qv)[:n]
 
 
 def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
@@ -386,9 +542,14 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
                 lo_s[i] = mid  # too small to probe (targetsize.go:247-250)
                 continue
             groups.setdefault((nw, nh), []).append(i)
-        for (nw, nh), group in groups.items():
-            fits, qs = _probe_scales(ctx, stack_dev, group, w, h, nw, nh,
-                                     target_bytes)
+        # Dispatch every geometry group's probe before pulling the first
+        # result — divergent per-image mids can fragment the round into
+        # many groups, and a sync per group serializes RPC latency.
+        inflight = [(group, _probe_scales_dispatch(
+            stack_dev, group, w, h, nw, nh, target_bytes))
+            for (nw, nh), group in groups.items()]
+        for group, handles in inflight:
+            fits, qs = _probe_collect(handles, len(group))
             for k, i in enumerate(group):
                 if fits[k] and int(qs[k]) >= MIN_JPEG_QUALITY:
                     best[i] = (mids[i], int(qs[k]))
@@ -396,14 +557,17 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
                 else:
                     hi_s[i] = mids[i]
 
+    fixed_inflight = []
     for scale in (0.75, 0.50, 0.375, 0.25):
         if _ctx_err(ctx):
             break
         nw, nh = int(w * scale), int(h * scale)
         if nw < 8 or nh < 8:
             continue
-        fits, qs = _probe_scales(ctx, stack_dev, idxs, w, h, nw, nh,
-                                 target_bytes)
+        fixed_inflight.append((scale, _probe_scales_dispatch(
+            stack_dev, idxs, w, h, nw, nh, target_bytes)))
+    for scale, handles in fixed_inflight:
+        fits, qs = _probe_collect(handles, len(idxs))
         for k, i in enumerate(idxs):
             if fits[k] and int(qs[k]) >= MIN_JPEG_QUALITY:
                 if i not in best or scale > best[i][0]:
@@ -431,27 +595,36 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
         dwh, dwv = lanczos_weights_device(w, h, fw, fh)
         scaled_dev = _resize_group_jit(stack_dev, jnp.asarray(idx),
                                        dwh, dwv)
-        q2, ok2, data2 = _s1_search_batch(pool, scaled_dev, fh, fw,
-                                          target_bytes)
-        scaled_h = np.asarray(scaled_dev, dtype=np.uint8)
+        q2, ok2, data2, _coefs2 = _s1_search_batch(
+            pool, scaled_dev, fh, fw, target_bytes)
         # SSIM vs original: upscale the scaled image back to source dims
-        # (compute_ssim_nrgba semantics, targetsize.go:563-568).
+        # (compute_ssim_nrgba semantics, targetsize.go:563-568).  Both
+        # sides stay device-resident — the originals are gathered from
+        # the bucket stack, the upscale feeds the scorer directly.
         uwh, uwv = lanczos_weights_device(fw, fh, w, h)
         up_dev = _resize_group_jit(scaled_dev,
                                    jnp.asarray(
                                        np.arange(padded, dtype=np.int32)),
                                    uwh, uwv)
-        a_stack = np.stack([arrs[i] for i in (group + [group[0]] *
-                                              (padded - len(group)))])
-        ssims = batched_ssim_fast(a_stack, np.asarray(up_dev,
-                                                      dtype=np.uint8))
+        a_dev = jnp.take(stack_dev, jnp.asarray(idx), axis=0)
+        ssims = batched_ssim_fast(a_dev, up_dev)
+        # Candidate pixels stay device-resident: only the candidate that
+        # WINS the better_fit ranking is pulled (S1 usually wins, so a
+        # full scaled-stack pull is mostly wasted tunnel time).
+        def _fetch(dev=scaled_dev, lane=0):
+            return np.asarray(
+                jax.lax.dynamic_index_in_dim(dev, lane, axis=0,
+                                             keepdims=False),
+                dtype=np.uint8)
+
         for k, i in enumerate(group):
             if not ok2[k] or int(q2[k]) < MIN_JPEG_QUALITY:
                 continue
             out[i] = SizeResult(data=data2[k], format=Format.JPEG,
                                 quality=int(q2[k]), ssim=float(ssims[k]),
                                 final_w=fw, final_h=fh,
-                                img=scaled_h[k])
+                                img_fetch=functools.partial(
+                                    _fetch, scaled_dev, k))
     return out
 
 
@@ -481,10 +654,12 @@ def hit_target_size_batched(ctx: Optional[Context],
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     try:
         stack_dev = None
-        if jpeg_idx and not _ctx_err(ctx):
-            # Upload the bucket ONCE (uint8); every S1/S3 probe reuses it.
+        if (jpeg_idx or not want_jpeg) and not _ctx_err(ctx):
+            # Upload the bucket ONCE (uint8); every S1/S2/S3 probe
+            # reuses it.
             stack_dev = jnp.asarray(np.stack(arrs))
 
+        if jpeg_idx and not _ctx_err(ctx):
             s1 = _s1_batched(pool, stack_dev, arrs, h, w, target_bytes,
                              jpeg_idx)
             for i in jpeg_idx:
@@ -493,13 +668,10 @@ def hit_target_size_batched(ctx: Optional[Context],
                     candidates[i].append(r)
 
         if not want_jpeg and not _ctx_err(ctx):
-            # S2: host-bound (median-cut + zlib); worker pool per image.
-            s2: List[Optional[SizeResult]] = [None] * b
-
-            def run_s2(i: int) -> None:
-                s2[i] = quantize_strategy(arrs[i], target_bytes)
-
-            list(pool.map(run_s2, range(b)))
+            # S2: median-cut on the pool, palette map batched on device
+            # (one dispatch per level), PNG deflate on the pool.
+            s2 = _s2_batched(pool, stack_dev, arrs, target_bytes,
+                             list(range(b)))
             for i in range(b):
                 if s2[i] is not None:
                     candidates[i].append(s2[i])
@@ -519,7 +691,7 @@ def hit_target_size_batched(ctx: Optional[Context],
             for c in candidates[i][1:]:
                 if better_fit(c, bst, target_bytes):
                     bst = c
-            results[i] = bst
+            results[i] = bst.materialize()
 
         # S4 + fallback: only images with no candidate (rare) — per image.
         for i in range(b):

@@ -19,4 +19,5 @@ from .batched import (  # noqa: F401
     batched_quality_search,
     batched_quality_search_sharded,
     batched_ssim,
+    quality_search_spatial_sharded,
 )

@@ -625,3 +625,61 @@ def batched_ssim_sharded(mesh: Mesh, imgs_a, imgs_b,
                  out_shardings=out_sh)
     return fn(jax.device_put(imgs_a, img_sh),
               jax.device_put(imgs_b, img_sh))
+
+
+def quality_search_spatial_sharded(mesh: Mesh, img, target: float,
+                                   subsample: bool = True):
+    """SSIM-guided quality search + winner quantization for ONE image
+    with its ROWS sharded over the mesh's 'spatial' axis — the path for
+    images whose working set exceeds a single chip's HBM (the
+    context-parallel analogue; SURVEY §2 parallelism table).
+
+    The whole search program — forward DCT, per-probe dequant/IDCT/
+    upsample/RGB/luminance, box downsample, windowed SSIM — runs as one
+    jit with the image row-sharded: XLA's SPMD partitioner inserts the
+    8×8-window halo exchanges and the downsample-matmul collectives
+    (the compiler-generated twin of the reference's per-worker row
+    sharding + partial-sum reduction, ssim.go:84-160).  The jnp window
+    formulation is used (a Pallas kernel would not partition).
+
+    img: (H, W, 4); H must split over the 'spatial' axis in multiples
+    of 16 (the 4:2:0 MCU height).  Returns (q, ssim, found,
+    (qy, qcb, qcr)) with the quantized winner blocks kept sharded over
+    'spatial' (block grids are row-major, so block-row bands align with
+    row bands).
+    """
+    from ..engine.compress import quality_search_device
+    from ..codecs.jpeg import forward_dct_device, quantize_coefs_device
+    from ..ops.dct import all_quality_tables
+
+    n_sp = int(mesh.shape["spatial"])
+    h = int(img.shape[0])
+    mult = 16 if subsample else 8
+    if (h // n_sp) % mult or h % n_sp:
+        raise ValueError(
+            f"fennec: H={h} must shard over spatial={n_sp} in "
+            f"multiples of {mult}")
+
+    img_sh = NamedSharding(mesh, P("spatial", None, None))
+    rep = NamedSharding(mesh, P())
+    blocks_sh = NamedSharding(mesh, P("spatial", None))
+
+    def run(im, t):
+        im = im.astype(jnp.float32)
+        q, s, f = quality_search_device(im, t, subsample)
+        final_q = jnp.where(f, q, 100)
+        coefs = forward_dct_device(im, subsample)  # CSE'd with search
+        all_tables = jnp.asarray(all_quality_tables(),
+                                 dtype=jnp.float32)
+        qtab = jax.lax.dynamic_index_in_dim(all_tables, final_q, axis=0,
+                                            keepdims=False)
+        qy, qcb, qcr = quantize_coefs_device(coefs, qtab, subsample)
+        return q, s, f, qy, qcb, qcr
+
+    fn = jax.jit(run, in_shardings=(img_sh, rep),
+                 out_shardings=(rep, rep, rep, blocks_sh, blocks_sh,
+                                blocks_sh))
+    q, s, f, qy, qcb, qcr = fn(
+        jax.device_put(jnp.asarray(img), img_sh),
+        jnp.float32(target))
+    return q, s, f, (qy, qcb, qcr)

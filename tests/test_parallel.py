@@ -154,3 +154,47 @@ class TestShardedSizeSearch:
             assert bool(found[i]) == bool(f1)
             if bool(f1):
                 assert int(qs[i]) == int(q1)
+
+
+class TestSpatialShardedSearch:
+    def test_matches_unsharded(self):
+        """Full quality SEARCH (not just SSIM) with one image's rows
+        sharded over 'spatial': same winning quality/SSIM/coefficients
+        as the single-device program (VERDICT r1 weak #7)."""
+        from fennec_tpu.codecs.jpeg import (
+            forward_dct_device,
+            quantize_coefs_device,
+        )
+        from fennec_tpu.engine.compress import quality_search_device
+        from fennec_tpu.ops.dct import all_quality_tables
+        from fennec_tpu.parallel import quality_search_spatial_sharded
+
+        mesh = data_spatial_mesh(8, spatial=4)
+        img = make_noise_image(96, 128, seed=11).astype(np.float32)
+        # H=128 over 4 shards -> 32 rows each (multiple of 16).
+        q, s, f, (qy, qcb, qcr) = quality_search_spatial_sharded(
+            mesh, img, 0.92)
+        q1, s1, f1 = quality_search_device(jnp.asarray(img),
+                                           jnp.float32(0.92))
+        assert int(q) == int(q1)
+        assert bool(f) == bool(f1)
+        assert float(s) == pytest.approx(float(s1), abs=1e-5)
+        final_q = int(q) if bool(f) else 100
+        coefs = forward_dct_device(jnp.asarray(img), True)
+        qt = jnp.asarray(all_quality_tables()[final_q],
+                         dtype=jnp.float32)
+        wy, wcb, wcr = quantize_coefs_device(coefs, qt, True)
+        np.testing.assert_allclose(np.asarray(qy), np.asarray(wy),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(qcb), np.asarray(wcb),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(qcr), np.asarray(wcr),
+                                   atol=0)
+
+    def test_bad_shard_height_raises(self):
+        from fennec_tpu.parallel import quality_search_spatial_sharded
+
+        mesh = data_spatial_mesh(8, spatial=4)
+        img = make_noise_image(32, 40, seed=1).astype(np.float32)
+        with pytest.raises(ValueError):
+            quality_search_spatial_sharded(mesh, img, 0.92)
