@@ -79,6 +79,71 @@ def _reconstruct_rgb(coefs, qtab, padded_h: int, padded_w: int,
     return clamp_u8_device(ycbcr_to_rgb(ycc))
 
 
+@functools.lru_cache(maxsize=8)
+def _idct_basis(n: int) -> np.ndarray:
+    """(n, n) float32 block-diagonal IDCT basis kron(I_{n/8}, D).
+
+    Left/right-multiplying a coefficient PLANE (coefficients stored at
+    their block positions) by kron(I, D)ᵀ / kron(I, D) performs the 8×8
+    block IDCT of every block at once with NO block↔plane transposes —
+    the per-probe reconstruction becomes two full-plane MXU matmuls plus
+    fused elementwise work (the (N, 64) Kronecker form pays a
+    (H/8, W/8, 8, 8) transpose per probe to reassemble the plane)."""
+    d = dct_ops.dct_matrix()
+    return np.kron(np.eye(n // 8), d).astype(np.float32)
+
+
+def _qd_plane(cp: jax.Array, q88: jax.Array) -> jax.Array:
+    """Quantize+dequantize a coefficient plane at an (8, 8) table —
+    per-position arithmetic identical to quantize_blocks∘dequantize_blocks
+    (round half away from zero)."""
+    h, w = cp.shape[-2], cp.shape[-1]
+    x = cp.reshape(*cp.shape[:-2], h // 8, 8, w // 8, 8)
+    q = q88[..., None, :, None, :]
+    s = x / q
+    r = jnp.sign(s) * jnp.floor(jnp.abs(s) + 0.5)
+    return (r * q).reshape(cp.shape)
+
+
+def _idct_plane(qd: jax.Array) -> jax.Array:
+    """Blockwise 8×8 IDCT of a coefficient plane via the block-diagonal
+    basis: X = Dᵀ·C·D per block ⇒ P = kron(I,D)ᵀ · Cp · kron(I,D)."""
+    bh = jnp.asarray(_idct_basis(qd.shape[-2]))
+    bw = jnp.asarray(_idct_basis(qd.shape[-1]))
+    t = jnp.einsum("uh,...uw->...hw", bh, qd,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...hw,wv->...hv", t, bw,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _reconstruct_rgb_planes(cp_y, cp_cb, cp_cr, qtab, subsample: bool,
+                            h: int, w: int):
+    """Channel planes (r, g, b) of the decode-model reconstruction,
+    computed from coefficient PLANES (see _idct_basis) — value-identical
+    to _reconstruct_rgb's channels, but transpose-free and channel-planar
+    (no (H, W, 3) stack is materialized).  Leading batch dims broadcast.
+
+    This is the probe-loop hot path: everything after the two plane
+    matmuls fuses into one elementwise pass."""
+    y = _idct_plane(_qd_plane(cp_y, qtab[..., 0, :].reshape(
+        *qtab.shape[:-2], 8, 8))) + 128.0
+    qc = qtab[..., 1, :].reshape(*qtab.shape[:-2], 8, 8)
+    cb = _idct_plane(_qd_plane(cp_cb, qc)) + 128.0
+    cr = _idct_plane(_qd_plane(cp_cr, qc)) + 128.0
+    if subsample:
+        cb = jnp.repeat(jnp.repeat(cb, 2, axis=-2), 2, axis=-1)
+        cr = jnp.repeat(jnp.repeat(cr, 2, axis=-2), 2, axis=-1)
+    y = y[..., :h, :w]
+    cbc = cb[..., :h, :w] - 128.0
+    crc = cr[..., :h, :w] - 128.0
+    r = clamp_u8_device(y + 1.402 * crc)
+    g = clamp_u8_device(y - 0.344136286 * cbc - 0.714136286 * crc)
+    b = clamp_u8_device(y + 1.772 * cbc)
+    return r, g, b
+
+
 def _box_down_plane(plane: jax.Array, wh: jax.Array,
                     wv: jax.Array) -> jax.Array:
     """Box-downsample one (H, W) plane with weight matrices, uint8-rounded
@@ -184,7 +249,7 @@ def _use_pallas_ssim() -> bool:
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
-def _bisect_device_batch(coefs, lum_orig, box_wh, box_wv,
+def _bisect_device_batch(cplanes, lum_orig, box_wh, box_wv,
                          padded_h: int, padded_w: int, subsample: bool,
                          h: int, w: int, use_pallas: bool, *,
                          targets: jax.Array, lo0: jax.Array):
@@ -194,8 +259,10 @@ def _bisect_device_batch(coefs, lum_orig, box_wh, box_wv,
     statistic maps never touch HBM.  Falls back to the premap-hoisted
     jnp window formulation off-TPU (bit-compatible ≤2e-7).
 
-    coefs: (cy, ccb, ccr) each (B, N, 64); lum_orig: (B, dh, dw);
-    targets/lo0: (B,).  Returns (best_q, best_ssim, found) each (B,).
+    cplanes: (cp_y, cp_cb, cp_cr) coefficient PLANES, (B, ph, pw) and
+    (B, ch, cw) — the per-probe reconstruction is transpose-free (see
+    _idct_basis); lum_orig: (B, dh, dw); targets/lo0: (B,).  Returns
+    (best_q, best_ssim, found) each (B,).
     """
     all_tables = jnp.asarray(dct_ops.all_quality_tables(),
                              dtype=jnp.float32)  # (101, 2, 64)
@@ -211,19 +278,12 @@ def _bisect_device_batch(coefs, lum_orig, box_wh, box_wv,
 
     def score(mid: jax.Array) -> jax.Array:  # (B,) int32 → (B,) f32
         qtabs = jnp.take(all_tables, mid, axis=0)  # (B, 2, 64)
-
-        def recon_one(cy, ccb, ccr, qtab):
-            rgb = _reconstruct_rgb((cy, ccb, ccr), qtab, padded_h,
-                                   padded_w, subsample, h, w)
-            if needs_ds:
-                r = _box_down_plane(rgb[..., 0], box_wh, box_wv)
-                g = _box_down_plane(rgb[..., 1], box_wh, box_wv)
-                b = _box_down_plane(rgb[..., 2], box_wh, box_wv)
-                return 0.299 * r + 0.587 * g + 0.114 * b
-            return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
-                    + 0.114 * rgb[..., 2])
-
-        lum = jax.vmap(recon_one)(coefs[0], coefs[1], coefs[2], qtabs)
+        r, g, b = _reconstruct_rgb_planes(
+            cplanes[0], cplanes[1], cplanes[2], qtabs, subsample, h, w)
+        if needs_ds:
+            down = jax.vmap(lambda p: _box_down_plane(p, box_wh, box_wv))
+            r, g, b = down(r), down(g), down(b)
+        lum = 0.299 * r + 0.587 * g + 0.114 * b
         if use_windowed:
             if use_pallas:
                 from ..ops.ssim_pallas import batched_ssim_pallas
@@ -301,8 +361,16 @@ def _batched_search_core(imgs: jax.Array, targets: jax.Array,
                                                   1)))).astype(jnp.int32)
     mult = 16 if subsample else 8
     ph, pw = h + (-h) % mult, w + (-w) % mult
+    ch, cw = (ph // 2, pw // 2) if subsample else (ph, pw)
+    # Coefficient planes once per search (one layout transpose); every
+    # probe then reconstructs transpose-free (_idct_basis).
+    cplanes = (
+        jax.vmap(lambda c: dct_ops.from_blocks(c, ph, pw))(coefs[0]),
+        jax.vmap(lambda c: dct_ops.from_blocks(c, ch, cw))(coefs[1]),
+        jax.vmap(lambda c: dct_ops.from_blocks(c, ch, cw))(coefs[2]),
+    )
     best_q, best_ssim, found = _bisect_device_batch(
-        coefs, lum_orig, box_wh, box_wv, ph, pw, subsample, h, w,
+        cplanes, lum_orig, box_wh, box_wv, ph, pw, subsample, h, w,
         _use_pallas_ssim(), targets=t, lo0=lo0)
     return best_q, best_ssim, found, coefs
 
@@ -466,9 +534,12 @@ def compress_jpeg_optimal(src: np.ndarray, target_ssim: float,
 
     mult = 16 if subsample else 8
     ph, pw = h + (-h) % mult, w + (-w) % mult
+    ch, cw = (ph // 2, pw // 2) if subsample else (ph, pw)
+    cplanes = (dct_ops.from_blocks(coefs[0], ph, pw)[None],
+               dct_ops.from_blocks(coefs[1], ch, cw)[None],
+               dct_ops.from_blocks(coefs[2], ch, cw)[None])
     best_q, best_ssim, found = _bisect_device_batch(
-        (coefs[0][None], coefs[1][None], coefs[2][None]),
-        lum_orig[None], box_wh, box_wv, ph, pw, subsample, h, w,
+        cplanes, lum_orig[None], box_wh, box_wv, ph, pw, subsample, h, w,
         _use_pallas_ssim(),
         targets=jnp.full((1,), target_ssim, jnp.float32),
         lo0=jnp.full((1,), _seed_lo(target_ssim), jnp.int32))
