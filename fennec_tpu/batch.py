@@ -169,6 +169,31 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
 
     live = [i for i in range(n)
             if results[i].err is None and not skipped[i]]
+
+    # Streaming writer: batched engines call this (via on_chunk) as each
+    # device chunk's results become final, so files land on disk and
+    # OnItem ticks DURING the batch instead of in one burst at the end
+    # (reference batch.go:108-124 fires per completed item).
+    written = [False] * n
+    progress = {"completed": 0}
+    write_lock = threading.Lock()
+
+    def _write_now(i: int, res) -> None:
+        res.original_size = sizes[i]
+        res.compute_stats()
+        try:
+            with open(items[i].dst, "wb") as f:
+                f.write(res.compressed_data)
+            results[i].result = res
+        except Exception as e:
+            results[i].err = e
+        written[i] = True
+        if batch_opts.on_item is not None:
+            with write_lock:
+                progress["completed"] += 1
+                c = progress["completed"]
+            batch_opts.on_item(c, n)
+
     if live:
         from .engine.batched import qualify_jpeg_bytes
 
@@ -191,8 +216,12 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                     else:
                         rest.append(i)
                 for key, idxs in groups.items():
+                    def chunk_done(pairs, idxs=idxs):
+                        for j, r in pairs:
+                            _write_now(idxs[j], r)
                     rs = compress_jpeg_bytes_batched(
-                        ctx, [raw[i] for i in idxs], sub_opts)
+                        ctx, [raw[i] for i in idxs], sub_opts,
+                        on_chunk=chunk_done)
                     if rs is None:
                         rest.extend(idxs)
                         continue
@@ -221,8 +250,12 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                         continue
                     decoded.append(img)
                     decodable.append(i)
+                def pixel_chunk_done(pairs):
+                    for j, r in pairs:
+                        _write_now(decodable[j], r)
                 pixel_results = compress_images_batched(
-                    ctx, decoded, sub_opts, workers=batch_opts.workers)
+                    ctx, decoded, sub_opts, workers=batch_opts.workers,
+                    on_chunk=pixel_chunk_done)
                 for i, r in zip(decodable, pixel_results):
                     compressed_by_index[i] = r
             live = [i for i in live if results[i].err is None]
@@ -241,22 +274,12 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
             # Fall back to the per-file pool on any fused-path failure.
             fallback = dataclasses.replace(batch_opts, fused=False)
             return compress_batch(ctx, items, fallback)
-        completed = 0
-        lock = threading.Lock()
+        # Most items were already streamed to disk by _write_now as their
+        # chunks completed; this sweep covers whatever remains (paths that
+        # return without chunk callbacks, e.g. all-PNG early returns).
         for j, i in enumerate(live):
-            res = compressed[j]
-            res.original_size = sizes[i]
-            res.compute_stats()
-            try:
-                with open(items[i].dst, "wb") as f:
-                    f.write(res.compressed_data)
-                results[i].result = res
-            except Exception as e:
-                results[i].err = e
-            if batch_opts.on_item is not None:
-                with lock:
-                    completed += 1
-                batch_opts.on_item(completed, n)
+            if not written[i]:
+                _write_now(i, compressed[j])
     return results
 
 

@@ -106,7 +106,8 @@ def qualify_jpeg_bytes(data: bytes):
 
 def compress_jpeg_bytes_batched(ctx: Optional[Context],
                                 datas: List[bytes],
-                                opts: Options) -> Optional[List[Result]]:
+                                opts: Options,
+                                on_chunk=None) -> Optional[List[Result]]:
     """All-on-device JPEG→JPEG batch: host entropy-decodes inputs to
     coefficients, ships coefficients up, the device reconstructs pixels,
     runs the SSIM-guided search, and re-quantizes — pixels never cross the
@@ -116,6 +117,12 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     Returns None when the inputs don't qualify (non-JPEG, progressive,
     mixed geometry, unusual sampling/tables) — callers fall back to the
     pixel path.  Requires opts.format == JPEG and no resize.
+
+    on_chunk, when given, is called from the dispatch thread with
+    [(index, Result), ...] as each chunk's results become final —
+    streaming progress/writes for large batches instead of one burst at
+    the end (the reference fires OnItem per completed item,
+    batch.go:108-124).
     """
     from ..codecs import sniff_format
     from ..codecs.jpeg import (
@@ -196,6 +203,20 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     nworkers = min(16, os.cpu_count() or 4)
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     pending = []
+    ledger: List = []  # (chunk_ids, futures) per dispatched chunk
+
+    def _flush_ledger(force: bool) -> None:
+        """Report chunks whose host encodes have all finished (FIFO).
+        force waits; otherwise only fully-done chunks flush."""
+        while ledger:
+            ids, futs = ledger[0]
+            if not force and not all(f.done() for f in futs):
+                return
+            for f in futs:
+                f.result()
+            ledger.pop(0)
+            if on_chunk is not None:
+                on_chunk([(i, results[i]) for i in ids])
     if opts.device_entropy is None:
         # Auto: device emission wins on TPU; on CPU the C++ host coder
         # is faster than emulating the vector emission.
@@ -245,8 +266,10 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             res.compressed_size = len(data)
             res.compute_stats()
 
-        for j, i in enumerate(chunk_ids):
-            pending.append(pool.submit(emit_one, i, j))
+        futs = [pool.submit(emit_one, i, j)
+                for j, i in enumerate(chunk_ids)]
+        pending.extend(futs)
+        ledger.append((chunk_ids, futs))
 
     def _stage_a_opt(chunk_ids, handles):
         """Stage A of the optimal-Huffman pipeline: pull the SMALL search
@@ -316,8 +339,10 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             res.compressed_size = len(data)
             res.compute_stats()
 
-        for j, i in enumerate(chunk_ids):
-            pending.append(pool.submit(emit_one, i, j))
+        futs = [pool.submit(emit_one, i, j)
+                for j, i in enumerate(chunk_ids)]
+        pending.extend(futs)
+        ledger.append((chunk_ids, futs))
 
     def _collect(entry):
         """Pull a dispatched chunk's results and queue host encodes."""
@@ -365,8 +390,10 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             res.compressed_size = len(data)
             res.compute_stats()
 
-        for j, i in enumerate(chunk_ids):
-            pending.append(pool.submit(encode_one, i, j))
+        futs = [pool.submit(encode_one, i, j)
+                for j, i in enumerate(chunk_ids)]
+        pending.extend(futs)
+        ledger.append((chunk_ids, futs))
 
     # Input MCU geometry — the flat int8 upload layout.
     mult_in = 16 if in_sub else 8
@@ -477,10 +504,12 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 inflight.append(("quant", chunk, handles))
                 if len(inflight) >= 2:
                     _collect(inflight.pop(0))
+                _flush_ledger(False)
             while inflight:
                 _collect(inflight.pop(0))
             for fut in pending:
                 fut.result()
+            _flush_ledger(True)
         finally:
             # Cancellation/exception must not leak encode workers still
             # writing results after the call has raised: queued futures
@@ -561,6 +590,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             if len(emitq) >= 2:
                 with _tstage(timer, "stage B: words pull + wrap"):
                     _stage_b_opt(*emitq.pop(0))
+            _flush_ledger(False)
 
         while searchq:
             e = searchq.pop(0)
@@ -574,6 +604,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 _stage_b_opt(*emitq.pop(0))
         for fut in pending:
             fut.result()
+        _flush_ledger(True)
         _treport(timer, "coef-fastpath")
     finally:
         # Feeder first (its chunk prep uses `pool` internally), then the
@@ -586,7 +617,8 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
 def _compress_images_targetsize(ctx: Optional[Context],
                                 images: List[np.ndarray],
-                                opts: Options) -> List[Result]:
+                                opts: Options,
+                                on_chunk=None) -> List[Result]:
     """Target-size mode over many images: same-shape buckets run through
     the batched lockstep engine (engine/targetsize_batched.py); singleton
     shapes take the per-image engine.  Per-image results are identical to
@@ -631,19 +663,23 @@ def _compress_images_targetsize(ctx: Optional[Context],
                 res.image = sr.img
             res.compressed_size = len(sr.data)
             res.compute_stats()
+        if on_chunk is not None:
+            on_chunk([(i, results[i]) for i in idxs])
     return results  # type: ignore[return-value]
 
 
 def compress_images_batched(ctx: Optional[Context],
                             images: List[np.ndarray],
                             opts: Options,
-                            workers: int = 0) -> List[Result]:
+                            workers: int = 0,
+                            on_chunk=None) -> List[Result]:
     """Standard-mode compression of many decoded images with shared
     options, device-batched.  Returns Results in input order.
 
     Semantically equivalent to [compress_image(ctx, im, opts) for im in
     images] when opts.target_size == 0; target-size mode falls back to the
-    per-image engine.
+    per-image engine.  on_chunk, when given, streams [(index, Result)]
+    groups as they become final (see compress_jpeg_bytes_batched).
     """
     opts.validate()
     n = len(images)
@@ -652,7 +688,7 @@ def compress_images_batched(ctx: Optional[Context],
         return []
 
     if opts.target_size > 0:
-        return _compress_images_targetsize(ctx, images, opts)
+        return _compress_images_targetsize(ctx, images, opts, on_chunk)
 
     target = opts.quality.target_ssim()
     if 0.0 < opts.target_ssim <= 1.0:
@@ -691,6 +727,25 @@ def compress_images_batched(ctx: Optional[Context],
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     subsample = bool(opts.subsample)
     pending = []
+    ledger: List = []  # (chunk_ids, futures) per dispatched chunk
+
+    def _flush_ledger(force: bool) -> None:
+        while ledger:
+            ids, futs = ledger[0]
+            if not force and not all(f.done() for f in futs):
+                return
+            for f in futs:
+                f.result()
+            ledger.pop(0)
+            if on_chunk is not None:
+                on_chunk([(i, results[i]) for i in ids])
+
+    # PNG-routed items finished synchronously during prep — stream them
+    # out as one completed group before any device work.
+    png_done = [i for i in range(n)
+                if results[i].format == Format.PNG]
+    if on_chunk is not None and png_done:
+        on_chunk([(i, results[i]) for i in png_done])
     if opts.device_entropy is None:
         use_device_entropy = jax.default_backend() == "tpu"
     else:
@@ -749,8 +804,10 @@ def compress_images_batched(ctx: Optional[Context],
             _finalize(i, int(q_host[j]), float(s_host[j]),
                       bool(f_host[j]), data)
 
-        for j, i in enumerate(chunk_ids):
-            pending.append(pool.submit(encode_one, i, j))
+        futs = [pool.submit(encode_one, i, j)
+                for j, i in enumerate(chunk_ids)]
+        pending.extend(futs)
+        ledger.append((chunk_ids, futs))
 
     def _stage_a_dev(chunk_ids, h, w, handles, use_opt):
         """Stage A: pull small search outputs + histograms, build tables
@@ -816,8 +873,10 @@ def compress_images_batched(ctx: Optional[Context],
             _finalize(i, int(q_host[j]), float(s_host[j]),
                       bool(f_host[j]), data)
 
-        for j, i in enumerate(chunk_ids):
-            pending.append(pool.submit(emit_one, i, j))
+        futs = [pool.submit(emit_one, i, j)
+                for j, i in enumerate(chunk_ids)]
+        pending.extend(futs)
+        ledger.append((chunk_ids, futs))
 
     # ── Pipelined dispatch: feeder thread builds + uploads pixel stacks
     # for chunk k+2; stage A (k-1) builds tables and dispatches emission;
@@ -888,6 +947,7 @@ def compress_images_batched(ctx: Optional[Context],
             if len(emitq) >= 2:
                 with _tstage(timer, "stage B: words pull + wrap"):
                     _stage_b_dev(*emitq.pop(0))
+            _flush_ledger(False)
 
         while searchq:
             _drain_search()
@@ -896,6 +956,7 @@ def compress_images_batched(ctx: Optional[Context],
                 _stage_b_dev(*emitq.pop(0))
         for fut in pending:
             fut.result()
+        _flush_ledger(True)
         _treport(timer, "pixel-path")
     finally:
         feeder.shutdown(wait=True, cancel_futures=True)

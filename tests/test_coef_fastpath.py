@@ -338,8 +338,8 @@ class TestFastPathActuallyTaken:
         calls = []
         orig = eb.compress_jpeg_bytes_batched
 
-        def spy(ctx, datas, opts):
-            out = orig(ctx, datas, opts)
+        def spy(ctx, datas, opts, **kw):
+            out = orig(ctx, datas, opts, **kw)
             calls.append((len(datas), out is not None))
             return out
 

@@ -119,6 +119,41 @@ class TestFusedFileBatch:
                                 on_item=lambda c, t: seen.append((c, t))))
         assert len(seen) == 3
 
+    def test_fused_streams_writes_per_chunk(self, tmp_path, monkeypatch):
+        """Files land on disk and OnItem ticks as device chunks finish,
+        not in one burst after the whole batch (reference fires OnItem
+        per completed item, batch.go:108-124)."""
+        import os
+
+        from fennec_tpu.engine import batched as batched_mod
+
+        monkeypatch.setattr(batched_mod, "BATCH_CHUNK", 4)
+        n = 10
+        items = []
+        for i in range(n):
+            p = tmp_path / f"s{i}.png"
+            p.write_bytes(png_codec.encode_png_rgba(photo(32, 32, i)))
+            items.append(fennec.BatchItem(
+                src=str(p), dst=str(tmp_path / f"d{i}.jpg")))
+        on_disk_at_call = []
+
+        def on_item(completed, total):
+            assert total == n
+            on_disk_at_call.append(sum(
+                os.path.exists(it.dst) for it in items))
+
+        res = fennec.compress_batch(
+            None, items, fennec.BatchOptions(fused=True,
+                                             on_item=on_item))
+        assert all(r.err is None for r in res)
+        assert len(on_disk_at_call) == n
+        # The k-th callback fires with at least k files already written
+        # (the callback IS the write notification), and strictly before
+        # the final burst would have: the first callback must see fewer
+        # than n files on disk (streaming, not end-burst).
+        assert all(d >= k + 1 for k, d in enumerate(on_disk_at_call))
+        assert on_disk_at_call[0] < n
+
 
 class TestFusedOrientation:
     def test_exif_oriented_jpeg_in_fused_batch(self, tmp_path):
