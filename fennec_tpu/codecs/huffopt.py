@@ -116,19 +116,106 @@ def specs_from_frequencies_batch(dc_freq: np.ndarray, ac_freq: np.ndarray):
         except Exception:
             lib = None
         else:
-            # table order from C: dc-luma, dc-chroma, ac-luma, ac-chroma
-            out = []
-            for j in range(bits.shape[0]):
-                dc_specs = [
-                    (bits[j, cls].tolist(),
-                     vals[j, cls, :nvals[j, cls]].tolist())
-                    for cls in range(2)]
-                ac_specs = [
-                    (bits[j, 2 + cls].tolist(),
-                     vals[j, 2 + cls, :nvals[j, 2 + cls]].tolist())
-                    for cls in range(2)]
-                out.append((dc_specs, ac_specs))
-            return out
+            return _specs_from_raw(bits, vals, nvals)
     return [
         _specs_from_frequencies_py(dc_freq[j], ac_freq[j])
         for j in range(dc_freq.shape[0])]
+
+
+def _specs_from_raw(bits: np.ndarray, vals: np.ndarray,
+                    nvals: np.ndarray) -> list:
+    """(B, 4, 16)/(B, 4, V)/(B, 4) C-builder output → per-image
+    (dc_specs, ac_specs) lists.  Table order from C: dc-luma, dc-chroma,
+    ac-luma, ac-chroma."""
+    out = []
+    for j in range(bits.shape[0]):
+        dc_specs = [
+            (bits[j, cls].tolist(),
+             vals[j, cls, :nvals[j, cls]].tolist())
+            for cls in range(2)]
+        ac_specs = [
+            (bits[j, 2 + cls].tolist(),
+             vals[j, 2 + cls, :nvals[j, 2 + cls]].tolist())
+            for cls in range(2)]
+        out.append((dc_specs, ac_specs))
+    return out
+
+
+def code_tables_batch(bits: np.ndarray, vals: np.ndarray,
+                      nvals: np.ndarray, size: int) -> np.ndarray:
+    """Vectorized canonical code tables for N specs at once.
+
+    bits (N, 16) per-length counts, vals (N, V) symbols in canonical
+    (length, value) order, nvals (N,) valid counts.  Returns (N, size)
+    int32 PACKED tables: entry = code << 5 | length (length ≤ 16 fits 5
+    bits, code ≤ 16 bits — 21 bits total); 0 = absent symbol.
+
+    Replaces the per-image Python loop over _code_arrays (the canonical
+    walk: code += 1 per symbol, code <<= 1 per length step) with closed
+    form: c_k = (2^{L_k} · Σ_{j<k} 2^{16-L_j}) >> 16, exact in int64
+    because lengths are nondecreasing in canonical order.
+    """
+    n, v = vals.shape
+    k = np.arange(v, dtype=np.int64)
+    cum = np.cumsum(bits.astype(np.int64), axis=1)  # (N, 16)
+    # Length of the k-th canonical symbol = 1 + #lengths exhausted at k.
+    lens = 1 + np.sum(k[None, None, :] >= cum[:, :, None], axis=1)
+    valid = k[None, :] < nvals[:, None].astype(np.int64)
+    lens = np.where(valid, lens, 0)
+    kraft = np.where(valid, np.int64(1) << (16 - lens), 0)
+    pre = np.cumsum(kraft, axis=1) - kraft
+    codes = ((np.int64(1) << lens) * pre) >> 16
+    packed = ((codes << 5) | lens).astype(np.int32)
+    # Scatter to symbol positions; invalid lanes land in a spill column.
+    out = np.zeros((n, size + 1), np.int32)
+    tgt = np.where(valid, vals.astype(np.int64), size)
+    np.put_along_axis(out, tgt, np.where(valid, packed, 0), axis=1)
+    return out[:, :size]
+
+
+def _packed_tables_from_specs(specs: list):
+    """Fallback packed-table build from spec lists (no C builder)."""
+    from ..ops.jpeg_emit import _code_arrays
+
+    b = len(specs)
+    dcp = np.zeros((b, 2, 16), np.int32)
+    acp = np.zeros((b, 2, 256), np.int32)
+    for j, (dc_specs, ac_specs) in enumerate(specs):
+        for cls in range(2):
+            c, ln = _code_arrays(*dc_specs[cls], 16)
+            dcp[j, cls] = (c << 5) | ln
+            c, ln = _code_arrays(*ac_specs[cls], 256)
+            acp[j, cls] = (c << 5) | ln
+    return dcp, acp
+
+
+def specs_and_tables_batch(dc_freq: np.ndarray, ac_freq: np.ndarray):
+    """One call for everything the optimal-Huffman emit stage needs:
+    per-image spec lists (for DHT segments) + packed device code tables.
+
+    Returns (specs, dc_packed (B, 2, 16) int32, ac_packed (B, 2, 256)
+    int32) with entries code << 5 | length (see code_tables_batch).
+    """
+    from ..native import _load_native
+
+    lib = _load_native()
+    if lib is not None:
+        try:
+            bits, vals, nvals = lib.build_optimal_specs(dc_freq, ac_freq)
+        except Exception:
+            lib = None
+        else:
+            b = bits.shape[0]
+            dcp = code_tables_batch(
+                bits[:, :2].reshape(b * 2, 16),
+                vals[:, :2].reshape(b * 2, -1),
+                nvals[:, :2].reshape(-1), 16).reshape(b, 2, 16)
+            acp = code_tables_batch(
+                bits[:, 2:].reshape(b * 2, 16),
+                vals[:, 2:].reshape(b * 2, -1),
+                nvals[:, 2:].reshape(-1), 256).reshape(b, 2, 256)
+            return _specs_from_raw(bits, vals, nvals), dcp, acp
+    specs = [_specs_from_frequencies_py(dc_freq[j], ac_freq[j])
+             for j in range(dc_freq.shape[0])]
+    dcp, acp = _packed_tables_from_specs(specs)
+    return specs, dcp, acp

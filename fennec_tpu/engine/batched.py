@@ -278,8 +278,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         dispatch the stage-2 emission on the RESIDENT coefficients.  The
         words pull + container wrap happen one pipeline stage later
         (stage B), overlapped with the next chunk's search."""
-        from ..codecs.huffopt import specs_from_frequencies_batch
-        from ..ops.jpeg_emit import _code_arrays
+        from ..codecs.huffopt import specs_and_tables_batch
         from ..parallel.batched import batched_emit_custom
 
         qs, ssims, found, packed, dc_freq, ac_freq, bits_std = handles
@@ -291,20 +290,11 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         # Exact sizing: optimal tables never beat the standard-table bit
         # count they're built against, so overflow is impossible.
         opt_words = _next_pow2(int(np.asarray(bits_std).max()) // 32 + 64)
-        nb = dcf.shape[0]
 
-        # One C call builds every image's K.2 tables (the Python merge
-        # loop was the pipeline's largest single-core CPU term).
-        specs: List = specs_from_frequencies_batch(dcf, acf)
-        dc_tabs = np.zeros((nb, 2, 2, 16), np.int32)
-        ac_tabs = np.zeros((nb, 2, 2, 256), np.int32)
-        for j in range(nb):
-            dc_specs, ac_specs = specs[j]
-            for cls in range(2):
-                c, ln = _code_arrays(*dc_specs[cls], 16)
-                dc_tabs[j, cls, 0], dc_tabs[j, cls, 1] = c, ln
-                c, ln = _code_arrays(*ac_specs[cls], 256)
-                ac_tabs[j, cls, 0], ac_tabs[j, cls, 1] = c, ln
+        # One C call builds every image's K.2 specs; the packed device
+        # code tables come from one vectorized canonical-code pass (the
+        # per-image Python loop was the single-core host's largest term).
+        specs, dc_tabs, ac_tabs = specs_and_tables_batch(dcf, acf)
 
         words, bits = batched_emit_custom(
             packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
@@ -816,8 +806,7 @@ def compress_images_batched(ctx: Optional[Context],
         with the next chunk's search.  Word buffer sized from the exact
         standard-table bit counts (optimal tables never exceed them, so
         overflow is impossible)."""
-        from ..codecs.huffopt import specs_from_frequencies_batch
-        from ..ops.jpeg_emit import _code_arrays
+        from ..codecs.huffopt import specs_and_tables_batch
         from ..parallel.batched import batched_emit_custom, batched_emit_std
 
         qs, ssims, found, packed, dc_freq, ac_freq, bits_std = handles
@@ -831,17 +820,7 @@ def compress_images_batched(ctx: Optional[Context],
         if use_opt:
             dcf = np.asarray(dc_freq).astype(np.int64)
             acf = np.asarray(ac_freq).astype(np.int64)
-            nb = dcf.shape[0]
-            specs = specs_from_frequencies_batch(dcf, acf)
-            dc_tabs = np.zeros((nb, 2, 2, 16), np.int32)
-            ac_tabs = np.zeros((nb, 2, 2, 256), np.int32)
-            for j in range(nb):
-                dc_specs, ac_specs = specs[j]
-                for cls in range(2):
-                    c, ln = _code_arrays(*dc_specs[cls], 16)
-                    dc_tabs[j, cls, 0], dc_tabs[j, cls, 1] = c, ln
-                    c, ln = _code_arrays(*ac_specs[cls], 256)
-                    ac_tabs[j, cls, 0], ac_tabs[j, cls, 1] = c, ln
+            specs, dc_tabs, ac_tabs = specs_and_tables_batch(dcf, acf)
 
             words, bits = batched_emit_custom(
                 packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),

@@ -572,13 +572,13 @@ def _encode_from_coefs_device(coefs, w: int, h: int, quality: int,
     standard or per-image optimal tables, and wrap the container on the
     host.  The device→host transfer is ≈ the output file size — the
     coefficient download it replaces runs at tunnel-latency rates."""
-    from ..codecs.huffopt import specs_from_frequencies
+    from ..codecs.huffopt import specs_and_tables_batch
     from ..codecs.jpeg import (
         _dht_segment_custom,
         assemble_jpeg,
         quantize_coefs_device,
     )
-    from ..ops.jpeg_emit import _code_arrays, finalize_scan_host
+    from ..ops.jpeg_emit import finalize_scan_host
     from ..parallel.batched import (
         batched_emit_custom,
         batched_emit_std,
@@ -594,20 +594,13 @@ def _encode_from_coefs_device(coefs, w: int, h: int, quality: int,
     max_words = max(256, 1 << (nbits // 32 + 64).bit_length())
     dht = None
     if optimize:
-        dc_specs, ac_specs = specs_from_frequencies(
-            np.asarray(dcf)[0].astype(np.int64),
-            np.asarray(acf)[0].astype(np.int64))
-        dc_tabs = np.zeros((1, 2, 2, 16), np.int32)
-        ac_tabs = np.zeros((1, 2, 2, 256), np.int32)
-        for cls in range(2):
-            c, ln = _code_arrays(*dc_specs[cls], 16)
-            dc_tabs[0, cls, 0], dc_tabs[0, cls, 1] = c, ln
-            c, ln = _code_arrays(*ac_specs[cls], 256)
-            ac_tabs[0, cls, 0], ac_tabs[0, cls, 1] = c, ln
+        specs, dc_tabs, ac_tabs = specs_and_tables_batch(
+            np.asarray(dcf).astype(np.int64),
+            np.asarray(acf).astype(np.int64))
         words, bits = batched_emit_custom(
             packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
             h, w, subsample, max_words)
-        dht = _dht_segment_custom(dc_specs, ac_specs)
+        dht = _dht_segment_custom(*specs[0])
     else:
         words, bits = batched_emit_std(packed, h, w, subsample, max_words)
     nb = int(np.asarray(bits)[0])

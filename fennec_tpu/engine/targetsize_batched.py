@@ -164,9 +164,9 @@ def _encode_batch_at(pool, coefs: jax.Array, qvec: np.ndarray,
     """Encode every image's resident coefficients at its own quality with
     per-image optimal Huffman tables (the target-size engine always
     optimizes, matching _JpegSizer).  2 device dispatches per call."""
-    from ..codecs.huffopt import specs_from_frequencies
+    from ..codecs.huffopt import specs_and_tables_batch
     from ..codecs.jpeg import _dht_segment_custom, assemble_jpeg
-    from ..ops.jpeg_emit import _code_arrays, finalize_scan_host
+    from ..ops.jpeg_emit import finalize_scan_host
     from ..parallel.batched import batched_emit_custom
 
     b = len(qvec)
@@ -176,20 +176,7 @@ def _encode_batch_at(pool, coefs: jax.Array, qvec: np.ndarray,
     acf_h = np.asarray(acf).astype(np.int64)
     bstd_h = np.asarray(bits_std)
 
-    specs: List = [None] * b
-    dc_tabs = np.zeros((b, 2, 2, 16), np.int32)
-    ac_tabs = np.zeros((b, 2, 2, 256), np.int32)
-
-    def build(j: int) -> None:
-        dc_specs, ac_specs = specs_from_frequencies(dcf_h[j], acf_h[j])
-        specs[j] = (dc_specs, ac_specs)
-        for cls in range(2):
-            c, ln = _code_arrays(*dc_specs[cls], 16)
-            dc_tabs[j, cls, 0], dc_tabs[j, cls, 1] = c, ln
-            c, ln = _code_arrays(*ac_specs[cls], 256)
-            ac_tabs[j, cls, 0], ac_tabs[j, cls, 1] = c, ln
-
-    list(pool.map(build, range(b)))
+    specs, dc_tabs, ac_tabs = specs_and_tables_batch(dcf_h, acf_h)
     # Optimal tables never exceed the standard-table bit count they are
     # built against, so the exact counts size the word buffer safely.
     max_words = _next_pow2(int(bstd_h.max()) // 32 + 64)

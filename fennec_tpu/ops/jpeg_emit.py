@@ -11,12 +11,15 @@ made the first version of this file 3× slower than host encoding):
      deposited into a fixed (LWORDS,) big-endian u32 buffer per block with
      one-hot masked reductions over the word axis — pure VPU work,
      vectorized over all blocks and all 64 zigzag positions at once;
-  2. GLOBAL assembly: output word w gathers the ≤K blocks whose bit ranges
-     overlap bits [32w, 32w+32) (blocks are ≥2 bits, so K is a small
-     static bound), funnel-shifts their local words into place, and sums —
-     bit ranges are disjoint, so add is exact.  Gather + shift only; the
-     block → word map comes from a searchsorted over the block-start
-     prefix sums.
+  2. GLOBAL assembly: every block's buffer is funnel-shifted onto the
+     global word grid, then output word w sums (a) the first words of all
+     blocks STARTING in w via one one-hot MXU matmul (bit ranges are
+     disjoint, so per-byte sums stay ≤ 255 and accumulate exactly), and
+     (b) the continuation word of the single earlier block spanning w,
+     found by a prefix sum over the same matmul's starter counts (no
+     searchsorted) and fetched with one sorted row-gather.  Oversized
+     single images (one-hot > _MATMUL_ASSEMBLE_LIMIT) fall back to a
+     windowed-gather assembly over the ≤K blocks touching each word.
 
 The host then pulls the total bit count (a scalar) and the used word
 prefix (≈ the size of the compressed file, typically 100-1000× smaller
@@ -124,22 +127,50 @@ def _bitlen(v: jax.Array) -> jax.Array:
 
 
 def _lut(table_2xS: jnp.ndarray, idx: jax.Array):
-    """Look idx up in a tiny (2, S) int table via a one-hot matmul.
+    """Look idx up in a tiny (2, S) int table via one-hot matmuls.
 
-    TPU element-gathers run at a few thousand lookups/ms; a one-hot f32
-    dot on the MXU does the same lookup at memory speed.  Table values
-    must fit f32 exactly (Huffman codes/lengths ≤ 16 bits do).  Returns
-    two int32 arrays of idx's shape.
+    TPU element-gathers run at a few thousand lookups/ms; one-hot dots on
+    the MXU do the same lookup at memory speed.  Exactness without f32
+    matmuls (6× the MXU passes of bf16): every looked-up value is split
+    into ≤8-bit halves, each exactly representable in bf16, and the
+    one-hot rows select exactly one entry, so bf16 accumulation is exact.
+
+    For S=256 (AC run/size symbols, idx = run*16 + size) the 256-wide
+    one-hot is decomposed into two 16-wide one-hots — the big (M, 256)
+    intermediate (which XLA materializes in HBM) shrinks to (M, 16)s,
+    turning an HBM-bound op into a compute-trivial one.
+
+    Returns two int32 arrays of idx's shape: (codes, lengths).
     """
     s = table_2xS.shape[1]
-    flat = idx.reshape(-1, 1)
-    onehot = (flat == jnp.arange(s, dtype=idx.dtype)).astype(jnp.float32)
-    # HIGHEST precision: the default TPU matmul feeds bf16 to the MXU,
-    # which would corrupt 16-bit code values (mantissa is 8 bits).
-    vals = jnp.dot(onehot, table_2xS.astype(jnp.float32).T,
-                   precision=jax.lax.Precision.HIGHEST)  # (M, 2)
-    out = vals.astype(jnp.int32)
-    return (out[:, 0].reshape(idx.shape), out[:, 1].reshape(idx.shape))
+    codes = table_2xS[0].astype(jnp.int32)
+    lens = table_2xS[1].astype(jnp.int32)
+    # (S, 3): code high byte, code low byte, length — all ≤ 255.
+    t3 = jnp.stack([codes >> 8, codes & 255, lens], axis=1)
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    if s == 256:
+        t3 = t3.reshape(16, 16 * 3).astype(jnp.bfloat16)
+        run = (idx >> 4).astype(jnp.int32)
+        size = (idx & 15).astype(jnp.int32)
+        oh_r = (run[..., None] == i16).astype(jnp.bfloat16)
+        oh_s = (size[..., None] == i16).astype(jnp.bfloat16)
+        # p[m, s, c] = T[run_m, s, c]: one 16-wide MXU dot per element.
+        p = jax.lax.dot_general(
+            oh_r.reshape(-1, 16), t3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16)
+        p = p.reshape(*idx.shape, 16, 3)
+        # Select the size column: exactly one oh_s term is 1 — exact.
+        vals = jnp.sum(p * oh_s[..., None], axis=-2).astype(jnp.int32)
+    else:
+        t3 = t3.astype(jnp.bfloat16)  # (S ≤ 16, 3)
+        oh = (idx[..., None] == jnp.arange(s, dtype=jnp.int32)).astype(
+            jnp.bfloat16)
+        vals = jax.lax.dot_general(
+            oh.reshape(-1, s), t3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16)
+        vals = vals.reshape(*idx.shape, 3).astype(jnp.int32)
+    code = (vals[..., 0] << 8) | vals[..., 1]
+    return code, vals[..., 2]
 
 
 def _symbols(blocks: jax.Array, order: np.ndarray, inv_order: np.ndarray):
@@ -229,6 +260,37 @@ def _component_fields(blocks: jax.Array, order: np.ndarray,
     }
 
 
+def _ac_hist_matmul(sym: jax.Array, nz: jax.Array) -> jax.Array:
+    """AC run/size histogram as a 16×16 MXU outer product.
+
+    H[r, s] = Σ_m oh_run[m, r] · (oh_size[m, s] · nz_m).  The naive
+    256-bin compare materializes an HBM-bound (M, 256) mask; decomposing
+    sym = run*16 + size shrinks the operands to two (M, 16) one-hots and
+    puts the reduction on the MXU.  bf16 inputs are 0/1 (exact); f32
+    accumulation is exact below 2^24, so the m axis is segmented and
+    segments add in int32.  Returns (256,) int32 in sym-bin order.
+    """
+    run = (sym >> 4).astype(jnp.int32).reshape(-1)
+    size = (sym & 15).astype(jnp.int32).reshape(-1)
+    live = nz.reshape(-1)
+    m = run.shape[0]
+    seg = min(m, 1 << 22)
+    nseg = -(-m // seg)
+    pad = nseg * seg - m
+    if pad:
+        run = jnp.pad(run, (0, pad))
+        size = jnp.pad(size, (0, pad))
+        live = jnp.pad(live, (0, pad))
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    oh_r = (run[:, None] == i16).astype(jnp.bfloat16).reshape(
+        nseg, seg, 16)
+    oh_s = ((size[:, None] == i16) & live[:, None]).astype(
+        jnp.bfloat16).reshape(nseg, seg, 16)
+    h = jax.lax.dot_general(oh_r, oh_s, (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    return jnp.sum(h.astype(jnp.int32), axis=0).reshape(256)
+
+
 def scan_symbol_hist_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
                             padded_h: int, padded_w: int, subsample: bool):
     """Per-class symbol frequencies of the scan — the device analogue of
@@ -240,7 +302,6 @@ def scan_symbol_hist_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
     """
     layout, total = _scan_layout(padded_h, padded_w, subsample)
     dc_bins = jnp.arange(16, dtype=jnp.int32)
-    ac_bins = jnp.arange(256, dtype=jnp.int32)
     dc_freq = jnp.zeros((2, 16), jnp.int32)
     ac_freq = jnp.zeros((2, 256), jnp.int32)
     for blocks, (order, inv, _slot), cls in ((qy, layout[0], 0),
@@ -249,9 +310,7 @@ def scan_symbol_hist_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
         s = _symbols(blocks, order, inv)
         dc_h = jnp.sum(s["s_dc"][:, None] == dc_bins, axis=0,
                        dtype=jnp.int32)
-        ac_h = jnp.sum((s["sym"][:, :, None] == ac_bins)
-                       & s["ac_nz"][:, :, None], axis=(0, 1),
-                       dtype=jnp.int32)
+        ac_h = _ac_hist_matmul(s["sym"], s["ac_nz"])
         nzrl = jnp.sum(jnp.where(s["ac_nz"], s["zrl"], 0),
                        dtype=jnp.int32)
         neob = jnp.sum(s["has_eob"], dtype=jnp.int32)
@@ -354,6 +413,83 @@ def _rows_sorted(table: jax.Array, idx: jax.Array) -> jax.Array:
         mode=jax.lax.GatherScatterMode.CLIP)
 
 
+def _grid_align(bufs: jax.Array, block_bits: jax.Array):
+    """Shared assembly prologue: funnel-shift every block's local buffer
+    so its words align with the GLOBAL 32-bit word grid.
+
+    Returns (s_rows (T, LWORDS+1) uint32, starts, base, last_word)."""
+    t = bufs.shape[0]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(block_bits)[:-1]])
+    sh = (starts & 31).astype(jnp.uint32)[:, None]
+    base = starts >> 5
+    zero = jnp.zeros((t, 1), jnp.uint32)
+    lpad = jnp.concatenate([zero, bufs, zero], axis=1)
+    left, right = lpad[:, :-1], lpad[:, 1:]
+    s_rows = jnp.where(sh == 0, right,
+                       (left << (np.uint32(32) - sh)) | (right >> sh))
+    last_word = (starts + block_bits - 1) >> 5
+    return s_rows, starts, base, last_word
+
+
+def _assemble_global_matmul(bufs: jax.Array, block_bits: jax.Array,
+                            max_words: int):
+    """Assemble the output stream with one MXU matmul — no searchsorted,
+    no gather window, no per-candidate loop.
+
+    Output word w receives (a) the first grid-aligned word of every block
+    STARTING in w ("starters"), and (b) the continuation word of the one
+    block that started earlier and spans w.  Starters sum via a one-hot
+    matmul: block bit ranges are disjoint, so within any byte of word w
+    the starters' contributions sum to ≤ 255 — each byte column
+    accumulates exactly in bf16×f32, and recombining bytes with shifts
+    reconstructs the exact uint32 word.  The same matmul's extra
+    ones-column counts starters per word, whose exclusive cumsum IS the
+    continuation block's index — replacing the old binary search
+    (jnp.searchsorted was ~half the assembly cost) with a prefix sum.
+
+    Materializes a (T, max_words) one-hot: callers gate on T*max_words
+    (emit_scan_device uses the windowed-gather path above the limit).
+    """
+    t = bufs.shape[0]
+    s_rows, starts, base, last_word = _grid_align(bufs, block_bits)
+    total_bits = jnp.sum(block_bits)
+    ncol = s_rows.shape[1]
+    w = jnp.arange(max_words, dtype=jnp.int32)
+
+    fw = s_rows[:, 0]
+    m = jnp.stack([(fw >> 24) & 0xFF, (fw >> 16) & 0xFF,
+                   (fw >> 8) & 0xFF, fw & 0xFF,
+                   jnp.ones_like(fw)], axis=1).astype(jnp.bfloat16)
+    oh = (base[:, None] == w[None, :]).astype(jnp.bfloat16)  # (T, mw)
+    sums = jax.lax.dot_general(oh, m, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    si = sums.astype(jnp.uint32)
+    starters = (si[:, 0] << 24) | (si[:, 1] << 16) \
+        | (si[:, 2] << 8) | si[:, 3]
+    nb = sums[:, 4].astype(jnp.int32)
+
+    # Continuation: the last block with base < w, if it spans word w.
+    b0 = jnp.cumsum(nb) - nb - 1  # exclusive starter count - 1
+    has = b0 >= 0
+    b0c = jnp.clip(b0, 0, t - 1)
+    rows = _rows_sorted(s_rows, b0c)  # (mw, ncol)
+    aux = jnp.stack([base, last_word], axis=1).astype(jnp.int32)
+    ar = _rows_sorted(aux, b0c)
+    d0 = jnp.clip(w - ar[:, 0], 0, ncol - 1)
+    sel = (d0[:, None]
+           == jnp.arange(ncol, dtype=jnp.int32)).astype(jnp.uint32)
+    cont = jnp.where(has & (w <= ar[:, 1]),
+                     jnp.sum(rows * sel, axis=1), 0)
+    return starters + cont, total_bits
+
+
+# Above this many one-hot elements (T blocks × max_words), the matmul
+# assembly's (T, mw) operand outgrows HBM economy and the windowed-gather
+# path wins; 1<<27 bf16 elements = 256 MB.
+_MATMUL_ASSEMBLE_LIMIT = 1 << 27
+
+
 def _assemble_global(bufs: jax.Array, block_bits: jax.Array,
                      max_words: int, k_window: int = 10):
     """Gather per-block local buffers into the flat output stream.
@@ -369,20 +505,8 @@ def _assemble_global(bufs: jax.Array, block_bits: jax.Array,
     runs over the small (T,) block-start table.
     """
     t = bufs.shape[0]
-    starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(block_bits)[:-1]])
+    s_rows, starts, base, last_word = _grid_align(bufs, block_bits)
     total_bits = jnp.sum(block_bits)
-
-    # Re-align every block's bitstream to the global word grid.
-    sh = (starts & 31).astype(jnp.uint32)[:, None]
-    base = starts >> 5
-    zero = jnp.zeros((t, 1), jnp.uint32)
-    lpad = jnp.concatenate([zero, bufs, zero], axis=1)
-    left, right = lpad[:, :-1], lpad[:, 1:]
-    s_rows = jnp.where(sh == 0, right,
-                       (left << (np.uint32(32) - sh)) | (right >> sh))
-    last_word = (starts + block_bits - 1) >> 5
-
     w = jnp.arange(max_words, dtype=jnp.int32)
     first = jnp.searchsorted(starts, w * 32, side="right").astype(
         jnp.int32) - 1
@@ -465,6 +589,8 @@ def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
     perm = jnp.asarray(_slot_permutation(padded_h, padded_w, subsample))
     bufs_slot = jnp.concatenate(bufs, axis=0)[perm]
     bits_slot = jnp.concatenate(bits)[perm]
+    if total * max_words <= _MATMUL_ASSEMBLE_LIMIT:
+        return _assemble_global_matmul(bufs_slot, bits_slot, max_words)
     return _assemble_global(bufs_slot, bits_slot, max_words, k_window)
 
 

@@ -380,7 +380,9 @@ def batched_emit_custom(packed: jax.Array, dc_tables: jax.Array,
                         out_subsample: bool, max_words: int):
     """Stage 2: Huffman-emit resident quantized coefficients with
     per-image code tables.  packed: (B, Ny+2Nc, 64); dc_tables
-    (B, 2, 2, 16); ac_tables (B, 2, 2, 256).  Returns (words, bits)."""
+    (B, 2, 16) / ac_tables (B, 2, 256) int32 PACKED code << 5 | length
+    per class (huffopt.code_tables_batch) — 4× less upload than separate
+    code/length planes over the host link.  Returns (words, bits)."""
     from ..ops.jpeg_emit import emit_scan_device
 
     mult = 16 if out_subsample else 8
@@ -388,7 +390,9 @@ def batched_emit_custom(packed: jax.Array, dc_tables: jax.Array,
     ny = (ph // 8) * (pw // 8)
     nc = (ph // 16) * (pw // 16) if out_subsample else ny
 
-    def one(p, dct, act):
+    def one(p, dcp, acp):
+        dct = jnp.stack([dcp >> 5, dcp & 31], axis=1)  # (2, 2, 16)
+        act = jnp.stack([acp >> 5, acp & 31], axis=1)  # (2, 2, 256)
         return emit_scan_device(
             p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
             max_words, dc_tables=dct, ac_tables=act)

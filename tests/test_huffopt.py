@@ -135,3 +135,61 @@ class TestNativeSpecBuilder:
                 assert list(got[0][cls][1]) == list(want[0][cls][1])
                 assert list(got[1][cls][0]) == list(want[1][cls][0])
                 assert list(got[1][cls][1]) == list(want[1][cls][1])
+
+
+class TestCodeTablesBatch:
+    """The vectorized canonical-code table builder must match the
+    per-image _code_arrays walk exactly (code += 1 per symbol,
+    code <<= 1 per length step, T.81 Annex C)."""
+
+    def test_matches_code_arrays_randomized(self):
+        from fennec_tpu.codecs.huffopt import (
+            _specs_from_frequencies_py,
+            specs_and_tables_batch,
+        )
+        from fennec_tpu.ops.jpeg_emit import _code_arrays
+
+        rng = np.random.default_rng(13)
+        dcfs, acfs = [], []
+        for i in range(40):
+            dcf = rng.integers(0, 5000, (2, 16)).astype(np.int64)
+            acf = (rng.zipf(1.3, (2, 256))
+                   * rng.integers(0, 30)).astype(np.int64)
+            if i % 5 == 0:
+                acf[1] = 0
+            if i % 7 == 0:
+                dcf[:] = 0
+            if i % 9 == 0:
+                acf[0] = 0
+                acf[0, 250] = 1
+            dcfs.append(dcf)
+            acfs.append(acf)
+        specs, dcp, acp = specs_and_tables_batch(
+            np.stack(dcfs), np.stack(acfs))
+        assert dcp.shape == (40, 2, 16) and acp.shape == (40, 2, 256)
+        for j in range(40):
+            want = _specs_from_frequencies_py(dcfs[j], acfs[j])
+            for cls in range(2):
+                c, ln = _code_arrays(*want[0][cls], 16)
+                np.testing.assert_array_equal(dcp[j, cls],
+                                              (c << 5) | ln)
+                c, ln = _code_arrays(*want[1][cls], 256)
+                np.testing.assert_array_equal(acp[j, cls],
+                                              (c << 5) | ln)
+
+    def test_fallback_path_matches(self, monkeypatch):
+        import fennec_tpu.native as native
+        from fennec_tpu.codecs import huffopt
+
+        monkeypatch.setattr(native, "_load_native", lambda: None)
+        rng = np.random.default_rng(3)
+        dcf = rng.integers(0, 100, (4, 2, 16)).astype(np.int64)
+        acf = rng.integers(0, 100, (4, 2, 256)).astype(np.int64)
+        specs, dcp, acp = huffopt.specs_and_tables_batch(dcf, acf)
+        from fennec_tpu.ops.jpeg_emit import _code_arrays
+        for j in range(4):
+            for cls in range(2):
+                c, ln = _code_arrays(*specs[j][0][cls], 16)
+                np.testing.assert_array_equal(dcp[j, cls], (c << 5) | ln)
+                c, ln = _code_arrays(*specs[j][1][cls], 256)
+                np.testing.assert_array_equal(acp[j, cls], (c << 5) | ln)
