@@ -80,6 +80,29 @@ def _bpp_bounds(target_bytes: int, pixels: int) -> Tuple[int, int]:
     return lo, hi
 
 
+PROBE_LATTICE = 16
+
+
+def probe_geometry(src_w: int, src_h: int, new_w: int,
+                   new_h: int) -> Tuple[int, int]:
+    """Snap a scale-probe geometry to a /16 lattice (capped at the source
+    dims, floored at 16).
+
+    Probes are approximations by design — the reference probes with a box
+    downsample and re-verifies the winner with a real Lanczos+encode
+    (targetsize.go:240-281), and the final encode here likewise re-runs the
+    exact search at the exact geometry.  Snapping the PROBE geometry bounds
+    the set of XLA programs the scale search can request: without it every
+    binary-search midpoint mints a fresh (new_w, new_h) static shape and a
+    fresh multi-minute TPU compile; with it a 500² source can only ever ask
+    for ~31 probe widths, all persistently cacheable."""
+    def snap(v: int, cap: int) -> int:
+        return min(cap, max(PROBE_LATTICE,
+                            round(v / PROBE_LATTICE) * PROBE_LATTICE))
+
+    return snap(new_w, src_w), snap(new_h, src_h)
+
+
 @functools.lru_cache(maxsize=4096)
 def _header_len(w: int, h: int) -> int:
     """JFIF container overhead for a 3-component 4:2:0 file — depends
@@ -127,13 +150,20 @@ class _ScaleProber:
         self.h, self.w = arr.shape[:2]
         # Ship uint8; the probe jit casts on device (4x less transfer).
         self.src = jnp.asarray(to_nrgba_ref(arr))
+        self._memo: dict = {}
 
     def probe(self, new_w: int, new_h: int,
               target_bytes: int) -> Tuple[bool, int]:
-        """(fits, quality) for encoding at new_w×new_h within
-        target_bytes."""
+        """(fits, quality) for encoding at ~new_w×new_h within
+        target_bytes.  Geometry is snapped to the probe lattice; snapped
+        repeats (bisection midpoints converging onto the same lattice
+        point) are answered from a memo without a dispatch."""
         from ..ops.resize import box_weights_device
 
+        new_w, new_h = probe_geometry(self.w, self.h, new_w, new_h)
+        key = (new_w, new_h, target_bytes)
+        if key in self._memo:
+            return self._memo[key]
         wh, wv = box_weights_device(self.w, self.h, new_w, new_h)
         lo, hi = _bpp_bounds(target_bytes, new_w * new_h)
         budget = target_bytes - _header_len(new_w, new_h)
@@ -141,7 +171,8 @@ class _ScaleProber:
             self.src, wh, wv,
             target_scan_bytes=jnp.int32(max(0, budget)),
             lo0=jnp.int32(lo), hi0=jnp.int32(hi))
-        return bool(found), int(q)
+        self._memo[key] = (bool(found), int(q))
+        return self._memo[key]
 
 
 class _JpegSizer:

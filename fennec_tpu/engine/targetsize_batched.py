@@ -52,6 +52,7 @@ from .targetsize import (
     _fallback_encode,
     _header_len,
     better_fit,
+    probe_geometry,
     scale_search,
 )
 
@@ -476,18 +477,22 @@ def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
 
 
 def _probe_scales_dispatch(stack_dev, group: List[int], w: int, h: int,
-                           new_w: int, new_h: int, target_bytes: int):
+                           new_w: int, new_h: int, target_bytes: int,
+                           pad_to: int = 0):
     """Dispatch one lockstep probe (ASYNC — the caller collects): device
-    handles for (quality, fits) per image in `group` at new_w×new_h.
+    handles for (quality, fits) per image in `group` at new_w×new_h
+    (callers pass lattice-snapped geometry — see probe_geometry).
     Dispatch/collect are split so one bisection round's geometry groups
     all enter the device queue before the first result is pulled —
-    dispatch RPC latency overlaps device compute on hosted links."""
+    dispatch RPC latency overlaps device compute on hosted links.
+    `pad_to` pins the padded lane count for the whole search so divergent
+    group sizes don't mint extra XLA programs per geometry."""
     from ..ops.resize import box_weights_device
 
     wh, wv = box_weights_device(w, h, new_w, new_h)
     lo, hi = _bpp_bounds(target_bytes, new_w * new_h)
     budget = max(0, target_bytes - _header_len(new_w, new_h))
-    padded = _next_pow2(len(group))
+    padded = pad_to or _next_pow2(len(group))
     idx = np.asarray(group + [group[0]] * (padded - len(group)), np.int32)
     return _scale_probe_batched_jit(
         stack_dev, jnp.asarray(idx), wh, wv,
@@ -515,11 +520,37 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
     lo_s = {i: 0.05 for i in idxs}
     hi_s = {i: 1.0 for i in idxs}
     best: Dict[int, Tuple[float, int]] = {}
+    # (i, nw, nh) → (fits, q) at lattice-snapped probe geometry.  The
+    # bisection's midpoints converge, so late rounds mostly re-ask lattice
+    # points already measured — those are answered without a dispatch.
+    memo: Dict[Tuple[int, int, int], Tuple[bool, int]] = {}
+    # One padded lane count for every probe in this search: with per-group
+    # pow2 padding each (geometry × group-size) pair would be a distinct
+    # XLA program; probes are tiny, compiles are not.
+    pad_to = _next_pow2(len(idxs))
+
+    def probe_round(pairs) -> None:
+        """Measure every (image, snapped geometry) pair, batching by
+        geometry and skipping memo hits; results land in `memo`."""
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, geom in pairs:
+            if (i, *geom) not in memo and i not in groups.get(geom, ()):
+                groups.setdefault(geom, []).append(i)
+        # Dispatch every geometry group's probe before pulling the first
+        # result — divergent per-image mids can fragment the round into
+        # many groups, and a sync per group serializes RPC latency.
+        inflight = [(geom, group, _probe_scales_dispatch(
+            stack_dev, group, w, h, geom[0], geom[1], target_bytes,
+            pad_to)) for geom, group in groups.items()]
+        for geom, group, handles in inflight:
+            fits, qs = _probe_collect(handles, len(group))
+            for k, i in enumerate(group):
+                memo[(i, *geom)] = (bool(fits[k]), int(qs[k]))
 
     for _ in range(10):
         if _ctx_err(ctx):
             break
-        groups: Dict[Tuple[int, int], List[int]] = {}
+        want: Dict[int, Tuple[int, int]] = {}
         mids: Dict[int, float] = {}
         for i in idxs:
             mid = (lo_s[i] + hi_s[i]) / 2
@@ -528,37 +559,29 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
             if nw < 8 or nh < 8:
                 lo_s[i] = mid  # too small to probe (targetsize.go:247-250)
                 continue
-            groups.setdefault((nw, nh), []).append(i)
-        # Dispatch every geometry group's probe before pulling the first
-        # result — divergent per-image mids can fragment the round into
-        # many groups, and a sync per group serializes RPC latency.
-        inflight = [(group, _probe_scales_dispatch(
-            stack_dev, group, w, h, nw, nh, target_bytes))
-            for (nw, nh), group in groups.items()]
-        for group, handles in inflight:
-            fits, qs = _probe_collect(handles, len(group))
-            for k, i in enumerate(group):
-                if fits[k] and int(qs[k]) >= MIN_JPEG_QUALITY:
-                    best[i] = (mids[i], int(qs[k]))
-                    lo_s[i] = mids[i]
-                else:
-                    hi_s[i] = mids[i]
+            want[i] = probe_geometry(w, h, nw, nh)
+        probe_round(want.items())
+        for i, geom in want.items():
+            fits, q = memo[(i, *geom)]
+            if fits and q >= MIN_JPEG_QUALITY:
+                best[i] = (mids[i], q)
+                lo_s[i] = mids[i]
+            else:
+                hi_s[i] = mids[i]
 
-    fixed_inflight = []
+    fixed = []
     for scale in (0.75, 0.50, 0.375, 0.25):
-        if _ctx_err(ctx):
-            break
         nw, nh = int(w * scale), int(h * scale)
-        if nw < 8 or nh < 8:
-            continue
-        fixed_inflight.append((scale, _probe_scales_dispatch(
-            stack_dev, idxs, w, h, nw, nh, target_bytes)))
-    for scale, handles in fixed_inflight:
-        fits, qs = _probe_collect(handles, len(idxs))
-        for k, i in enumerate(idxs):
-            if fits[k] and int(qs[k]) >= MIN_JPEG_QUALITY:
-                if i not in best or scale > best[i][0]:
-                    best[i] = (scale, int(qs[k]))
+        if nw >= 8 and nh >= 8:
+            fixed.append((scale, probe_geometry(w, h, nw, nh)))
+    if not _ctx_err(ctx):
+        probe_round((i, geom) for _, geom in fixed for i in idxs)
+        for scale, geom in fixed:
+            for i in idxs:
+                fits, q = memo[(i, *geom)]
+                if fits and q >= MIN_JPEG_QUALITY:
+                    if i not in best or scale > best[i][0]:
+                        best[i] = (scale, q)
 
     if not best:
         return out
