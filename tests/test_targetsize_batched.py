@@ -165,3 +165,52 @@ class TestCompressBatchTargetSize:
             assert 0 < r.result.compressed_size
             # ≤2× overshoot contract (reference fennec_test.go:284-298)
             assert r.result.compressed_size <= 2 * target
+
+
+class TestProbeGeometry:
+    """The scale-probe lattice: bounded XLA program set, exact finals."""
+
+    def test_lattice_properties(self):
+        from fennec_tpu.engine.targetsize import PROBE_LATTICE, probe_geometry
+
+        for w, h in ((500, 500), (1920, 1080), (37, 23), (16, 16)):
+            geoms = set()
+            for k in range(1, 200):
+                scale = 0.05 + (k / 200) * 0.95
+                nw, nh = probe_geometry(w, h, int(w * scale), int(h * scale))
+                assert nw % PROBE_LATTICE == 0 or nw == w
+                assert nh % PROBE_LATTICE == 0 or nh == h
+                assert PROBE_LATTICE <= nw <= max(w, PROBE_LATTICE)
+                assert PROBE_LATTICE <= nh <= max(h, PROBE_LATTICE)
+                geoms.add((nw, nh))
+            # Bounded program set: every probe the search can ever ask
+            # for lives on the lattice — per-axis value counts are
+            # bounded by dim/16 (pairs follow the aspect line).
+            assert len({g[0] for g in geoms}) <= w // PROBE_LATTICE + 1
+            assert len({g[1] for g in geoms}) <= h // PROBE_LATTICE + 1
+
+    def test_snap_is_monotone(self):
+        from fennec_tpu.engine.targetsize import probe_geometry
+
+        prev = 0
+        for nw in range(8, 500, 7):
+            got, _ = probe_geometry(500, 500, nw, nw)
+            assert got >= prev  # snapping preserves search monotonicity
+            prev = got
+
+    def test_prober_memoizes(self, monkeypatch):
+        import fennec_tpu.engine.targetsize as ts
+
+        calls = []
+        real = ts._scale_probe_jit
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(ts, "_scale_probe_jit", spy)
+        prober = ts._ScaleProber(photo(64, 64, 3))
+        r1 = prober.probe(33, 33, 1500)
+        r2 = prober.probe(37, 37, 1500)  # same lattice point (32, 32)
+        assert r1 == r2
+        assert len(calls) == 1
