@@ -595,7 +595,7 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             dec.hmax // c["h"], dec.vmax // c["v"])
         planes.append(plane)
     out = _combine_planes_device(tuple(planes), dec.height, dec.width,
-                                 len(dec.comps))
+                                 jpeg_color_mode(dec))
     return np.asarray(out, dtype=np.uint8)
 
 

@@ -37,6 +37,10 @@ class ProgressiveDecoder:
         self.restart_interval = 0
         self.coefs: List[np.ndarray] = []
         self.eobrun = 0
+        self.ncomp = 0
+        # Adobe APP14 color transform, as in JpegHeader: None = no
+        # marker; 0 = none (RGB/CMYK); 1 = YCbCr; 2 = YCCK.
+        self.adobe_transform: "int | None" = None
 
     # ── Marker loop ─────────────────────────────────────────────────────
 
@@ -67,6 +71,9 @@ class ProgressiveDecoder:
                 self._dht(seg)
             elif marker == 0xDD:
                 self.restart_interval = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+                if len(seg) >= 12:
+                    self.adobe_transform = seg[11]
             elif marker == 0xC2:
                 self._sof(seg)
             elif marker in (0xC0, 0xC1):
@@ -112,6 +119,7 @@ class ProgressiveDecoder:
         if precision != 8:
             raise UnsupportedFormatError("fennec: only 8-bit JPEG supported")
         self.height, self.width = h, w
+        self.ncomp = ncomp
         for c in range(ncomp):
             cid, hv, tq = seg[6 + c * 3:9 + c * 3]
             self.comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
