@@ -271,9 +271,26 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                 import traceback
 
                 traceback.print_exc()
-            # Fall back to the per-file pool on any fused-path failure.
+            # Fall back to the per-file pool — but only for items not
+            # already streamed to disk by _write_now, and with OnItem
+            # continuing from the streamed count (a full restart would
+            # re-fire the callback from 1 and double-count; the reference
+            # fires exactly once per item, batch.go:108-124).
             fallback = dataclasses.replace(batch_opts, fused=False)
-            return compress_batch(ctx, items, fallback)
+            pending_idx = [i for i in range(n) if not written[i]]
+            if not pending_idx:
+                return results
+            if batch_opts.on_item is not None:
+                base = progress["completed"]
+                cb = batch_opts.on_item
+                fallback = dataclasses.replace(
+                    fallback,
+                    on_item=lambda c, _t, _b=base, _cb=cb: _cb(_b + c, n))
+            sub = compress_batch(ctx, [items[i] for i in pending_idx],
+                                 fallback)
+            for i, br in zip(pending_idx, sub):
+                results[i].result, results[i].err = br.result, br.err
+            return results
         # Most items were already streamed to disk by _write_now as their
         # chunks completed; this sweep covers whatever remains (paths that
         # return without chunk callbacks, e.g. all-PNG early returns).

@@ -305,6 +305,7 @@ class JpegHeader:
         # Adobe APP14 color transform: None = no marker; 0 = none
         # (RGB/CMYK by component count), 1 = YCbCr, 2 = YCCK.
         self.adobe_transform: "int | None" = None
+        self.jfif = False  # APP0 'JFIF' seen (forces YCbCr, like Go)
 
 
 def parse_jpeg(data: bytes) -> JpegHeader:
@@ -345,6 +346,8 @@ def parse_jpeg(data: bytes) -> JpegHeader:
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedFormatError(
                 f"fennec: unsupported JPEG SOF marker 0x{marker:02X}")
+        elif marker == 0xE0 and seg[:5] == b"JFIF\x00":  # APP0
+            hdr.jfif = True
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
             # 'Adobe' + version(2) + flags0(2) + flags1(2) + transform(1)
             if len(seg) >= 12:
@@ -608,11 +611,20 @@ def jpeg_color_mode(hdr: JpegHeader) -> str:
     if hdr.ncomp == 1:
         return "gray"
     if hdr.ncomp == 3:
+        # Go image/jpeg isRGB: a JFIF APP0 forces YCbCr even with
+        # 'R','G','B' component IDs; Adobe transform 0 or RGB IDs
+        # (without JFIF) mean RGB.
         ids = [c["id"] for c in hdr.comps]
-        if hdr.adobe_transform == 0 or ids == [0x52, 0x47, 0x42]:
+        if not getattr(hdr, "jfif", False) and (
+                hdr.adobe_transform == 0 or ids == [0x52, 0x47, 0x42]):
             return "rgb"
         return "ycbcr"
     if hdr.ncomp == 4:
+        if hdr.adobe_transform is None:
+            # Go image/jpeg: "unknown color model: 4-component JPEG" —
+            # inventing an interpretation risks silent wrong colors.
+            raise UnsupportedFormatError(
+                "fennec: 4-component JPEG without Adobe APP14 marker")
         return "ycck" if hdr.adobe_transform == 2 else "cmyk"
     raise UnsupportedFormatError(
         f"fennec: unsupported {hdr.ncomp}-component JPEG")

@@ -41,6 +41,7 @@ class ProgressiveDecoder:
         # Adobe APP14 color transform, as in JpegHeader: None = no
         # marker; 0 = none (RGB/CMYK); 1 = YCbCr; 2 = YCCK.
         self.adobe_transform: "int | None" = None
+        self.jfif = False  # APP0 'JFIF' seen (forces YCbCr, like Go)
 
     # ── Marker loop ─────────────────────────────────────────────────────
 
@@ -71,6 +72,8 @@ class ProgressiveDecoder:
                 self._dht(seg)
             elif marker == 0xDD:
                 self.restart_interval = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xE0 and seg[:5] == b"JFIF\x00":  # APP0
+                self.jfif = True
             elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
                 if len(seg) >= 12:
                     self.adobe_transform = seg[11]

@@ -77,6 +77,23 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _make_ledger_flush(ledger: List, results: List, on_chunk):
+    """FIFO chunk-completion reporter shared by both fused engines:
+    flush(force) reports chunks whose host encodes have all finished;
+    force waits on stragglers, otherwise only fully-done chunks flush."""
+    def flush(force: bool) -> None:
+        while ledger:
+            ids, futs = ledger[0]
+            if not force and not all(f.done() for f in futs):
+                return
+            for f in futs:
+                f.result()
+            ledger.pop(0)
+            if on_chunk is not None:
+                on_chunk([(i, results[i]) for i in ids])
+    return flush
+
+
 def qualify_jpeg_bytes(data: bytes):
     """Fast-path qualification key for one JPEG: (w, h, in_subsample), or
     None when the coefficient path can't handle it (non-JPEG, progressive,
@@ -204,19 +221,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
-
-    def _flush_ledger(force: bool) -> None:
-        """Report chunks whose host encodes have all finished (FIFO).
-        force waits; otherwise only fully-done chunks flush."""
-        while ledger:
-            ids, futs = ledger[0]
-            if not force and not all(f.done() for f in futs):
-                return
-            for f in futs:
-                f.result()
-            ledger.pop(0)
-            if on_chunk is not None:
-                on_chunk([(i, results[i]) for i in ids])
+    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk)
     if opts.device_entropy is None:
         # Auto: device emission wins on TPU; on CPU the C++ host coder
         # is faster than emulating the vector emission.
@@ -718,17 +723,7 @@ def compress_images_batched(ctx: Optional[Context],
     subsample = bool(opts.subsample)
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
-
-    def _flush_ledger(force: bool) -> None:
-        while ledger:
-            ids, futs = ledger[0]
-            if not force and not all(f.done() for f in futs):
-                return
-            for f in futs:
-                f.result()
-            ledger.pop(0)
-            if on_chunk is not None:
-                on_chunk([(i, results[i]) for i in ids])
+    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk)
 
     # PNG-routed items finished synchronously during prep — stream them
     # out as one completed group before any device work.

@@ -250,15 +250,11 @@ def _bisect_device(coefs, img_rgb_ds_lum, box_wh, box_wv,
 
 
 def _use_pallas_ssim() -> bool:
-    """Trace-time routing: fused Pallas SSIM on TPU, jnp elsewhere.
-    FENNEC_NO_PALLAS=1 forces the jnp path (A/B, debugging)."""
-    import os
+    """Trace-time routing: fused Pallas SSIM on TPU, jnp elsewhere
+    (single source of truth: ops/ssim._use_pallas)."""
+    from ..ops.ssim import _use_pallas
 
-    if os.environ.get("FENNEC_NO_PALLAS"):
-        return False
-    from ..ops.ssim_pallas import pallas_ssim_available
-
-    return pallas_ssim_available()
+    return _use_pallas()
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))

@@ -15,9 +15,16 @@ TPU links.  This module restructures the reference's 4-strategy search
     scale searches advance in LOCKSTEP — at each iteration, images whose
     search state agrees on the probe scale share one vmapped
     downsample→DCT→bisect dispatch; the four fixed scales are one dispatch
-    each for the whole bucket.  Final re-encodes group by output geometry.
-  * S2 (median-cut palette PNG) is host-bound (zlib, box splits) and runs
-    per image on the worker pool, exactly as the per-image engine does.
+    each for the whole bucket.  Probe geometries snap to the /16 lattice
+    (engine/targetsize.py:probe_geometry) with per-(image, point)
+    memoization, so the probe XLA program set stays bounded.  Final
+    re-encodes group by output geometry.
+  * S2 (median-cut palette PNG, targetsize.go:180-206): box splits run
+    per image on the worker pool (host), but the nearest-palette mapping
+    is ONE batched device argmin per level across all still-pending
+    images (_palette_map_batched_jit), PNG deflate stays on the pool, and
+    the winners' SSIM is one batched device call against the resident
+    bucket stack.
   * S4 / fallback are rare (only when S1–S3 all fail) and stay per-image.
 
 Candidate ranking (better_fit), the minJPEGQuality=20 floor, BPP-seeded
@@ -368,9 +375,15 @@ def _s2_batched(pool, stack_dev, arrs: List[np.ndarray],
         pending = nxt
 
     if winners:
-        a_stack = np.stack([arrs[i] for i, _, _ in winners])
+        # a-side: gather from the resident bucket stack (re-uploading the
+        # originals costs ~1 MB/image over the hosted link for nothing);
+        # b-side: the palettized pixels exist only on host.
+        a_dev = jnp.take(stack_dev,
+                         jnp.asarray(np.asarray(
+                             [i for i, _, _ in winners], np.int32)),
+                         axis=0)
         b_stack = np.stack([qimg for _, _, qimg in winners])
-        ssims = batched_ssim_fast(a_stack, b_stack)
+        ssims = batched_ssim_fast(a_dev, b_stack)
         for m, (i, data, qimg) in enumerate(winners):
             out[i] = SizeResult(data=data, format=Format.PNG, quality=0,
                                 ssim=float(ssims[m]), final_w=w,

@@ -119,6 +119,12 @@ def _use_pallas() -> bool:
 @functools.partial(jax.jit, static_argnums=(2,))
 def _windowed_ssim_routed(lum_a: jax.Array, lum_b: jax.Array,
                           use_pallas: bool) -> jax.Array:
+    if lum_a.shape[-2] <= WINDOW_SIZE or lum_a.shape[-1] <= WINDOW_SIZE:
+        # Zero window positions (reference ssim.go:162-164) — reachable
+        # via SSIMFast on extreme-aspect images whose downsample floors
+        # at exactly 8px (ssim_fast_dims); the Pallas kernel asserts and
+        # the jnp mean-of-empty is NaN, so guard at trace time.
+        return jnp.float32(1.0)
     if use_pallas:
         from .ssim_pallas import batched_ssim_pallas
 
@@ -127,7 +133,8 @@ def _windowed_ssim_routed(lum_a: jax.Array, lum_b: jax.Array,
 
 
 def windowed_ssim_device(lum_a: jax.Array, lum_b: jax.Array) -> jax.Array:
-    """Mean windowed SSIM (reference ssim.go:73-166). Shapes must be > 8.
+    """Mean windowed SSIM (reference ssim.go:73-166). Shapes must be ≥ 8
+    (== 8 returns the reference's empty-window 1.0).
 
     On TPU this is the fused Pallas kernel (ops/ssim_pallas.py) — the
     statistic maps never touch HBM; elsewhere the jnp separable-window

@@ -476,6 +476,11 @@ def batched_ssim_xla(imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
     """jnp windowed SSIM per batch element — the shardable formulation
     (XLA partitions the window slicing with halo exchange under a
     spatial mesh axis; a Pallas kernel would not partition)."""
+    if imgs_a.shape[1] <= 8 or imgs_a.shape[2] <= 8:
+        # Zero window positions (ssim.go:162-164); the jnp window maps
+        # would be empty and their mean NaN.
+        return jnp.ones((imgs_a.shape[0],), jnp.float32)
+
     def one(a, b):
         return jnp.mean(ssim_map_device(luminance_device(a),
                                         luminance_device(b)))
@@ -485,6 +490,8 @@ def batched_ssim_xla(imgs_a: jax.Array, imgs_b: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnums=(2,))
 def _batched_ssim_routed(imgs_a: jax.Array, imgs_b: jax.Array,
                          use_pallas: bool) -> jax.Array:
+    if imgs_a.shape[1] <= 8 or imgs_a.shape[2] <= 8:
+        return jnp.ones((imgs_a.shape[0],), jnp.float32)
     if use_pallas:
         from ..ops.ssim_pallas import batched_ssim_pallas
 
@@ -519,6 +526,10 @@ def _batched_ssim_fast_ds(imgs_a: jax.Array, imgs_b: jax.Array,
 
     la = jax.vmap(lum_one)(imgs_a)
     lb = jax.vmap(lum_one)(imgs_b)
+    if la.shape[1] <= 8 or la.shape[2] <= 8:
+        # Downsample floored at exactly 8px (extreme aspect): zero
+        # window positions → 1.0 per image (ssim.go:162-164).
+        return jnp.ones((la.shape[0],), jnp.float32)
     if use_pallas:
         from ..ops.ssim_pallas import batched_ssim_pallas
 

@@ -114,6 +114,22 @@ class TestSSIMFast:
         fast = ssim_fast(img, b)
         assert 0.3 < fast <= 1.0
 
+    def test_extreme_aspect_floors_at_8px(self):
+        # 2000x30 downsamples to (512, 8): the reference's window set is
+        # empty → SSIM 1.0 (ssim.go:162-164).  Regression: this routed
+        # into the windowed path and produced NaN (jnp) or a Pallas
+        # assert (TPU).
+        img = make_test_image(2000, 30)
+        b = perturb(img, amount=10)
+        v = ssim_fast(img, b)
+        assert v == pytest.approx(1.0)
+
+        from fennec_tpu.parallel.batched import batched_ssim_fast
+        import numpy as np
+
+        vs = batched_ssim_fast(np.stack([img, b]), np.stack([b, img]))
+        assert np.allclose(vs, 1.0)
+
 
 class TestMSSSIM:
     def test_identical_is_one(self):
