@@ -64,6 +64,15 @@ from .targetsize import (
 )
 
 
+def _pad_lanes(seq, pad_to: int = 0) -> np.ndarray:
+    """Pow2-pad a lane-index list (first lane repeated) as int32 — the
+    shared gather idiom that bounds device-program recompiles to pow2
+    batch sizes."""
+    seq = list(seq)
+    padded = pad_to or _next_pow2(len(seq))
+    return np.asarray(seq + [seq[0]] * (padded - len(seq)), np.int32)
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -219,9 +228,7 @@ def _encode_lanes(pool, coefs: jax.Array, qvec: np.ndarray,
     if len(sel) == b:
         enc = _encode_batch_at(pool, coefs, qvec.astype(np.int32), h, w)
         return list(enumerate(enc))
-    padded = _next_pow2(len(sel))
-    idx = np.asarray(list(sel) + [int(sel[0])] * (padded - len(sel)),
-                     np.int32)
+    idx = _pad_lanes(sel)
     sub = jnp.take(coefs, jnp.asarray(idx), axis=0)
     enc = _encode_batch_at(pool, sub, qvec[idx].astype(np.int32), h, w)
     return [(int(sel[k]), enc[k]) for k in range(len(sel))]
@@ -348,10 +355,8 @@ def _s2_batched(pool, stack_dev, arrs: List[np.ndarray],
             pals[k] = level_pals[i][max_colors]
 
         list(pool.map(build, range(len(pending))))
-        padded = _next_pow2(len(pending))
-        lanes = np.asarray(pending + [pending[0]] * (padded -
-                                                     len(pending)),
-                           np.int32)
+        lanes = _pad_lanes(pending)
+        padded = len(lanes)
         pal_stack = np.full((padded, 256, 3), 1e9, np.float32)
         for k, pal in enumerate(pals):
             pal_stack[k, :pal.shape[0]] = pal[:, :3].astype(np.float32)
@@ -450,9 +455,8 @@ def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
     if len(idxs) == b:
         sub_dev = stack_dev
     else:
-        padded = _next_pow2(len(idxs))
-        sel = np.asarray(idxs + [idxs[0]] * (padded - len(idxs)), np.int32)
-        sub_dev = jnp.take(stack_dev, jnp.asarray(sel), axis=0)
+        sub_dev = jnp.take(stack_dev, jnp.asarray(_pad_lanes(idxs)),
+                           axis=0)
     q, ok, data, coefs = _s1_search_batch(pool, sub_dev, h, w,
                                           target_bytes)
     winners = [(k, i) for k, i in enumerate(idxs) if ok[k]]
@@ -505,8 +509,7 @@ def _probe_scales_dispatch(stack_dev, group: List[int], w: int, h: int,
     wh, wv = box_weights_device(w, h, new_w, new_h)
     lo, hi = _bpp_bounds(target_bytes, new_w * new_h)
     budget = max(0, target_bytes - _header_len(new_w, new_h))
-    padded = pad_to or _next_pow2(len(group))
-    idx = np.asarray(group + [group[0]] * (padded - len(group)), np.int32)
+    idx = _pad_lanes(group, pad_to)
     return _scale_probe_batched_jit(
         stack_dev, jnp.asarray(idx), wh, wv,
         jnp.int32(budget), jnp.int32(lo), jnp.int32(hi))
@@ -612,9 +615,8 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
             break
         from ..ops.resize import lanczos_weights_device
 
-        padded = _next_pow2(len(group))
-        idx = np.asarray(group + [group[0]] * (padded - len(group)),
-                         np.int32)
+        idx = _pad_lanes(group)
+        padded = len(idx)
         dwh, dwv = lanczos_weights_device(w, h, fw, fh)
         scaled_dev = _resize_group_jit(stack_dev, jnp.asarray(idx),
                                        dwh, dwv)

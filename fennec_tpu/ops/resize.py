@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+import threading
 from typing import Tuple, Union
 
 import jax
@@ -99,30 +100,42 @@ def box_resize_weights(src_w: int, src_h: int, dst_w: int,
 _WEIGHT_CACHE_BUDGET = 128 * 1024 * 1024  # bytes of HBM, per process
 _weight_cache: "dict[tuple, Tuple[jax.Array, jax.Array]]" = {}
 _weight_cache_bytes = 0
+# compress_batch's pool path reaches this cache from many worker threads
+# (the lru_cache this replaced was thread-safe); unsynchronized eviction
+# races can corrupt the byte counter or raise mid-pop.
+_weight_cache_lock = threading.Lock()
 
 
 def _weight_cache_get(key, make):
     global _weight_cache_bytes
-    hit = _weight_cache.get(key)
-    if hit is not None:
-        _weight_cache[key] = _weight_cache.pop(key)  # LRU bump
-        return hit
+    with _weight_cache_lock:
+        hit = _weight_cache.get(key)
+        if hit is not None:
+            _weight_cache[key] = _weight_cache.pop(key)  # LRU bump
+            return hit
+    # Build outside the lock (host weight synthesis can take ~ms); a
+    # concurrent duplicate build is harmless — last writer wins.
     wh, wv = make()
     pair = (jnp.asarray(wh), jnp.asarray(wv))
     size = wh.nbytes + wv.nbytes
-    while _weight_cache and _weight_cache_bytes + size > _WEIGHT_CACHE_BUDGET:
-        owh, owv = _weight_cache.pop(next(iter(_weight_cache)))
-        _weight_cache_bytes -= owh.nbytes + owv.nbytes
-    _weight_cache[key] = pair
-    _weight_cache_bytes += size
+    with _weight_cache_lock:
+        if key not in _weight_cache:
+            while (_weight_cache
+                   and _weight_cache_bytes + size > _WEIGHT_CACHE_BUDGET):
+                owh, owv = _weight_cache.pop(next(iter(_weight_cache)))
+                _weight_cache_bytes -= owh.nbytes + owv.nbytes
+            _weight_cache[key] = pair
+            _weight_cache_bytes += size
     return pair
 
 
 def clear_weight_caches() -> None:
-    """Release all cached device-resident resample weight matrices."""
+    """Release all cached device-resident resample weight matrices (HBM
+    relief hook for long-lived hosts cycling many geometries)."""
     global _weight_cache_bytes
-    _weight_cache.clear()
-    _weight_cache_bytes = 0
+    with _weight_cache_lock:
+        _weight_cache.clear()
+        _weight_cache_bytes = 0
 
 
 def box_weights_device(src_w: int, src_h: int, dst_w: int, dst_h: int):

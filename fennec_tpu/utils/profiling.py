@@ -8,12 +8,16 @@ device-aware tracing (jax.profiler) and a composable stage timer.
 from __future__ import annotations
 
 import contextlib
+import contextvars
+import threading
 import time
 from typing import Dict, Iterator, Optional
 
 
 class StageTimer:
-    """Accumulates wall time per named stage.
+    """Accumulates wall time per named stage.  Thread-safe: the fused
+    batch engine records feeder-pool stages into the same timer the
+    dispatch thread uses.
 
     with timer.stage("resize"): ...
     print(timer.report())
@@ -22,6 +26,7 @@ class StageTimer:
     def __init__(self) -> None:
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -30,8 +35,9 @@ class StageTimer:
             yield
         finally:
             dt = time.perf_counter() - start
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
+            with self._lock:
+                self.totals[name] = self.totals.get(name, 0.0) + dt
+                self.counts[name] = self.counts.get(name, 0) + 1
 
     def report(self) -> str:
         lines = []
@@ -45,29 +51,32 @@ class StageTimer:
 
 # Ambient timer: production paths call `stage("name")` unconditionally;
 # it is a no-op unless a caller (CLI -v, FENNEC_DEBUG_BATCH) installed a
-# StageTimer via use_timer().
-_active: Optional[StageTimer] = None
+# StageTimer via use_timer().  A ContextVar (not a module global) keeps
+# concurrent compress calls on other threads from recording into — or
+# clobbering — an unrelated caller's timer; engine code that WANTS
+# worker-thread stages in one report passes the timer object explicitly.
+_active: "contextvars.ContextVar[Optional[StageTimer]]" = \
+    contextvars.ContextVar("fennec_stage_timer", default=None)
 
 
 @contextlib.contextmanager
 def use_timer(timer: StageTimer) -> Iterator[StageTimer]:
     """Install `timer` as the ambient stage timer for the block."""
-    global _active
-    prev = _active
-    _active = timer
+    token = _active.set(timer)
     try:
         yield timer
     finally:
-        _active = prev
+        _active.reset(token)
 
 
 @contextlib.contextmanager
 def stage(name: str) -> Iterator[None]:
     """Time a named stage on the ambient timer (no-op when none)."""
-    if _active is None:
+    timer = _active.get()
+    if timer is None:
         yield
         return
-    with _active.stage(name):
+    with timer.stage(name):
         yield
 
 

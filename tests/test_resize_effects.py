@@ -163,3 +163,34 @@ class TestEffects:
         img = make_solid_image(40, 40, 77, 130, 10)
         out = gaussian_blur(img, 3.0)
         np.testing.assert_array_equal(out, img)
+
+
+class TestWeightCache:
+    def test_clear_and_thread_safety(self):
+        import threading
+
+        from fennec_tpu.ops import resize as rz
+
+        rz.clear_weight_caches()
+        assert rz._weight_cache_bytes == 0 and not rz._weight_cache
+
+        # Hammer one geometry from many threads (the compress_batch pool
+        # path does exactly this); the byte counter must equal the cache
+        # contents afterwards — the lru_cache this replaced was
+        # thread-safe and the hand-rolled version must stay so.
+        def hit(k):
+            rz.box_weights_device(64 + (k % 3), 64, 32, 32)
+
+        threads = [threading.Thread(target=hit, args=(k,))
+                   for k in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        want = sum(np.asarray(wh).nbytes + np.asarray(wv).nbytes
+                   for wh, wv in rz._weight_cache.values())
+        assert rz._weight_cache_bytes == want
+        assert len(rz._weight_cache) == 3
+
+        rz.clear_weight_caches()
+        assert rz._weight_cache_bytes == 0 and not rz._weight_cache
