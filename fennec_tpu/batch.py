@@ -22,7 +22,14 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, List, Optional
 
 from .api import compress_file
-from .types import Context, Format, Options, Result, human_bytes
+from .types import (
+    CanceledError,
+    Context,
+    Format,
+    Options,
+    Result,
+    human_bytes,
+)
 
 
 @dataclasses.dataclass
@@ -50,7 +57,10 @@ class BatchOptions:
 
     fused: None (auto) routes homogeneous standard-mode batches of 8+
     items through the device mega-batch engine (engine/batched.py);
-    True forces it, False forces the per-file worker pool.
+    True forces it for homogeneous batches (no per-item opts — lockstep
+    device search needs one Options for the whole batch, so
+    heterogeneous batches always use the per-file pool), False forces
+    the per-file worker pool.
     """
 
     workers: int = 0  # 0 = os.cpu_count()
@@ -146,6 +156,24 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
 
     skipped = [False] * n
 
+    # Streaming writer state: batched engines call _write_now (via
+    # on_chunk) as each device chunk's results become final, so files
+    # land on disk and OnItem ticks DURING the batch instead of in one
+    # burst at the end (reference batch.go:108-124 fires per completed
+    # item).  Errored items tick too — the per-file pool's work() fires
+    # OnItem after its per-item except, so a progress bar still reaches
+    # n/n on a batch with undecodable files.
+    written = [False] * n
+    progress = {"completed": 0}
+    write_lock = threading.Lock()
+
+    def _tick() -> None:
+        if batch_opts.on_item is not None:
+            with write_lock:
+                progress["completed"] += 1
+                c = progress["completed"]
+            batch_opts.on_item(c, n)
+
     def load(i: int):
         if ctx is not None and ctx.done():
             results[i].err = ctx.err()
@@ -161,6 +189,7 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
             orients[i] = int(read_orientation(data))
         except Exception as e:
             results[i].err = e
+            _tick()
 
     workers = batch_opts.workers if batch_opts.workers > 0 \
         else (os.cpu_count() or 1)
@@ -169,14 +198,6 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
 
     live = [i for i in range(n)
             if results[i].err is None and not skipped[i]]
-
-    # Streaming writer: batched engines call this (via on_chunk) as each
-    # device chunk's results become final, so files land on disk and
-    # OnItem ticks DURING the batch instead of in one burst at the end
-    # (reference batch.go:108-124 fires per completed item).
-    written = [False] * n
-    progress = {"completed": 0}
-    write_lock = threading.Lock()
 
     def _write_now(i: int, res) -> None:
         res.original_size = sizes[i]
@@ -188,11 +209,7 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
         except Exception as e:
             results[i].err = e
         written[i] = True
-        if batch_opts.on_item is not None:
-            with write_lock:
-                progress["completed"] += 1
-                c = progress["completed"]
-            batch_opts.on_item(c, n)
+        _tick()
 
     if live:
         from .engine.batched import qualify_jpeg_bytes
@@ -221,7 +238,8 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                             _write_now(idxs[j], r)
                     rs = compress_jpeg_bytes_batched(
                         ctx, [raw[i] for i in idxs], sub_opts,
-                        on_chunk=chunk_done)
+                        on_chunk=chunk_done, qualify_key=key,
+                        workers=batch_opts.workers)
                     if rs is None:
                         rest.extend(idxs)
                         continue
@@ -247,6 +265,7 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                         # undecodable file must not degrade the whole
                         # fused batch.
                         results[i].err = e
+                        _tick()
                         continue
                     decoded.append(img)
                     decodable.append(i)
@@ -260,6 +279,18 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
                     compressed_by_index[i] = r
             live = [i for i in live if results[i].err is None]
             compressed = [compressed_by_index[i] for i in live]
+        except CanceledError as e:
+            # Normal cancellation, not an engine failure: in-flight
+            # chunks already streamed via _write_now; every remaining
+            # item gets the context error, like the per-file pool's
+            # not-yet-started items (batch.go:93-99).  No fallback pool,
+            # no warning.
+            err = ctx.err() if ctx is not None and ctx.done() else e
+            for i in range(n):
+                if not written[i] and not skipped[i] \
+                        and results[i].err is None:
+                    results[i].err = err
+            return results
         except Exception as e:
             import warnings
 
@@ -277,7 +308,12 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
             # re-fire the callback from 1 and double-count; the reference
             # fires exactly once per item, batch.go:108-124).
             fallback = dataclasses.replace(batch_opts, fused=False)
-            pending_idx = [i for i in range(n) if not written[i]]
+            # Items already resolved (streamed, per-item error already
+            # ticked, or skipped) must not re-run — a retry would fire
+            # OnItem twice for them.
+            pending_idx = [i for i in range(n)
+                           if not written[i] and not skipped[i]
+                           and results[i].err is None]
             if not pending_idx:
                 return results
             if batch_opts.on_item is not None:

@@ -124,7 +124,9 @@ def qualify_jpeg_bytes(data: bytes):
 def compress_jpeg_bytes_batched(ctx: Optional[Context],
                                 datas: List[bytes],
                                 opts: Options,
-                                on_chunk=None) -> Optional[List[Result]]:
+                                on_chunk=None,
+                                qualify_key=None,
+                                workers: int = 0) -> Optional[List[Result]]:
     """All-on-device JPEG→JPEG batch: host entropy-decodes inputs to
     coefficients, ships coefficients up, the device reconstructs pixels,
     runs the SSIM-guided search, and re-quantizes — pixels never cross the
@@ -140,12 +142,12 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     streaming progress/writes for large batches instead of one burst at
     the end (the reference fires OnItem per completed item,
     batch.go:108-124).
+
+    qualify_key: the shared (w, h, in_subsample) qualification key when
+    the caller already ran qualify_jpeg_bytes per input and grouped by
+    it (batch.py does) — skips a second header parse per file.
     """
-    from ..codecs import sniff_format
-    from ..codecs.jpeg import (
-        decode_jpeg_to_coefs,
-        is_progressive_jpeg,
-    )
+    from ..codecs.jpeg import decode_jpeg_to_coefs
     from ..ops.resize import resize_weights, smart_resize_dims
     from ..parallel.batched import batched_decode_resize_search_quantize
 
@@ -153,37 +155,15 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         return None
     if opts.target_size > 0:
         return None
+    if not datas:
+        return []
 
-    # Parse + qualify every input.
-    from ..codecs.jpeg import parse_jpeg
-
-    headers = []
-    for d in datas:
-        if sniff_format(d) != "jpeg" or is_progressive_jpeg(d):
+    if qualify_key is None:
+        keys = [qualify_jpeg_bytes(d) for d in datas]
+        if keys[0] is None or any(k != keys[0] for k in keys):
             return None
-        try:
-            hdr = parse_jpeg(d)
-        except Exception:
-            return None
-        if hdr.ncomp != 3 or len(hdr.scan_comps) != 3:
-            return None
-        samp = [(c["h"], c["v"]) for c in hdr.comps]
-        if samp == [(2, 2), (1, 1), (1, 1)]:
-            in_sub = True
-        elif samp == [(1, 1), (1, 1), (1, 1)]:
-            in_sub = False
-        else:
-            return None
-        if hdr.comps[1]["tq"] != hdr.comps[2]["tq"]:
-            return None
-        headers.append((hdr, in_sub))
-    first = headers[0]
-    if any(h.width != first[0].width or h.height != first[0].height
-           or sub != first[1] for h, sub in headers):
-        return None
-
-    hdr0, in_sub = first
-    h, w = hdr0.height, hdr0.width
+        qualify_key = keys[0]
+    w, h, in_sub = qualify_key
     target = opts.quality.target_ssim()
     if 0.0 < opts.target_ssim <= 1.0:
         target = opts.target_ssim
@@ -200,24 +180,11 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             rwh, rwv = jnp.asarray(wts[0]), jnp.asarray(wts[1])
 
     n = len(datas)
-    # Host entropy decode for the RESIZE path only (dense int16 stacks);
-    # the no-resize branches decode per chunk straight into the int8
-    # upload buffer inside the worker pool (see _prep_chunk_i8).
-    decoded = []
-    if rwh is not None:
-        for d in datas:
-            if ctx is not None:
-                ctx.raise_if_done()
-            hdr, coefs = decode_jpeg_to_coefs(d)
-            qt = np.stack(
-                [hdr.qtables[hdr.comps[0]["tq"]],
-                 hdr.qtables[hdr.comps[1]["tq"]]]).astype(np.int32)
-            decoded.append((coefs, qt))
     results: List[Result] = [
         Result(original_dimensions=(w, h), final_dimensions=(dst_w, dst_h),
                format=Format.JPEG) for _ in range(n)]
 
-    nworkers = min(16, os.cpu_count() or 4)
+    nworkers = workers if workers > 0 else min(16, os.cpu_count() or 4)
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
@@ -413,8 +380,12 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         maxks = [1] * len(chunk)
 
         def one(j: int) -> None:
+            # Exception offsets are IMAGE-LOCAL (flat_base=0): a flat
+            # whole-chunk index (j·NT·64 bias) overflows int32 once
+            # B·NT·64 > 2^31 (≈24MP × 64-deep chunks) and the device
+            # scatter would silently drop the wrapped entries.
             r = decode_jpeg_to_coefs_i8(datas[chunk[j]],
-                                        i8[j].reshape(-1), j * nt * 64)
+                                        i8[j].reshape(-1), 0)
             if r is not None:
                 hdr, ei, ev, mk = r
             else:  # dense fallback: exception-heavy or unusual file
@@ -423,7 +394,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     [np.asarray(c, np.int16)[:, ZIGZAG] for c in coefs])
                 f16 = zz.reshape(-1)
                 big = np.abs(f16) > 127
-                ei = (np.nonzero(big)[0] + j * nt * 64).astype(np.int32)
+                ei = np.nonzero(big)[0].astype(np.int32)
                 ev = f16[big]
                 f16 = f16.copy()
                 f16[big] = 0
@@ -438,11 +409,13 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
         list(pool.map(one, range(len(chunk))))
         # Truncate trailing all-zero zigzag columns, bucketed to bound
-        # recompiles; exception indices remap to the narrow layout.
+        # recompiles; exception offsets remap to the narrow layout.
         kk = max(maxks)
         kk = min(64, ((kk + 15) // 16) * 16)
         if kk < 64:
             i8 = np.ascontiguousarray(i8[:, :, :kk])
+        ej = np.concatenate([np.full(p[0].shape, j, np.int32)
+                             for j, p in enumerate(exc_parts)])
         ei = np.concatenate([p[0] for p in exc_parts])
         ev = np.concatenate([p[1] for p in exc_parts])
         if kk < 64 and ei.size:
@@ -450,11 +423,13 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         ei = ei.astype(np.int32)
         pad = _next_pow2(max(int(ei.size), 1))
         if pad != ei.size:
-            fill = np.full(pad - ei.size, padded * nt * kk,
-                           dtype=np.int32)  # OOB → dropped on device
-            ei = np.concatenate([ei, fill])
+            # img == padded is out of bounds → dropped on device.
+            ej = np.concatenate(
+                [ej, np.full(pad - ej.size, padded, np.int32)])
+            ei = np.concatenate(
+                [ei, np.zeros(pad - ei.size, np.int32)])
             ev = np.concatenate([ev, np.zeros(pad - ev.size, np.int16)])
-        return i8, qts, ei, ev
+        return i8, qts, ej, ei, ev
 
     if use_device_entropy:
         # Word capacity: the winner is (re)quantized at most at the
@@ -474,27 +449,45 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     starts = list(range(0, n, BATCH_CHUNK))
 
     if rwh is not None:
-        # Resize path: dense int16 stacks were decoded up front; keep the
-        # simple two-deep dispatch/collect pipeline.
+        # Resize path: dense int16 stacks, decoded PER CHUNK on the
+        # worker pool and prefetched two deep by a feeder thread — a
+        # whole-batch up-front decode would hold every input's
+        # coefficients in host RAM at once and serialize the decode.
+        def _make_chunk_dense(start):
+            chunk = list(range(start, min(start + BATCH_CHUNK, n)))
+            b = len(chunk)
+            padded = _next_pow2(b)
+            parts: List = [None] * b
+
+            def one(j: int) -> None:
+                hdr, coefs = decode_jpeg_to_coefs(datas[chunk[j]])
+                qt = np.stack(
+                    [hdr.qtables[hdr.comps[0]["tq"]],
+                     hdr.qtables[hdr.comps[1]["tq"]]]).astype(np.int32)
+                parts[j] = (coefs, qt)
+
+            list(pool.map(one, range(b)))
+            ys = np.stack([parts[j % b][0][0] for j in range(padded)])
+            cbs = np.stack([parts[j % b][0][1] for j in range(padded)])
+            crs = np.stack([parts[j % b][0][2] for j in range(padded)])
+            qts = np.stack([parts[j % b][1] for j in range(padded)])
+            return (chunk, padded, jnp.asarray(ys), jnp.asarray(cbs),
+                    jnp.asarray(crs), jnp.asarray(qts))
+
+        feeder = concurrent.futures.ThreadPoolExecutor(2)
+        futs = [feeder.submit(_make_chunk_dense, s) for s in starts[:2]]
         try:
-            for start in starts:
+            for i in range(len(starts)):
                 if ctx is not None:
                     ctx.raise_if_done()
-                chunk = list(range(start, min(start + BATCH_CHUNK, n)))
-                b = len(chunk)
-                padded = _next_pow2(b)
+                chunk, padded, ys, cbs, crs, qts = futs[i].result()
+                futs[i] = None
+                if i + 2 < len(starts):
+                    futs.append(
+                        feeder.submit(_make_chunk_dense, starts[i + 2]))
                 targets = jnp.full((padded,), target, dtype=jnp.float32)
-                ys = np.stack(
-                    [decoded[chunk[j % b]][0][0] for j in range(padded)])
-                cbs = np.stack(
-                    [decoded[chunk[j % b]][0][1] for j in range(padded)])
-                crs = np.stack(
-                    [decoded[chunk[j % b]][0][2] for j in range(padded)])
-                qts = np.stack(
-                    [decoded[chunk[j % b]][1] for j in range(padded)])
                 handles = batched_decode_resize_search_quantize(
-                    jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
-                    jnp.asarray(qts), h, w, in_sub, subsample,
+                    ys, cbs, crs, qts, h, w, in_sub, subsample,
                     resize_wh=rwh, resize_wv=rwv, targets=targets)
                 inflight.append(("quant", chunk, handles))
                 if len(inflight) >= 2:
@@ -506,9 +499,11 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 fut.result()
             _flush_ledger(True)
         finally:
-            # Cancellation/exception must not leak encode workers still
-            # writing results after the call has raised: queued futures
-            # are cancelled, in-flight ones complete before we return.
+            # Cancellation/exception must not leak feeder decodes or
+            # encode workers still writing results after the call has
+            # raised: queued futures are cancelled, in-flight ones
+            # complete before we return.
+            feeder.shutdown(wait=True, cancel_futures=True)
             pool.shutdown(wait=True, cancel_futures=True)
         return results
 
@@ -529,9 +524,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         with _tstage(timer, "prep + upload (feeder)"):
             chunk = list(range(start, min(start + BATCH_CHUNK, n)))
             padded = _next_pow2(len(chunk))
-            i8, qts, ei, ev = _prep_chunk_i8(chunk, padded)
+            i8, qts, ej, ei, ev = _prep_chunk_i8(chunk, padded)
             return (chunk, padded, jnp.asarray(i8), jnp.asarray(qts),
-                    jnp.asarray(ei), jnp.asarray(ev))
+                    jnp.asarray(ej), jnp.asarray(ei), jnp.asarray(ev))
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
     futs = [feeder.submit(_make_chunk, s) for s in starts[:2]]
@@ -541,7 +536,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         for i in range(len(starts)):
             if ctx is not None:
                 ctx.raise_if_done()
-            chunk, padded, di8, dqts, dei, dev_ = futs[i].result()
+            chunk, padded, di8, dqts, dej, dei, dev_ = futs[i].result()
             futs[i] = None
             if i + 2 < len(starts):
                 futs.append(feeder.submit(_make_chunk, starts[i + 2]))
@@ -553,7 +548,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     )
 
                     handles = batched_decode_search_hist_i8(
-                        di8, dei, dev_, dqts, targets, h, w, in_sub,
+                        di8, dej, dei, dev_, dqts, targets, h, w, in_sub,
                         subsample)
                     searchq.append(("opt", chunk, handles))
                 elif use_device_entropy:
@@ -562,7 +557,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     )
 
                     handles = batched_decode_search_emit_i8(
-                        di8, dei, dev_, dqts, targets, h, w, in_sub,
+                        di8, dej, dei, dev_, dqts, targets, h, w, in_sub,
                         subsample, emit_words)
                     searchq.append(("emit", chunk, handles))
                 else:
@@ -571,7 +566,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     )
 
                     handles = batched_decode_search_quantize_i8(
-                        di8, dei, dev_, dqts, targets, h, w, in_sub,
+                        di8, dej, dei, dev_, dqts, targets, h, w, in_sub,
                         subsample)
                     searchq.append(("quant", chunk, handles))
 
@@ -715,6 +710,14 @@ def compress_images_batched(ctx: Optional[Context],
         else:
             jpeg_buckets.setdefault(arr.shape[:2], []).append(i)
 
+    # PNG-routed items finished synchronously during prep — stream them
+    # out as one completed group before any device work (and before the
+    # all-PNG early return, so the on_chunk contract holds either way).
+    png_done = [i for i in range(n)
+                if results[i].format == Format.PNG]
+    if on_chunk is not None and png_done:
+        on_chunk([(i, results[i]) for i in png_done])
+
     if not jpeg_buckets:
         return results  # type: ignore[return-value]
 
@@ -725,26 +728,10 @@ def compress_images_batched(ctx: Optional[Context],
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk)
 
-    # PNG-routed items finished synchronously during prep — stream them
-    # out as one completed group before any device work.
-    png_done = [i for i in range(n)
-                if results[i].format == Format.PNG]
-    if on_chunk is not None and png_done:
-        on_chunk([(i, results[i]) for i in png_done])
     if opts.device_entropy is None:
         use_device_entropy = jax.default_backend() == "tpu"
     else:
         use_device_entropy = bool(opts.device_entropy)
-
-    def _overflow_redo(i: int) -> None:
-        import dataclasses as _dc
-
-        from ..api import compress_image
-        res = results[i]
-        r = compress_image(ctx, prepped[i],
-                           _dc.replace(opts, max_width=0, max_height=0))
-        r.original_dimensions = res.original_dimensions
-        results[i] = r
 
     def _finalize(i, quality, ssim_val, found, data):
         res = results[i]

@@ -193,7 +193,8 @@ def batched_decode_resize_search_quantize(
     return q, s, f, packed, fits_int8
 
 
-def _i8_zigzag_to_natural(packed_i8: jax.Array, exc_idx: jax.Array,
+def _i8_zigzag_to_natural(packed_i8: jax.Array, exc_img: jax.Array,
+                          exc_off: jax.Array,
                           exc_val: jax.Array) -> jax.Array:
     """(B, NT, K≤64) int8 ZIGZAG-order blocks + sparse exceptions →
     (B, NT, 64) int32 natural-order blocks.
@@ -201,12 +202,16 @@ def _i8_zigzag_to_natural(packed_i8: jax.Array, exc_idx: jax.Array,
     The upload layout is zigzag-ordered and truncated at the batch's
     maximum nonzero extent (decode_jpeg_to_coefs_i8); reconstruction is
     a zero-pad plus a static column permutation — free under XLA.
+    Exceptions are (image, offset-within-image) pairs so both index
+    arrays stay int32 even when B·NT·64 exceeds 2^31 (large images ×
+    deep chunks); padding rows carry img == B and are dropped.
     """
     from ..ops.dct import ZIGZAG
 
+    b = packed_i8.shape[0]
     k = packed_i8.shape[-1]
     dense = packed_i8.astype(jnp.int32)
-    flat = dense.reshape(-1).at[exc_idx].set(
+    flat = dense.reshape(b, -1).at[exc_img, exc_off].set(
         exc_val.astype(jnp.int32), mode="drop")
     dense = flat.reshape(packed_i8.shape)
     if k < 64:
@@ -216,9 +221,10 @@ def _i8_zigzag_to_natural(packed_i8: jax.Array, exc_idx: jax.Array,
     return dense[:, :, jnp.asarray(inv)]
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def batched_decode_search_quantize_i8(packed_i8: jax.Array,
-                                      exc_idx: jax.Array,
+                                      exc_img: jax.Array,
+                                      exc_off: jax.Array,
                                       exc_val: jax.Array,
                                       in_qtabs: jax.Array,
                                       targets: jax.Array,
@@ -228,11 +234,11 @@ def batched_decode_search_quantize_i8(packed_i8: jax.Array,
 
     packed_i8: (B, NT, K) int8 zigzag-order input coefficients (y|cb|cr
     concatenated, truncated at the batch's max nonzero extent), with
-    |v| > 127 entries zeroed and carried in (exc_idx, exc_val) as flat
-    indices into the truncated tensor — typically a quarter of the dense
-    int16 host→device bytes.
+    |v| > 127 entries zeroed and carried in (exc_img, exc_off, exc_val)
+    as (image, offset) pairs into the truncated tensor — typically a
+    quarter of the dense int16 host→device bytes.
     """
-    dense = _i8_zigzag_to_natural(packed_i8, exc_idx, exc_val)
+    dense = _i8_zigzag_to_natural(packed_i8, exc_img, exc_off, exc_val)
 
     mult = 16 if in_subsample else 8
     ph, pw = h + (-h) % mult, w + (-w) % mult
@@ -287,9 +293,10 @@ def batched_decode_search_emit(in_y: jax.Array, in_cb: jax.Array,
     return q, s, f, words, bits
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def batched_decode_search_emit_i8(packed_i8: jax.Array,
-                                  exc_idx: jax.Array, exc_val: jax.Array,
+                                  exc_img: jax.Array, exc_off: jax.Array,
+                                  exc_val: jax.Array,
                                   in_qtabs: jax.Array, targets: jax.Array,
                                   h: int, w: int, in_subsample: bool,
                                   out_subsample: bool, max_words: int):
@@ -300,7 +307,7 @@ def batched_decode_search_emit_i8(packed_i8: jax.Array,
     from ..engine.compress import decode_jpeg_image_device
     from ..ops.jpeg_emit import emit_scan_device
 
-    dense = _i8_zigzag_to_natural(packed_i8, exc_idx, exc_val)
+    dense = _i8_zigzag_to_natural(packed_i8, exc_img, exc_off, exc_val)
 
     mult_in = 16 if in_subsample else 8
     phi, pwi = h + (-h) % mult_in, w + (-w) % mult_in
@@ -327,9 +334,10 @@ def batched_decode_search_emit_i8(packed_i8: jax.Array,
     return q, s, f, words, bits
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def batched_decode_search_hist_i8(packed_i8: jax.Array,
-                                  exc_idx: jax.Array, exc_val: jax.Array,
+                                  exc_img: jax.Array, exc_off: jax.Array,
+                                  exc_val: jax.Array,
                                   in_qtabs: jax.Array, targets: jax.Array,
                                   h: int, w: int, in_subsample: bool,
                                   out_subsample: bool):
@@ -346,7 +354,7 @@ def batched_decode_search_hist_i8(packed_i8: jax.Array,
     from ..ops.jpeg_emit import scan_symbol_hist_device
     from ..ops.jpeg_size import bits_std_from_hist
 
-    dense = _i8_zigzag_to_natural(packed_i8, exc_idx, exc_val)
+    dense = _i8_zigzag_to_natural(packed_i8, exc_img, exc_off, exc_val)
 
     mult_in = 16 if in_subsample else 8
     phi, pwi = h + (-h) % mult_in, w + (-w) % mult_in

@@ -358,3 +358,57 @@ class TestFastPathActuallyTaken:
         assert all(r.err is None for r in res)
         assert calls == [(3, True)], \
             f"coef fast path not taken or failed: {calls}"
+
+
+class TestExceptionLayout:
+    """Sparse |v| > 127 exceptions ride as (image, offset) pairs — a flat
+    whole-chunk int32 index overflows once B·NT·64 > 2^31 (large images ×
+    deep chunks) and the device scatter would silently drop entries."""
+
+    def test_i8_zigzag_to_natural_2d_exceptions(self):
+        import jax.numpy as jnp
+
+        from fennec_tpu.ops.dct import ZIGZAG
+        from fennec_tpu.parallel.batched import _i8_zigzag_to_natural
+
+        rng = np.random.default_rng(7)
+        b, nt = 3, 5
+        zz = rng.integers(-120, 121, (b, nt, 64)).astype(np.int16)
+        zz[0, 0, 0] = 900      # DC exception
+        zz[1, 3, 17] = -1400
+        zz[2, 4, 63] = 300     # last zigzag slot
+        i8 = zz.copy()
+        exc_img, exc_t, exc_z = np.nonzero(np.abs(zz) > 127)
+        exc_off = (exc_t * 64 + exc_z).astype(np.int32)
+        exc_val = zz[exc_img, exc_t, exc_z]
+        i8[exc_img, exc_t, exc_z] = 0
+        # Padding rows: img == b is out of bounds → dropped on device.
+        exc_img = np.concatenate([exc_img.astype(np.int32),
+                                  np.full(5, b, np.int32)])
+        exc_off = np.concatenate([exc_off, np.zeros(5, np.int32)])
+        exc_val = np.concatenate([exc_val, np.full(5, 999, np.int16)])
+
+        out = np.asarray(_i8_zigzag_to_natural(
+            jnp.asarray(i8.astype(np.int8)), jnp.asarray(exc_img),
+            jnp.asarray(exc_off), jnp.asarray(exc_val)))
+
+        expected = np.zeros((b, nt, 64), np.int32)
+        expected[:, :, np.asarray(ZIGZAG)] = zz  # zigzag → natural
+        np.testing.assert_array_equal(out, expected)
+        # The dropped padding values must not have landed anywhere.
+        assert not np.any(out == 999)
+
+    def test_high_magnitude_coefs_roundtrip_batch(self):
+        """End-to-end: files whose coefficients exceed int8 (high-contrast
+        blocks at high quality) must decode bit-correctly through the
+        exception path of the fused engine."""
+        img = np.zeros((48, 48, 4), np.uint8)
+        img[..., 3] = 255
+        img[::2, ::2, :3] = 255  # checkerboard → huge DCT magnitudes
+        datas = [encode_jpeg(img, 98), jpeg_bytes(48, 48, 3, 95)]
+        out = compress_jpeg_bytes_batched(
+            None, datas, fennec.Options(format=fennec.JPEG))
+        assert out is not None
+        for r in out:
+            assert r.compressed_data[:2] == b"\xff\xd8"
+            assert r.ssim > 0.5

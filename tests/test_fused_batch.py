@@ -199,3 +199,69 @@ class TestFusedOrientation:
                                             auto_orient=False)))
         assert res[0].err is None
         assert res[0].result.final_dimensions == (48, 32)
+
+
+class TestFusedProgressContract:
+    def test_progress_ticks_errored_items(self, tmp_path):
+        """OnItem must reach n/n even when some files are unreadable or
+        undecodable — the per-file pool ticks after its per-item except
+        (batch.go:108-124), and the fused path must match."""
+        seen = []
+        items = []
+        for i in range(3):
+            p = tmp_path / f"g{i}.png"
+            p.write_bytes(png_codec.encode_png_rgba(photo(32, 32, i)))
+            items.append(fennec.BatchItem(
+                src=str(p), dst=str(tmp_path / f"og{i}.jpg")))
+        bad = tmp_path / "corrupt.png"
+        bad.write_bytes(b"definitely not an image")
+        items.append(fennec.BatchItem(
+            src=str(bad), dst=str(tmp_path / "obad.jpg")))
+        items.append(fennec.BatchItem(
+            src=str(tmp_path / "missing.png"),
+            dst=str(tmp_path / "omiss.jpg")))
+        n = len(items)
+        res = fennec.compress_batch(
+            None, items,
+            fennec.BatchOptions(fused=True,
+                                on_item=lambda c, t: seen.append((c, t))))
+        assert len(seen) == n
+        assert sorted(c for c, _ in seen) == list(range(1, n + 1))
+        assert all(t == n for _, t in seen)
+        assert res[3].err is not None and res[4].err is not None
+        assert all(res[i].err is None for i in range(3))
+
+    def test_cancel_marks_pending_without_warning(self, tmp_path,
+                                                  monkeypatch):
+        """Mid-batch cancellation is a normal outcome: remaining items get
+        the context error (batch.go:93-99), with NO fused-path-failed
+        warning and no fallback pool re-run."""
+        import warnings
+
+        from fennec_tpu.engine import batched as batched_mod
+
+        monkeypatch.setattr(batched_mod, "BATCH_CHUNK", 2)
+        n = 12
+        items = []
+        for i in range(n):
+            p = tmp_path / f"c{i}.png"
+            p.write_bytes(png_codec.encode_png_rgba(photo(32, 32, i)))
+            items.append(fennec.BatchItem(
+                src=str(p), dst=str(tmp_path / f"oc{i}.jpg")))
+        ctx = fennec.Context()
+
+        def on_item(c, t):
+            if c == 1:
+                ctx.cancel()
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            res = fennec.compress_batch(
+                ctx, items,
+                fennec.BatchOptions(fused=True, on_item=on_item))
+        assert len(res) == n
+        canceled = [r for r in res
+                    if isinstance(r.err, fennec.CanceledError)]
+        finished = [r for r in res if r.err is None and r.result is not None]
+        assert canceled, "cancellation did not mark any pending item"
+        assert len(canceled) + len(finished) == n
