@@ -293,9 +293,10 @@ def _fallback_encode(original: np.ndarray, target: int, use_jpeg: bool,
     if use_jpeg:
         sizer = _JpegSizer(original)
         data = sizer.encode(1)
+        # The reference scores SSIM(original, original) here
+        # (targetsize.go:77-90) — a constant ~1.0; skip the dispatch.
         return SizeResult(data=data, format=Format.JPEG, quality=1,
-                          ssim=compute_ssim_nrgba(original, original),
-                          final_w=w, final_h=h, img=original)
+                          ssim=1.0, final_w=w, final_h=h, img=original)
     data = compress_png(original, opts)
     return SizeResult(data=data, format=Format.PNG, ssim=1.0,
                       final_w=w, final_h=h, img=original)
@@ -393,7 +394,7 @@ def jpeg_quality_scale_search(ctx: Optional[Context], src: np.ndarray,
     final_w = int(orig_w * best.scale)
     final_h = int(orig_h * best.scale)
     final_scaled = lanczos_resize(arr, final_w, final_h)
-    r = jpeg_quality_search(final_scaled, target_bytes)
+    r = jpeg_quality_search(final_scaled, target_bytes, skip_ssim=True)
     if r is None or r.quality < MIN_JPEG_QUALITY:
         return None
     r.ssim = compute_ssim_nrgba(arr, final_scaled)
@@ -461,7 +462,7 @@ def scale_search(ctx: Optional[Context], src: np.ndarray, target_bytes: int,
             continue
         if prober is not None and new_w >= 8 and new_h >= 8:
             ok, q = prober.probe(new_w, new_h, target_bytes)
-            fits, q = (ok and q >= MIN_JPEG_QUALITY), q
+            fits = ok and q >= MIN_JPEG_QUALITY
         else:
             fits, q = _test_scale_fits(box_downsample(arr, new_w, new_h),
                                        target_bytes, fmt)
@@ -497,13 +498,16 @@ def _execute_final_scale_encode(src: np.ndarray, fmt: Format, best_q: int,
     # reference targetsize.go:330-348
     scaled = lanczos_resize(src, final_w, final_h)
     if fmt == Format.JPEG:
-        r = jpeg_quality_search(scaled, target_bytes, skip_ssim=True)
+        # One sizer serves both the re-search and the fallback encode so
+        # the fallback doesn't re-upload + re-DCT the same array.
+        sizer = _JpegSizer(to_nrgba_ref(scaled))
+        r = jpeg_quality_search(scaled, target_bytes, skip_ssim=True,
+                                sizer=sizer)
         if r is not None:
             return SizeResult(data=r.data, format=Format.JPEG,
                               quality=r.quality,
                               ssim=compute_ssim_nrgba(src, scaled),
                               final_w=final_w, final_h=final_h, img=scaled)
-        sizer = _JpegSizer(scaled)
         data = sizer.encode(best_q)
     else:
         data = png_codec.encode_png_rgba(scaled)

@@ -236,10 +236,12 @@ def _encode_lanes(pool, coefs: jax.Array, qvec: np.ndarray,
 
 def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
                      target_bytes: int
-                     ) -> Tuple[np.ndarray, np.ndarray, List[bytes]]:
+                     ) -> Tuple[np.ndarray, np.ndarray, List[bytes],
+                                jax.Array]:
     """Vectorized _JpegSizer.search over a resident stack.
 
-    Returns (qualities (B,) int, ok (B,) bool, data list) — ok[i] False
+    Returns (qualities (B,) int, ok (B,) bool, data list, resident coef
+    stack) — ok[i] False
     means no quality in bounds fit (the per-image search returned None).
     Matches _JpegSizer.search per image: bisect on the exact bit-count
     oracle, verify real bytes stepping down, then probe up while the
@@ -288,7 +290,7 @@ def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
             else:
                 climbing[j] = False
 
-    return q, ok, data, coefs  # type: ignore[return-value]
+    return q, ok, data, coefs
 
 
 # ── Batched strategies ───────────────────────────────────────────────────────
