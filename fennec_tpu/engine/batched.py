@@ -38,6 +38,7 @@ from ..codecs.jpeg import (
 )
 from ..image import analyze_format, to_nrgba, validate_image
 from ..ops.dct import all_quality_tables
+from ..ops.jpeg_emit import emit_words_for_bits
 from ..ops.resize import smart_resize
 from ..parallel.batched import batched_search_and_quantize
 from ..types import Context, Format, Options, Result
@@ -261,7 +262,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         acf = np.asarray(ac_freq).astype(np.int64)
         # Exact sizing: optimal tables never beat the standard-table bit
         # count they're built against, so overflow is impossible.
-        opt_words = _next_pow2(int(np.asarray(bits_std).max()) // 32 + 64)
+        opt_words = emit_words_for_bits(int(np.asarray(bits_std).max()))
 
         # One C call builds every image's K.2 specs; the packed device
         # code tables come from one vectorized canonical-code pass (the
@@ -796,7 +797,7 @@ def compress_images_batched(ctx: Optional[Context],
         s_host = np.asarray(ssims)
         f_host = np.asarray(found)
         bstd_h = np.asarray(bits_std)
-        emit_words = _next_pow2(int(bstd_h.max()) // 32 + 64)
+        emit_words = emit_words_for_bits(int(bstd_h.max()))
 
         specs: List = [None] * len(q_host)
         if use_opt:

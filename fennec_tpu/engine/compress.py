@@ -344,7 +344,9 @@ def _batched_search_core(imgs: jax.Array, targets: jax.Array,
     """Shared prep + lockstep bisection for the batch-wise search paths.
     Returns (best_q, best_ssim, found, coefs)."""
     h, w = int(imgs.shape[1]), int(imgs.shape[2])
-    t = jnp.clip(targets, 0.0, 0.999)
+    # Clamp only unreachable targets (>= 1.0) to 0.999, matching
+    # compress.go:24-26 — targets in (0.999, 1.0) stay as requested.
+    t = jnp.clip(jnp.where(targets >= 1.0, 0.999, targets), 0.0)
     imgs = imgs.astype(jnp.float32)
     coefs = jax.vmap(lambda im: forward_dct_device(im, subsample))(imgs)
 
@@ -430,7 +432,9 @@ def quality_search_device(img: jax.Array, target: jax.Array,
     this is the unit the batch engine and mesh-sharded paths build on.
     """
     h, w = img.shape[0], img.shape[1]
-    t = jnp.clip(target, 0.0, 0.999)  # JPEG can't reach SSIM 1.0
+    # Clamp only >= 1.0 to 0.999 (compress.go:24-26); sub-1.0 targets
+    # pass through so single-image and batch engines agree.
+    t = jnp.clip(jnp.where(target >= 1.0, 0.999, target), 0.0)
     coefs = forward_dct_device(img, subsample)
 
     ds_w, ds_h = ssim_fast_dims(w, h)
@@ -488,9 +492,12 @@ def decode_jpeg_image_device(in_y: jax.Array, in_cb: jax.Array,
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
 def quality_search_quantize_device(img: jax.Array, target: jax.Array,
                                    subsample: bool = True):
-    """Search + quantize in one traced program.
+    """Search + quantize in one traced program (jitted here so the
+    forward DCT inside quality_search_device and the one below CSE into a
+    single pass — eager calls would otherwise dispatch the DCT twice).
 
     Returns (best_q, best_ssim, found, (qy, qcb, qcr) int16) where the
     coefficient blocks are quantized at the *final* quality (Q=100 when the
@@ -500,6 +507,8 @@ def quality_search_quantize_device(img: jax.Array, target: jax.Array,
     """
     h, w = img.shape[0], img.shape[1]
     best_q, best_ssim, found = quality_search_device(img, target, subsample)
+    # Defensive: _bisect_device already leaves best_q=100 when nothing fit
+    # (compress.go:82-86), so this where only pins the invariant.
     final_q = jnp.where(found, best_q, 100)
     coefs = forward_dct_device(img, subsample)
     all_tables = jnp.asarray(dct_ops.all_quality_tables(),
@@ -587,7 +596,7 @@ def _encode_from_coefs_device(coefs, w: int, h: int, quality: int,
         assemble_jpeg,
         quantize_coefs_device,
     )
-    from ..ops.jpeg_emit import finalize_scan_host
+    from ..ops.jpeg_emit import emit_words_for_bits, finalize_scan_host
     from ..parallel.batched import (
         batched_emit_custom,
         batched_emit_std,
@@ -600,7 +609,7 @@ def _encode_from_coefs_device(coefs, w: int, h: int, quality: int,
     packed = jnp.concatenate([qy, qcb, qcr], axis=0).astype(jnp.int16)[None]
     dcf, acf, bits_std = packed_hist_bits(packed, h, w, subsample)
     nbits = int(np.asarray(bits_std)[0])
-    max_words = max(256, 1 << (nbits // 32 + 64).bit_length())
+    max_words = emit_words_for_bits(nbits)
     dht = None
     if optimize:
         specs, dc_tabs, ac_tabs = specs_and_tables_batch(

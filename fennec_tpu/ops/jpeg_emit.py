@@ -42,7 +42,7 @@ import numpy as np
 
 from ..codecs import tables as std_tables
 from .dct import ZIGZAG
-from .jpeg_size import mcu_order
+from .jpeg_size import _bitlen, mcu_order
 
 
 def _code_arrays(bits, values, size: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -116,14 +116,16 @@ def _scan_layout(padded_h: int, padded_w: int, subsample: bool):
     return out, total
 
 
-def _bitlen(v: jax.Array) -> jax.Array:
-    a = jnp.abs(v).astype(jnp.int32)
-    bits = jnp.zeros_like(a)
-    x = a
-    for _ in range(12):
-        bits = bits + (x > 0).astype(jnp.int32)
-        x = x >> 1
-    return bits
+def emit_words_for_bits(nbits: int) -> int:
+    """uint32 word-buffer size for a scan of `nbits`: next power of two
+    of nbits//32 plus 64 slack words, floored at 256.  One shared rule so
+    the single-image and batch engines agree on buffer shapes (and jit
+    cache entries) for the same scan."""
+    n = max(256, nbits // 32 + 64)
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def _lut(table_2xS: jnp.ndarray, idx: jax.Array):
@@ -488,6 +490,11 @@ def _assemble_global_matmul(bufs: jax.Array, block_bits: jax.Array,
 # assembly's (T, mw) operand outgrows HBM economy and the windowed-gather
 # path wins; 1<<27 bf16 elements = 256 MB.
 _MATMUL_ASSEMBLE_LIMIT = 1 << 27
+# Absolute HBM cap on the materialized one-hot INCLUDING the vmap batch
+# factor: 1<<31 bf16 elements = 4 GB (v5e has 16 GB).  The production
+# 500² B=64 chunk sits at ~1.6e9 elements and stays on the matmul path;
+# large-scan chunks (max_words ≥ 16k) would hit 13 GB and must fall back.
+_MATMUL_ASSEMBLE_HBM_CAP = 1 << 31
 
 
 def _assemble_global(bufs: jax.Array, block_bits: jax.Array,
@@ -552,7 +559,8 @@ def _slot_permutation(padded_h: int, padded_w: int, subsample: bool):
 
 def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
                      padded_h: int, padded_w: int, subsample: bool,
-                     max_words: int, dc_tables=None, ac_tables=None):
+                     max_words: int, dc_tables=None, ac_tables=None,
+                     batch_hint: int = 1):
     """Assemble the entropy-coded scan on device.
 
     Inputs: (N, 64) quantized blocks per component (natural order raster,
@@ -564,6 +572,10 @@ def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
     dc_tables/ac_tables: optional traced per-image code tables, shaped
     (2 classes, 2 {codes, lengths}, 16|256) — the device side of per-image
     optimal Huffman.  None → the static Annex-K tables.
+
+    batch_hint: number of images this trace is vmapped over.  The
+    matmul-assembly one-hot materializes with the vmap batch factor, so
+    the HBM gate must see B·T·max_words, not T·max_words.
     """
     layout, total = _scan_layout(padded_h, padded_w, subsample)
     if dc_tables is None:
@@ -589,7 +601,9 @@ def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
     perm = jnp.asarray(_slot_permutation(padded_h, padded_w, subsample))
     bufs_slot = jnp.concatenate(bufs, axis=0)[perm]
     bits_slot = jnp.concatenate(bits)[perm]
-    if total * max_words <= _MATMUL_ASSEMBLE_LIMIT:
+    if (total * max_words <= _MATMUL_ASSEMBLE_LIMIT
+            and max(1, batch_hint) * total * max_words
+            <= _MATMUL_ASSEMBLE_HBM_CAP):
         return _assemble_global_matmul(bufs_slot, bits_slot, max_words)
     return _assemble_global(bufs_slot, bits_slot, max_words, k_window)
 

@@ -135,7 +135,7 @@ def batched_emit_std(packed: jax.Array, h: int, w: int,
     def one(p):
         return emit_scan_device(
             p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
-            max_words)
+            max_words, batch_hint=packed.shape[0])
 
     return jax.vmap(one)(packed)
 
@@ -289,7 +289,8 @@ def batched_decode_search_emit(in_y: jax.Array, in_cb: jax.Array,
         imgs, targets, out_subsample)
     words, bits = jax.vmap(lambda p: emit_scan_device(
         p[:ny], p[ny:ny + nc], p[ny + nc:],
-        ph, pw, out_subsample, max_words))(packed)
+        ph, pw, out_subsample, max_words,
+        batch_hint=packed.shape[0]))(packed)
     return q, s, f, words, bits
 
 
@@ -330,7 +331,8 @@ def batched_decode_search_emit_i8(packed_i8: jax.Array,
         imgs, targets, out_subsample)
     words, bits = jax.vmap(lambda p: emit_scan_device(
         p[:ny], p[ny:ny + nc], p[ny + nc:],
-        ph, pw, out_subsample, max_words))(packed)
+        ph, pw, out_subsample, max_words,
+        batch_hint=packed.shape[0]))(packed)
     return q, s, f, words, bits
 
 
@@ -403,7 +405,8 @@ def batched_emit_custom(packed: jax.Array, dc_tables: jax.Array,
         act = jnp.stack([acp >> 5, acp & 31], axis=1)  # (2, 2, 256)
         return emit_scan_device(
             p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
-            max_words, dc_tables=dct, ac_tables=act)
+            max_words, dc_tables=dct, ac_tables=act,
+            batch_hint=packed.shape[0])
 
     return jax.vmap(one)(packed, dc_tables, ac_tables)
 

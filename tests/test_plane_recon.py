@@ -79,3 +79,40 @@ def test_batched_search_matches_blocks_semantics():
         assert int(q_b[i]) == int(q1)
         assert bool(f_b[i]) == bool(f1)
         assert float(s_b[i]) == pytest.approx(float(s1), abs=1e-4)
+
+def test_sub_unity_targets_not_clamped():
+    """Targets in (0.999, 1.0) must pass through unclamped — only >= 1.0
+    clamps to 0.999 (compress.go:24-26).  A noisy image that can reach
+    SSIM 0.999 but not 0.9995 must report found=False at 0.9995, in both
+    the single-image and batched engines."""
+    from fennec_tpu.engine.compress import quality_search_device
+    from fennec_tpu.parallel.batched import batched_quality_search
+
+    img = _rand_img(48, 48, seed=7).astype(np.float32)  # noisy: hard
+    q1, s1, f1 = quality_search_device(jnp.asarray(img),
+                                       jnp.float32(0.9995))
+    q_b, s_b, f_b = batched_quality_search(
+        jnp.asarray(img[None]), jnp.asarray(np.float32([0.9995])))
+    # Batched and single-image must agree exactly.
+    assert int(q_b[0]) == int(q1)
+    assert bool(f_b[0]) == bool(f1)
+    # found would require a probe with SSIM >= 0.9995; if one was found
+    # its SSIM must genuinely meet the unclamped target.
+    if bool(f1):
+        assert float(s1) >= 0.9995
+    # target >= 1.0 still clamps: behaves as 0.999, not impossible.
+    q2, s2, f2 = quality_search_device(jnp.asarray(img), jnp.float32(1.0))
+    q3, s3, f3 = quality_search_device(jnp.asarray(img),
+                                       jnp.float32(0.999))
+    assert int(q2) == int(q3) and bool(f2) == bool(f3)
+
+
+def test_emit_words_sizing_shared_rule():
+    """emit_words_for_bits: floor 256, pow2, exact powers not doubled."""
+    from fennec_tpu.ops.jpeg_emit import emit_words_for_bits
+
+    assert emit_words_for_bits(0) == 256
+    assert emit_words_for_bits(100) == 256
+    # (16384 - 64) * 32 bits → exactly 16384 words → stays 16384.
+    assert emit_words_for_bits((16384 - 64) * 32) == 16384
+    assert emit_words_for_bits((16384 - 64) * 32 + 32) == 32768
