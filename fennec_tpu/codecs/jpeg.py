@@ -386,7 +386,14 @@ def _parse_dht(seg: bytes, hdr: JpegHeader) -> None:
         bits = list(seg[i:i + 16])
         i += 16
         n = sum(bits)
+        # T.81 C.2: at most 256 values; a crafted BITS array can claim
+        # 16*255 — reject here so neither decoder sees an oversized or
+        # truncated spec (Go stdlib errors identically).
+        if n > 256:
+            raise ValueError("fennec: corrupt JPEG: DHT declares >256 values")
         vals = list(seg[i:i + n])
+        if len(vals) < n:
+            raise ValueError("fennec: corrupt JPEG: truncated DHT")
         i += n
         # Store the raw (BITS, VALS) spec; decoders build their own
         # lookup structures (Python canonical tables or C++ fast LUTs).
@@ -411,9 +418,32 @@ def _parse_sos(seg: bytes, hdr: JpegHeader) -> None:
     ns = seg[0]
     for i in range(ns):
         cs, tables = seg[1 + i * 2], seg[2 + i * 2]
-        idx = next(j for j, c in enumerate(hdr.comps) if c["id"] == cs)
+        idx = next((j for j, c in enumerate(hdr.comps) if c["id"] == cs),
+                   None)
+        if idx is None:
+            raise ValueError(
+                "fennec: corrupt JPEG: SOS names unknown component")
         hdr.scan_comps.append({"comp": idx, "td": tables >> 4,
                                "ta": tables & 0x0F})
+
+
+def _build_decode_specs(hdr: JpegHeader):
+    """MCU grid geometry + per-scan-component decode specs shared by the
+    int16 and fused-int8 single-scan decode paths."""
+    hmax = max(c["h"] for c in hdr.comps)
+    vmax = max(c["v"] for c in hdr.comps)
+    mcus_x = -(-hdr.width // (8 * hmax))
+    mcus_y = -(-hdr.height // (8 * vmax))
+    specs = []
+    for sc in hdr.scan_comps:
+        c = hdr.comps[sc["comp"]]
+        if sc["td"] not in hdr.dc_tables or sc["ta"] not in hdr.ac_tables:
+            raise ValueError(
+                "fennec: corrupt JPEG: scan references missing DHT")
+        specs.append(entropy_py.DecodeComponentSpec(
+            mcus_x * c["h"], mcus_y * c["v"], c["h"], c["v"],
+            hdr.dc_tables[sc["td"]], hdr.ac_tables[sc["ta"]]))
+    return mcus_x, mcus_y, hmax, vmax, specs
 
 
 def decode_jpeg_to_coefs(data: bytes):
@@ -428,19 +458,10 @@ def decode_jpeg_to_coefs(data: bytes):
     from .. import native
 
     hdr = parse_jpeg(data)
-    hmax = max(c["h"] for c in hdr.comps)
-    vmax = max(c["v"] for c in hdr.comps)
-    mcus_x = -(-hdr.width // (8 * hmax))
-    mcus_y = -(-hdr.height // (8 * vmax))
+    mcus_x, mcus_y, hmax, vmax, specs = _build_decode_specs(hdr)
     if len(hdr.scan_comps) != hdr.ncomp:
         return _decode_multiscan_to_coefs(data, hdr, mcus_x, mcus_y,
                                           hmax, vmax)
-    specs = []
-    for sc in hdr.scan_comps:
-        c = hdr.comps[sc["comp"]]
-        specs.append(entropy_py.DecodeComponentSpec(
-            mcus_x * c["h"], mcus_y * c["v"], c["h"], c["v"],
-            hdr.dc_tables[sc["td"]], hdr.ac_tables[sc["ta"]]))
     coefs = native.jpeg_decode_scan(data, hdr.scan_offset, specs,
                                     hdr.restart_interval)
     return hdr, coefs
@@ -462,16 +483,7 @@ def decode_jpeg_to_coefs_i8(data: bytes, out_flat: np.ndarray,
     hdr = parse_jpeg(data)
     if len(hdr.scan_comps) != hdr.ncomp:
         return None
-    hmax = max(c["h"] for c in hdr.comps)
-    vmax = max(c["v"] for c in hdr.comps)
-    mcus_x = -(-hdr.width // (8 * hmax))
-    mcus_y = -(-hdr.height // (8 * vmax))
-    specs = []
-    for sc in hdr.scan_comps:
-        c = hdr.comps[sc["comp"]]
-        specs.append(entropy_py.DecodeComponentSpec(
-            mcus_x * c["h"], mcus_y * c["v"], c["h"], c["v"],
-            hdr.dc_tables[sc["td"]], hdr.ac_tables[sc["ta"]]))
+    _, _, _, _, specs = _build_decode_specs(hdr)
     r = native.jpeg_decode_scan_i8(data, hdr.scan_offset, specs,
                                    hdr.restart_interval, out_flat,
                                    flat_base, max_exc)

@@ -202,6 +202,10 @@ def _decode_pass(raw: bytes, info: PngInfo, width: int,
     consumed = (stride + 1) * height
     if height == 0 or width == 0:
         return consumed, np.zeros((height, width, ch), dtype=np.uint8)
+    if len(raw) < consumed:
+        # The native unfilter has no input-length parameter and would
+        # read past a truncated IDAT stream.
+        raise ValueError("fennec: truncated PNG image data")
     rows = native.png_unfilter(raw[:consumed], height, stride, bpp)
     if info.depth == 8:
         px = rows.reshape(height, stride)[:, :width * ch]
@@ -253,13 +257,31 @@ def _to_rgba(px: np.ndarray, info: PngInfo) -> np.ndarray:
         out[..., 0] = out[..., 1] = out[..., 2] = g
         out[..., 3] = 255
         if info.trns and len(info.trns) >= 2:
+            # px was normalized by _decode_pass: depth<8 samples are
+            # scaled to 0..255, depth-16 keeps the HIGH byte — the key
+            # must be mapped through the same transform before comparing.
             key = struct.unpack(">H", info.trns[:2])[0]
-            if info.depth < 16:
-                key &= 0xFF if info.depth == 8 else (1 << info.depth) - 1
-            out[..., 3] = np.where(px[..., 0] == (key & 0xFF), 0, 255)
+            if info.depth == 16:
+                key >>= 8
+            elif info.depth == 8:
+                key &= 0xFF
+            else:
+                maxv = (1 << info.depth) - 1
+                key = ((key & maxv) * 255) // maxv
+            out[..., 3] = np.where(px[..., 0] == key, 0, 255)
     elif ct == 2:  # rgb
         out[..., :3] = px
         out[..., 3] = 255
+        if info.trns and len(info.trns) >= 6:
+            # 6-byte RGB color key (2 bytes per sample); samples were
+            # byte-normalized like the pixels above.
+            kr, kg, kb = struct.unpack(">HHH", info.trns[:6])
+            shift = 8 if info.depth == 16 else 0
+            mask = 0xFF if info.depth == 8 else 0xFFFF
+            keys = [(k & mask) >> shift for k in (kr, kg, kb)]
+            hit = ((px[..., 0] == keys[0]) & (px[..., 1] == keys[1])
+                   & (px[..., 2] == keys[2]))
+            out[..., 3] = np.where(hit, 0, 255)
     elif ct == 3:  # palette
         if info.palette is None:
             raise ValueError("fennec: PNG palette image without PLTE")

@@ -110,7 +110,12 @@ class ProgressiveDecoder:
             bits = list(seg[i:i + 16])
             i += 16
             n = sum(bits)
+            if n > 256:  # T.81 C.2 bound; see codecs/jpeg._parse_dht
+                raise ValueError(
+                    "fennec: corrupt JPEG: DHT declares >256 values")
             vals = list(seg[i:i + n])
+            if len(vals) < n:
+                raise ValueError("fennec: corrupt JPEG: truncated DHT")
             i += n
             if tc == 0:
                 self.dc_specs[th] = (bits, vals)
@@ -150,12 +155,21 @@ class ProgressiveDecoder:
         scomps = []
         for i in range(ns):
             cs, tables = seg[1 + i * 2], seg[2 + i * 2]
-            idx = next(j for j, c in enumerate(self.comps)
-                       if c["id"] == cs)
+            idx = next((j for j, c in enumerate(self.comps)
+                        if c["id"] == cs), None)
+            if idx is None:
+                raise ValueError(
+                    "fennec: corrupt JPEG: SOS names unknown component")
             scomps.append({"comp": idx, "td": tables >> 4,
                            "ta": tables & 0x0F})
         ss, se, a = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
         ah, al = a >> 4, a & 0x0F
+        if ss > 0 and ns != 1:
+            # T.81 G.1.1.1.1: progressive AC scans are single-component;
+            # decoding scomps[0] against an interleaved stream would
+            # silently desynchronize.
+            raise ValueError(
+                "fennec: corrupt JPEG: interleaved progressive AC scan")
 
         end = self._scan_native(scomps, ss, se, ah, al, pos)
         if end is None:

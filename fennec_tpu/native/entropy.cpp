@@ -180,7 +180,14 @@ struct DecTable {
   uint8_t vals[256];
   int nvals;
 
-  void build(const uint8_t *bits, const uint8_t *values, int n) {
+  // Returns false (table unusable) when the file-supplied DHT is
+  // inconsistent or oversized — vals[] is 256 bytes and a crafted BITS
+  // array can claim up to 16*255 values, so the bound must be enforced
+  // here, not trusted from the bitstream.
+  bool build(const uint8_t *bits, const uint8_t *values, int n) {
+    int total = 0;
+    for (int i = 0; i < 16; i++) total += bits[i];
+    if (n < 0 || n > 256 || total != n) return false;
     nvals = n;
     std::memcpy(vals, values, n);
     int code = 0, k = 0;
@@ -213,6 +220,7 @@ struct DecTable {
       }
       code <<= 1;
     }
+    return true;
   }
 };
 
@@ -495,8 +503,11 @@ long fennec_jpeg_decode_scan(const uint8_t *data, long len, long pos,
   if (ncomp < 1 || ncomp > 4) return -1;
   DecTable dct_[4], act_[4];
   for (int c = 0; c < ncomp; c++) {
-    dct_[c].build(dc_bits + c * 16, dc_vals + dc_voff[c], dc_nvals[c]);
-    act_[c].build(ac_bits + c * 16, ac_vals + ac_voff[c], ac_nvals[c]);
+    if (!dct_[c].build(dc_bits + c * 16, dc_vals + dc_voff[c],
+                       dc_nvals[c]) ||
+        !act_[c].build(ac_bits + c * 16, ac_vals + ac_voff[c],
+                       ac_nvals[c]))
+      return -1;
     std::memset(out[c], 0, (long)bw[c] * bh[c] * 64 * sizeof(int16_t));
   }
   int mcus_x = hs[0] ? bw[0] / hs[0] : 0;
@@ -521,6 +532,9 @@ long fennec_jpeg_decode_scan(const uint8_t *data, long len, long pos,
             int bx = mx * hs[c] + dx;
             int16_t *block = out[c] + ((long)by * bw[c] + bx) * 64;
             int size = r.decode(dct_[c]);
+            // size comes from file-supplied VALS; >16 would shift by a
+            // negative count in read_bits/extend (UB).
+            if (r.bad || size > 16) return -1;
             int diff = extend((int)r.read_bits(size), size);
             pred[c] += diff;
             block[0] = (int16_t)pred[c];
@@ -579,7 +593,9 @@ long fennec_jpeg_decode_progressive_scan(
     DecTable dct[4];
     if (ah == 0) {
       for (int c = 0; c < ns; c++) {
-        dct[c].build(dc_bits + c * 16, dc_vals + dc_voff[c], dc_nvals[c]);
+        if (!dct[c].build(dc_bits + c * 16, dc_vals + dc_voff[c],
+                          dc_nvals[c]))
+          return -1;
       }
     }
     int pred[4] = {0, 0, 0, 0};
@@ -623,7 +639,7 @@ long fennec_jpeg_decode_progressive_scan(
   // ── AC scan (always single component, non-interleaved grid) ──
   if (ns != 1) return -1;
   DecTable act;
-  act.build(ac_bits, ac_vals, ac_nvals);
+  if (!act.build(ac_bits, ac_vals, ac_nvals)) return -1;
   const int stride = bw[0];
   const int gw = nbw[0], gh = nbh[0];
   const int plus1 = 1 << al;
@@ -751,8 +767,11 @@ long fennec_jpeg_decode_scan_i8(const uint8_t *data, long len, long pos,
   long comp_off[4];
   long off = 0;
   for (int c = 0; c < ncomp; c++) {
-    dct_[c].build(dc_bits + c * 16, dc_vals + dc_voff[c], dc_nvals[c]);
-    act_[c].build(ac_bits + c * 16, ac_vals + ac_voff[c], ac_nvals[c]);
+    if (!dct_[c].build(dc_bits + c * 16, dc_vals + dc_voff[c],
+                       dc_nvals[c]) ||
+        !act_[c].build(ac_bits + c * 16, ac_vals + ac_voff[c],
+                       ac_nvals[c]))
+      return -1;
     comp_off[c] = off;
     off += (long)bw[c] * bh[c] * 64;
   }
@@ -782,6 +801,9 @@ long fennec_jpeg_decode_scan_i8(const uint8_t *data, long len, long pos,
             long blk = comp_off[c] + ((long)by * bw[c] + bx) * 64;
             int8_t *bp = out + blk;
             int size = r.decode(dct_[c]);
+            // size comes from file-supplied VALS; >16 would shift by a
+            // negative count in read_bits/extend (UB).
+            if (r.bad || size > 16) return -1;
             int diff = extend((int)r.read_bits(size), size);
             pred[c] += diff;
             int v = pred[c];
