@@ -172,3 +172,54 @@ class TestPNGCrafted:
         assert patched is not None, "no AC scan found to patch"
         with pytest.raises((ValueError, UnsupportedFormatError)):
             prog.decode_progressive_to_coefs(patched)
+
+
+class TestFuzzDecodersNoCrash:
+    """Deterministic corpus fuzz: truncations and byte flips of valid
+    files must raise clean Python errors or decode — never crash the
+    process (the native paths run with no memory-safety net)."""
+
+    def _jpeg_corpus(self):
+        base = [encode_jpeg(_img(40, 56, seed=s), quality=q,
+                            subsample=sub)
+                for s, q, sub in ((0, 80, True), (1, 35, False))]
+        rng = np.random.default_rng(42)
+        out = []
+        for data in base:
+            for cut in (len(data) // 3, len(data) // 2, len(data) - 5):
+                out.append(data[:cut])
+            for _ in range(40):
+                b = bytearray(data)
+                for _ in range(rng.integers(1, 6)):
+                    b[rng.integers(2, len(b))] = rng.integers(0, 256)
+                out.append(bytes(b))
+        return out
+
+    def test_jpeg_decode_no_crash(self):
+        ok = err = 0
+        for data in self._jpeg_corpus():
+            try:
+                decode_jpeg(data)
+                ok += 1
+            except Exception:
+                err += 1
+        assert ok + err == 86  # every input handled, process alive
+
+    def test_png_decode_no_crash(self):
+        base = encode_png_rgba(_img(40, 56, seed=2))
+        rng = np.random.default_rng(43)
+        ok = err = 0
+        for i in range(60):
+            if i < 10:
+                data = base[:len(base) * (i + 1) // 12]
+            else:
+                b = bytearray(base)
+                for _ in range(rng.integers(1, 6)):
+                    b[rng.integers(8, len(b))] = rng.integers(0, 256)
+                data = bytes(b)
+            try:
+                decode_png(data)
+                ok += 1
+            except Exception:
+                err += 1
+        assert ok + err == 60
