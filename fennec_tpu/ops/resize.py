@@ -166,8 +166,9 @@ def lanczos_resize(img: Array, dst_w: int, dst_h: int) -> np.ndarray:
 
     Accepts (H, W, 4) uint8 (or float) and returns (dst_h, dst_w, 4) uint8.
     """
-    arr = to_nrgba_ref(np.asarray(img)) if not isinstance(img, jax.Array) \
-        else np.asarray(img).astype(np.uint8)
+    # jax inputs take the same normalization path as numpy: _as_uint8
+    # rounds and scales [0,1] floats; a raw astype would truncate.
+    arr = to_nrgba_ref(np.asarray(img))
     src_h, src_w = arr.shape[:2]
     if src_w <= 0 or src_h <= 0 or dst_w <= 0 or dst_h <= 0:
         return np.zeros((max(dst_h, 0), max(dst_w, 0), 4), dtype=np.uint8)
@@ -183,7 +184,7 @@ def box_downsample(img: Array, dst_w: int, dst_h: int) -> np.ndarray:
     arr = to_nrgba_ref(np.asarray(img))
     src_h, src_w = arr.shape[:2]
     if src_w <= 0 or src_h <= 0 or dst_w <= 0 or dst_h <= 0:
-        return np.zeros((0, 0, 4), dtype=np.uint8)
+        return np.zeros((max(dst_h, 0), max(dst_w, 0), 4), dtype=np.uint8)
     wh, wv = box_weights_device(src_w, src_h, dst_w, dst_h)
     out = box_downsample_device(jnp.asarray(arr), wh, wv)
     return np.asarray(out, dtype=np.uint8)

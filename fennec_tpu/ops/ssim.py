@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+from collections import OrderedDict
 from typing import Tuple, Union
 
 import jax
@@ -268,11 +269,8 @@ def ssim_fast(img1: Array, img2: Array, max_dim: int = 512) -> float:
         from .resize import box_weights_device
 
         wh, wv = box_weights_device(w, h, new_w, new_h)
-        if new_w < 8 or new_h < 8:
-            # Tiny after downsample → pixel SSIM on the downsampled pair.
-            da = box_downsample_device(_device_f32(a), wh, wv)
-            db = box_downsample_device(_device_f32(b), wh, wv)
-            return float(pixel_ssim_device(da, db))
+        # ssim_fast_dims floors changed dims at 8, so the downsampled
+        # pair always has >= 8px on both axes here.
         return float(ssim_fast_downsampled_device(
             _device_f32(a), _device_f32(b), wh, wv))
     if w < 8 or h < 8:
@@ -322,17 +320,16 @@ def _ms_ssim_device_factory(w: int, h: int):
         if i + 1 < len(dims):
             down_wts = box_resize_weights(lw, lh, dims[i + 1][0],
                                           dims[i + 1][1])
-        level_consts.append((weights[i] if i < len(weights) else 0.0,
-                             (fw, fh), fast_wts, down_wts))
+        # _msssim_plan stops emitting dims at the first sub-8 level while
+        # keeping at least that many weights, so weights[i] always exists.
+        level_consts.append((weights[i], (fw, fh), fast_wts, down_wts))
 
     @jax.jit
     def fn(a: jax.Array, b: jax.Array) -> jax.Array:  # (H, W, 4) any dtype
         total = jnp.float32(0.0)
         cur_a, cur_b = a.astype(jnp.float32), b.astype(jnp.float32)
-        for i, (wt, (fw, fh), fast_wts, down_wts) in enumerate(
-                level_consts):
-            if i >= len(weights):
-                break
+        # _msssim_plan never emits more levels than weights.
+        for wt, (fw, fh), fast_wts, down_wts in level_consts:
             if fast_wts is not None:
                 sa = box_downsample_device(cur_a, jnp.asarray(fast_wts[0]),
                                            jnp.asarray(fast_wts[1]))
@@ -361,7 +358,12 @@ def _ms_ssim_device_factory(w: int, h: int):
     return fn
 
 
-_MSSSIM_CACHE: dict = {}
+# LRU-bounded: each shape's entry pins multi-MB host weight matrices
+# plus the compiled program embedding them, so long-lived processes
+# scoring arbitrary geometries must not grow without limit (same failure
+# class the resize weight cache bounds by bytes).
+_MSSSIM_CACHE: "OrderedDict" = OrderedDict()
+_MSSSIM_CACHE_MAX = 16
 
 
 def ms_ssim(img1: Array, img2: Array) -> float:
@@ -372,12 +374,18 @@ def ms_ssim(img1: Array, img2: Array) -> float:
     """
     a, b = _prep(img1), _prep(img2)
     h, w = a.shape[:2]
+    if w <= 0 or h <= 0:
+        return 1.0  # empty image, same contract as ssim()/pixel_ssim()
     if (b.shape[0], b.shape[1]) != (h, w):
         b = lanczos_resize(b, w, h)
     fn = _MSSSIM_CACHE.get((w, h))
     if fn is None:
         fn = _ms_ssim_device_factory(w, h)
         _MSSSIM_CACHE[(w, h)] = fn
+        while len(_MSSSIM_CACHE) > _MSSSIM_CACHE_MAX:
+            _MSSSIM_CACHE.popitem(last=False)
+    else:
+        _MSSSIM_CACHE.move_to_end((w, h))
     return float(fn(_device_f32(a), _device_f32(b)))
 
 

@@ -186,3 +186,25 @@ class TestMSSSIMParity:
         b = perturb(a, amount=8, seed=30)
         assert ms_ssim(a, b) == pytest.approx(oracles.ms_ssim(a, b),
                                               abs=2e-4)
+
+
+def test_ms_ssim_empty_image_contract():
+    """Zero-area inputs return 1.0 like ssim()/pixel_ssim(), not NaN."""
+    from fennec_tpu.ops.ssim import ms_ssim
+
+    z = np.zeros((0, 0, 4), dtype=np.uint8)
+    assert ms_ssim(z, z) == 1.0
+
+
+def test_lanczos_resize_jax_input_normalized():
+    """jax.Array inputs take the same uint8 normalization as numpy:
+    [0,1] floats scale to 0..255 and values round, not truncate."""
+    import jax.numpy as jnp
+    from fennec_tpu.ops.resize import lanczos_resize
+
+    a01 = np.full((16, 16, 4), 0.8, dtype=np.float32)
+    a01[..., 3] = 1.0
+    out_np = lanczos_resize(a01, 8, 8)
+    out_jax = lanczos_resize(jnp.asarray(a01), 8, 8)
+    np.testing.assert_array_equal(out_np, out_jax)
+    assert out_jax[..., 0].max() > 0  # not all-black
