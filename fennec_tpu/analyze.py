@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .image import to_nrgba_ref
+from .image import sampled_color_census, to_nrgba_ref
 from .ops.color import luminance_device
 from .types import Format, Quality
 
@@ -119,12 +119,8 @@ def analyze(img) -> ImageStats:
     stats.entropy = compute_entropy(np.asarray(hist), float(w * h))
 
     # Sampled color census, capped at 1024 (reference analyze.go:43-79).
-    total = w * h
-    step = max(1, total // 50000) if total > 50000 else 1
-    flat = arr.reshape(-1, 4)[::step]
-    as_u32 = flat.view(np.uint32).reshape(-1) if flat.flags.c_contiguous \
-        else np.ascontiguousarray(flat).view(np.uint32).reshape(-1)
-    stats.unique_colors = int(min(np.unique(as_u32).size, 1024))
+    _, ncolors = sampled_color_census(arr, 50000)
+    stats.unique_colors = min(ncolors, 1024)
 
     stats.recommended_format = recommend_format(stats)
     stats.recommended_quality = recommend_quality(stats)

@@ -66,8 +66,9 @@ def parse_format(f: str) -> Format:
 
 def default_output(input_path: str) -> str:
     base = input_path
+    lower = input_path.lower()
     for ext in (".jpg", ".jpeg", ".png"):
-        if base.endswith(ext):
+        if lower.endswith(ext):
             base = base[: -len(ext)]
             break
     return base + "_fennec.jpg"

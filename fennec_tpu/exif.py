@@ -74,7 +74,10 @@ def read_orientation(r: Union[bytes, BinaryIO]) -> Orientation:
         if seg_len < 0:
             return Orientation.NORMAL
         if m1 == 0xE1:  # APP1
-            return _parse_app1(r, seg_len)
+            o = _parse_app1(r, seg_len)
+            if o is not None:
+                return o
+            continue  # non-Exif APP1 (e.g. XMP) — keep scanning
         if m1 == 0xDA:  # SOS — no more metadata
             return Orientation.NORMAL
         try:
@@ -83,15 +86,19 @@ def read_orientation(r: Union[bytes, BinaryIO]) -> Orientation:
             return Orientation.NORMAL
 
 
-def _parse_app1(r: BinaryIO, seg_len: int) -> Orientation:
-    # reference exif.go:106-121
+def _parse_app1(r: BinaryIO, seg_len: int):
+    """Parse one APP1 segment.  Returns an Orientation when the segment
+    is an Exif block, or None for other APP1 payloads (XMP etc.) so the
+    caller keeps scanning — some editors write XMP before Exif
+    (reference exif.go:106-121 stops at the first APP1)."""
     if seg_len < 14:
-        return Orientation.NORMAL
+        r.read(max(seg_len, 0))
+        return None
     data = r.read(seg_len)
     if len(data) != seg_len:
-        return Orientation.NORMAL
+        return Orientation.NORMAL  # truncated file: stop scanning
     if len(data) < 6 or data[:4] != b"Exif" or data[4] != 0 or data[5] != 0:
-        return Orientation.NORMAL
+        return None
     return _parse_tiff_orientation(data[6:])
 
 
@@ -146,12 +153,17 @@ def apply_orientation(img: np.ndarray, orient: Orientation) -> np.ndarray:
         return fimage.rotate180(img)
     if o == Orientation.FLIP_V:
         return fimage.flip_vertical(img)
+    # Deliberate deviation from the reference: exif.go:188-197 swaps the
+    # corrections for orientations 5 and 7 (its "transpose" is the
+    # anti-transpose).  The EXIF standard (and PIL's exif_transpose)
+    # corrects 5 with a pure transpose = flipH∘rot90CW and 7 with the
+    # transverse = flipH∘rot270CW; pinned against PIL in tests/test_exif.
     if o == Orientation.TRANSPOSE:
-        return fimage.flip_horizontal(fimage.rotate270_cw(img))
+        return fimage.flip_horizontal(fimage.rotate90_cw(img))
     if o == Orientation.ROTATE_90_CW:
         return fimage.rotate90_cw(img)
     if o == Orientation.TRANSVERSE:
-        return fimage.flip_horizontal(fimage.rotate90_cw(img))
+        return fimage.flip_horizontal(fimage.rotate270_cw(img))
     if o == Orientation.ROTATE_270_CW:
         return fimage.rotate270_cw(img)
     return img

@@ -15,7 +15,7 @@ Reference semantics reproduced here:
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Tuple, Union
 
 import numpy as np
 
@@ -44,7 +44,9 @@ def to_nrgba(img: Union[np.ndarray, "np.generic"]) -> ImageArray:
     when the caller will mutate the result.
     """
     out = to_nrgba_ref(img)
-    if out is img:
+    # Identity alone misses buffer aliasing (memoryview/memmap inputs
+    # where np.asarray returns a distinct wrapper over the same memory).
+    if out.size and np.may_share_memory(out, np.asarray(img)):
         out = out.copy()
     return out
 
@@ -112,33 +114,36 @@ def to_gray(img: ImageArray) -> np.ndarray:
     return to_nrgba_ref(img)[:, :, 0].copy()
 
 
+def sampled_color_census(a: ImageArray, max_samples: int
+                         ) -> Tuple[bool, int]:
+    """(has_alpha, distinct sampled colors) on a uniform pixel stride —
+    the shared census behind analyze_format and the analyzer
+    (reference convert.go:105-146 / analyze.go:43-79).  Packing is
+    explicit-shift, endian-stable."""
+    total = a.shape[0] * a.shape[1]
+    step = max(1, total // max_samples) if total > max_samples else 1
+    flat = a.reshape(-1, 4)[::step]
+    has_alpha = bool(np.any(flat[:, 3] < 255))
+    as_u32 = (flat[:, 0].astype(np.uint32) << 24 |
+              flat[:, 1].astype(np.uint32) << 16 |
+              flat[:, 2].astype(np.uint32) << 8 |
+              flat[:, 3].astype(np.uint32))
+    return has_alpha, int(np.unique(as_u32).size)
+
+
 def analyze_format(img: ImageArray) -> Format:
     """Pick the best output format by sampled census
     (reference convert.go:105-146).
 
     Transparency → PNG; < 256 sampled colors → PNG; else JPEG.  Sampling:
-    at most ~10k pixels on a uniform stride, color census capped at 512.
+    at most ~10k pixels on a uniform stride (the reference additionally
+    caps its census loop at 512 colors; unique() over the bounded sample
+    is equivalent for the <256 decision).
     """
     a = to_nrgba_ref(img)
-    h, w = a.shape[:2]
-    total = w * h
-    max_samples = 10000
-    step = max(1, total // max_samples) if total > max_samples else 1
-
-    flat = a.reshape(-1, 4)[::step]
-    # Cap the census at 512 distinct colors like the reference loop; for the
-    # array formulation we take the first samples whose cumulative distinct
-    # count stays under the cap, which the unique() below approximates by
-    # simply counting distinct colors over the sample (bounded work because
-    # the sample itself is <= ~10k rows).
-    has_alpha = bool(np.any(flat[:, 3] < 255))
+    has_alpha, ncolors = sampled_color_census(a, 10000)
     if has_alpha:
         return Format.PNG
-    as_u32 = (flat[:, 0].astype(np.uint32) << 24 |
-              flat[:, 1].astype(np.uint32) << 16 |
-              flat[:, 2].astype(np.uint32) << 8 |
-              flat[:, 3].astype(np.uint32))
-    ncolors = np.unique(as_u32).size
     if ncolors < 256:
         return Format.PNG
     return Format.JPEG

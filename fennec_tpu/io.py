@@ -44,11 +44,12 @@ def open_with_orientation(filename: str
                           ) -> Tuple[np.ndarray, Orientation, int]:
     """(image, orientation, file size) — used by compress_file
     (reference io.go:65-88)."""
-    size = os.stat(filename).st_size
     with open(filename, "rb") as f:
         data = f.read()
     orient = read_orientation(data)
-    return decode_image(data), orient, size
+    # len(data) is the authoritative size of the bytes actually
+    # compressed (a separate stat would race concurrent writers).
+    return decode_image(data), orient, len(data)
 
 
 def save(img: np.ndarray, filename: str, opts: Optional[Options] = None

@@ -111,3 +111,38 @@ class TestApplyOrientation:
             apply_orientation(img, Orientation.ROTATE_90_CW),
             Orientation.ROTATE_270_CW)
         np.testing.assert_array_equal(out, img)
+
+
+class TestPILParity:
+    def test_all_corrections_match_pil(self):
+        """apply_orientation matches PIL's exif_transpose mapping for
+        every orientation — the reference's own exif.go:188-197 swaps
+        the 5/7 corrections; we deliberately follow the EXIF standard."""
+        from PIL import Image
+
+        pil_ops = {
+            2: Image.Transpose.FLIP_LEFT_RIGHT,
+            3: Image.Transpose.ROTATE_180,
+            4: Image.Transpose.FLIP_TOP_BOTTOM,
+            5: Image.Transpose.TRANSPOSE,
+            6: Image.Transpose.ROTATE_270,
+            7: Image.Transpose.TRANSVERSE,
+            8: Image.Transpose.ROTATE_90,
+        }
+        img = make_test_image(8, 6)
+        for o, op in pil_ops.items():
+            expect = np.asarray(Image.fromarray(img, "RGBA").transpose(op))
+            got = apply_orientation(img, Orientation(o))
+            np.testing.assert_array_equal(got, expect, err_msg=f"o={o}")
+
+    def test_xmp_app1_before_exif(self):
+        """A non-Exif APP1 (XMP) before the Exif block must not abort
+        the orientation scan."""
+        from fennec_tpu.exif import read_orientation, \
+            write_exif_orientation
+
+        xmp = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>"
+        app1_xmp = b"\xff\xe1" + (len(xmp) + 2).to_bytes(2, "big") + xmp
+        exif_seg = write_exif_orientation(Orientation.ROTATE_90_CW)
+        data = b"\xff\xd8" + app1_xmp + exif_seg + b"\xff\xd9"
+        assert read_orientation(data) == Orientation.ROTATE_90_CW
