@@ -23,6 +23,9 @@ def optimal_spec(freq: np.ndarray) -> Tuple[List[int], List[int]]:
     lengths beyond 16 bits.
     """
     n = len(freq)
+    if not np.any(np.asarray(freq) > 0):
+        # No coded symbols: empty spec (the table is never referenced).
+        return [0] * 16, []
     f = np.zeros(n + 1, dtype=np.int64)
     f[:n] = freq
     f[n] = 1  # reserved symbol: guarantees no all-ones code
@@ -55,8 +58,15 @@ def optimal_spec(freq: np.ndarray) -> Tuple[List[int], List[int]]:
 
     bits = np.zeros(33, dtype=np.int64)
     for s in range(n + 1):
-        if codesize[s] > 0:
-            bits[min(int(codesize[s]), 32)] += 1
+        cs = int(codesize[s])
+        if cs > 32:
+            # libjpeg's jpeg_gen_optimal_table errors here: clamping
+            # would oversubscribe bits[32] and break the Kraft invariant
+            # the K.3 redistribution assumes, emitting a broken DHT.
+            raise ValueError(
+                "fennec: optimal Huffman code length exceeds 32 bits")
+        if cs > 0:
+            bits[cs] += 1
 
     # Limit code lengths to 16 bits (K.2 Figure K.3).
     i = 32
@@ -104,6 +114,23 @@ def _specs_from_frequencies_py(dc_freq: np.ndarray, ac_freq: np.ndarray):
     return dc_specs, ac_specs
 
 
+_NATIVE_FALLBACK_WARNED = False
+
+
+def _warn_native_fallback(exc: Exception) -> None:
+    """The C spec builder failing is a real regression (the Python loop
+    is ~2 ms/image on the single-core host) — say so once instead of
+    silently degrading batch throughput."""
+    global _NATIVE_FALLBACK_WARNED
+    if not _NATIVE_FALLBACK_WARNED:
+        import sys
+
+        print(f"fennec: native optimal-Huffman builder failed "
+              f"({exc!r}); falling back to the Python path",
+              file=sys.stderr, flush=True)
+        _NATIVE_FALLBACK_WARNED = True
+
+
 def specs_from_frequencies_batch(dc_freq: np.ndarray, ac_freq: np.ndarray):
     """Batch spec construction: (B, 2, 16) / (B, 2, 256) int64 → list of
     per-image (dc_specs, ac_specs), one C call for the whole batch."""
@@ -113,8 +140,8 @@ def specs_from_frequencies_batch(dc_freq: np.ndarray, ac_freq: np.ndarray):
     if lib is not None:
         try:
             bits, vals, nvals = lib.build_optimal_specs(dc_freq, ac_freq)
-        except Exception:
-            lib = None
+        except (OSError, AttributeError, RuntimeError) as e:
+            _warn_native_fallback(e)
         else:
             return _specs_from_raw(bits, vals, nvals)
     return [
@@ -202,8 +229,8 @@ def specs_and_tables_batch(dc_freq: np.ndarray, ac_freq: np.ndarray):
     if lib is not None:
         try:
             bits, vals, nvals = lib.build_optimal_specs(dc_freq, ac_freq)
-        except Exception:
-            lib = None
+        except (OSError, AttributeError, RuntimeError) as e:
+            _warn_native_fallback(e)
         else:
             b = bits.shape[0]
             dcp = code_tables_batch(

@@ -64,7 +64,8 @@ def all_quality_tables() -> np.ndarray:
         out[q, 0] = scale_quant_table(STD_LUMA_QUANT, q)
         out[q, 1] = scale_quant_table(STD_CHROMA_QUANT, q)
     out[0] = out[1]
-    return out
+    out.setflags(write=False)  # cached + shared: in-place edits would
+    return out                 # corrupt every later encode
 
 
 # Zigzag scan order: ZIGZAG[i] = natural index of the i-th zigzag element.
@@ -95,6 +96,7 @@ def dct_matrix() -> np.ndarray:
         c = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
         for i in range(n):
             d[k, i] = c * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+    d.setflags(write=False)  # cached + shared
     return d
 
 
@@ -102,7 +104,9 @@ def dct_matrix() -> np.ndarray:
 def dct_kron() -> np.ndarray:
     """(64, 64) float32 M with vec(D·B·Dᵀ) = M @ vec(B) (row-major vec)."""
     d = dct_matrix()
-    return np.kron(d, d).astype(np.float32)
+    m = np.kron(d, d).astype(np.float32)
+    m.setflags(write=False)  # cached + shared
+    return m
 
 
 # ── Device ops ──────────────────────────────────────────────────────────────

@@ -4,7 +4,9 @@ The reference walks every pixel with a hash-cache nearest-palette loop
 (targetsize.go:488-527); here the nearest-palette mapping is a single
 device argmin over (pixels × palette) distances — exact, not cached-
 approximate.  Box splitting (targetsize.go:422-486) is host numpy over a
-≤100k-pixel sample, exactly the reference's sampling policy.
+strided ~100k-pixel sample — stride = total // 100k, the reference's
+exact policy (floor division admits up to ~2× the nominal cap for sizes
+just above 100k, matching targetsize.go:426-433).
 """
 
 from __future__ import annotations

@@ -20,26 +20,38 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     On cloud TPU pods the arguments are auto-detected from the
     environment; pass them explicitly elsewhere.
+
+    Must run before any JAX call that initializes the XLA backend
+    (including jax.devices()/jax.process_count() — querying those to
+    decide whether to initialize would itself make initialization
+    impossible, so the already-initialized check reads the distributed
+    client state directly).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # jax.distributed already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
     try:
-        kwargs = {}
-        if coordinator_address is not None:
-            kwargs["coordinator_address"] = coordinator_address
-        if num_processes is not None:
-            kwargs["num_processes"] = num_processes
-        if process_id is not None:
-            kwargs["process_id"] = process_id
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
-        # Single-host (or already initialized) — proceed with local devices.
-        pass
+        if kwargs:
+            # Explicit coordinator config that fails must surface —
+            # silently degrading to single-host produces wrong sharded
+            # results or collective hangs much later.
+            raise
+        # No-arg auto-detect on a plain single host (no cluster env, or
+        # the backend was already touched in-process): run local.
 
 
 def global_data_mesh():
-    """1D 'data' mesh over every addressable device across all hosts."""
-    from .mesh import make_mesh
+    """1D 'data' mesh over all global devices (every host's chips; on a
+    single host this equals mesh.data_mesh)."""
+    from .mesh import data_mesh
 
-    devs = jax.devices()
-    return make_mesh((len(devs),), ("data",), devs)
+    return data_mesh()

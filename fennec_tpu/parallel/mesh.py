@@ -32,8 +32,11 @@ def data_mesh(n_devices: Optional[int] = None) -> Mesh:
 def data_spatial_mesh(n_devices: int, spatial: int = 2) -> Mesh:
     """2D mesh: batch over 'data', image rows over 'spatial' — the
     structural twin of context parallelism for oversized images."""
-    if n_devices % spatial != 0:
-        spatial = 1
+    if spatial < 1 or n_devices % spatial != 0:
+        # Silently degrading to spatial=1 would skip the row sharding the
+        # caller asked for (and OOM on the oversized images it was for).
+        raise ValueError(
+            f"fennec: spatial={spatial} must divide n_devices={n_devices}")
     return make_mesh((n_devices // spatial, spatial),
                      ("data", "spatial"))
 

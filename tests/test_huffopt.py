@@ -193,3 +193,12 @@ class TestCodeTablesBatch:
                 np.testing.assert_array_equal(dcp[j, cls], (c << 5) | ln)
                 c, ln = _code_arrays(*specs[j][1][cls], 256)
                 np.testing.assert_array_equal(acp[j, cls], (c << 5) | ln)
+
+
+def test_optimal_spec_all_zero_frequencies():
+    """No coded symbols → empty spec, not an IndexError wraparound."""
+    from fennec_tpu.codecs.huffopt import optimal_spec
+
+    bits, vals = optimal_spec(np.zeros(16, np.int64))
+    assert bits == [0] * 16
+    assert vals == []
