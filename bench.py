@@ -106,7 +106,36 @@ def write_jpeg_fixtures(tmp, n_files, w=500, h=500, quality=92):
     return paths
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """Bounded device probe: the axon TPU tunnel can go down in a way
+    that makes jax.devices() block forever in-process.  Probe from a
+    subprocess with a timeout so bench.py fails honestly instead of
+    hanging the driver."""
+    import subprocess
+    import sys
+
+    probe = ("import jax; d = jax.devices(); "
+             "x = jax.numpy.ones((64, 64)); (x @ x).block_until_ready(); "
+             "print('UP', d[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           timeout=timeout_s, capture_output=True,
+                           text=True)
+        return "UP" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "compress_batch_file_to_file_500px_balanced",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "note": ("device backend unreachable at bench time "
+                     "(axon tunnel down; probe timed out) — see "
+                     "BENCH_NOTES.md for the last measured rates")}))
+        return
+
     import jax
     import jax.numpy as jnp
 

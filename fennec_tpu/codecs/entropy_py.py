@@ -139,6 +139,9 @@ class BitReader:
         self.marker_hit = None
         while self.pos + 1 < len(self.data):
             if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                if self.data[self.pos + 1] == 0xFF:
+                    self.pos += 1  # legal fill byte (T.81 B.1.1.2)
+                    continue
                 m = self.data[self.pos + 1]
                 self.pos += 2
                 return m
@@ -197,8 +200,6 @@ def encode_scan(comps: List[ComponentSpec],
                 restart_interval: int = 0) -> bytes:
     """Interleaved baseline scan body (entropy-coded data only)."""
     w = BitWriter()
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
     mcus_x = comps[0].bw // comps[0].h if comps[0].h else 0
     mcus_y = comps[0].bh // comps[0].v if comps[0].v else 0
     # All component grids must tile the same MCU lattice.

@@ -42,6 +42,28 @@ def native_available() -> bool:
     return _load_native() is not None
 
 
+_DISPATCH_WARNED = False
+
+
+def _dispatch_fallback(exc: Exception) -> None:
+    """Note an unexpected native-path failure once.  Data errors
+    (ValueError/OverflowError: corrupt scan, exception overflow) fall
+    back silently by design — the Python path re-raises the precise
+    error or handles the file; anything else (ctypes drift, ABI breaks)
+    is an infrastructure bug being masked by a 100x slower fallback and
+    must be visible."""
+    global _DISPATCH_WARNED
+    if isinstance(exc, (ValueError, OverflowError)):
+        return
+    if not _DISPATCH_WARNED:
+        import sys
+
+        print(f"fennec: native dispatch failed ({exc!r}); "
+              f"falling back to the Python path", file=sys.stderr,
+              flush=True)
+        _DISPATCH_WARNED = True
+
+
 # ── JPEG entropy coding ─────────────────────────────────────────────────────
 
 
@@ -52,8 +74,8 @@ def jpeg_encode_scan(comps: List["entropy_py.ComponentSpec"],
     if lib is not None:
         try:
             return lib.encode_scan(comps, restart_interval)
-        except Exception:
-            pass
+        except Exception as e:
+            _dispatch_fallback(e)
     return entropy_py.encode_scan(comps, restart_interval)
 
 
@@ -65,8 +87,8 @@ def jpeg_decode_scan(data: bytes, pos: int,
     if lib is not None:
         try:
             return lib.decode_scan(data, pos, comps, restart_interval)
-        except Exception:
-            pass
+        except Exception as e:
+            _dispatch_fallback(e)
     out, _ = entropy_py.decode_scan(data, pos, comps, restart_interval)
     return out
 
@@ -78,8 +100,8 @@ def jpeg_count_symbols(comps: List["entropy_py.ComponentSpec"],
     if lib is not None:
         try:
             return lib.count_symbols(comps, restart_interval)
-        except Exception:
-            pass
+        except Exception as e:
+            _dispatch_fallback(e)
     return entropy_py.count_symbols(comps, restart_interval)
 
 
@@ -94,14 +116,21 @@ def jpeg_encode_scan_custom(comps: List["entropy_py.ComponentSpec"],
         try:
             return lib.encode_scan_custom(comps, dc_specs, ac_specs,
                                           restart_interval)
-        except Exception:
-            pass
-    # Python fallback: attach explicit codes to the specs.
+        except Exception as e:
+            _dispatch_fallback(e)
+    # Python fallback: attach explicit codes to COPIES of the specs —
+    # mutating the caller's ComponentSpec objects would make a later
+    # standard-table encode silently use these custom codes.
+    import copy
+
+    comps2 = []
     for c in comps:
-        cls = 1 if c.chroma else 0
-        c.dc_codes = entropy_py.build_codes(*dc_specs[cls])
-        c.ac_codes = entropy_py.build_codes(*ac_specs[cls])
-    return entropy_py.encode_scan(comps, restart_interval)
+        c2 = copy.copy(c)
+        cls = 1 if c2.chroma else 0
+        c2.dc_codes = entropy_py.build_codes(*dc_specs[cls])
+        c2.ac_codes = entropy_py.build_codes(*ac_specs[cls])
+        comps2.append(c2)
+    return entropy_py.encode_scan(comps2, restart_interval)
 
 
 def jpeg_decode_scan_i8(data: bytes, pos: int,
@@ -119,7 +148,8 @@ def jpeg_decode_scan_i8(data: bytes, pos: int,
     try:
         return lib.decode_scan_i8(data, pos, comps, restart_interval,
                                   out_i8, flat_base, max_exc)
-    except Exception:
+    except Exception as e:
+        _dispatch_fallback(e)
         return None
 
 
@@ -143,7 +173,8 @@ def jpeg_decode_progressive_scan(data: bytes, pos: int,
         return lib.decode_progressive_scan(
             data, pos, coefs, bw, hs, vs, mcus_x, mcus_y, nbw, nbh,
             ss, se, ah, al, dc_specs, ac_spec, restart_interval)
-    except Exception:
+    except Exception as e:
+        _dispatch_fallback(e)
         return None
 
 
@@ -155,8 +186,8 @@ def int16_to_int8_exc(arr: np.ndarray):
             return lib.int16_to_int8_exc(arr)
         except ValueError:
             raise
-        except Exception:
-            pass
+        except Exception as e:
+            _dispatch_fallback(e)
     flat = np.ascontiguousarray(arr, dtype=np.int16).ravel()
     big = np.abs(flat) > 127
     exc_idx = np.nonzero(big)[0].astype(np.int32)
@@ -177,8 +208,8 @@ def png_unfilter(raw: bytes, height: int, stride: int,
     if lib is not None:
         try:
             return lib.png_unfilter(raw, height, stride, bpp)
-        except Exception:
-            pass
+        except Exception as e:
+            _dispatch_fallback(e)
     return _png_unfilter_py(raw, height, stride, bpp)
 
 
@@ -190,8 +221,8 @@ def png_filter(data: np.ndarray, bpp: int,
     if lib is not None:
         try:
             return lib.png_filter(data, bpp, heuristic)
-        except Exception:
-            pass
+        except Exception as e:
+            _dispatch_fallback(e)
     return _png_filter_py(data, bpp, heuristic)
 
 

@@ -21,14 +21,24 @@ _SO = os.path.join(_HERE, "_fennec_native.so")
 
 
 def compile_library(force: bool = False) -> str:
-    if (not force and os.path.exists(_SO)
-            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-        return _SO
-    tmp = tempfile.mktemp(suffix=".so", dir=_HERE)
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           "-fno-exceptions", "-o", tmp, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(tmp, _SO)
+    if not force and os.path.exists(_SO):
+        # A deployment may ship the .so without the C++ source; a missing
+        # source must not disable a valid prebuilt library.
+        if not os.path.exists(_SRC) \
+                or os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return _SO
+    # mkstemp (not mktemp): concurrent importers must not race on one
+    # temp path and install a truncated .so.
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    os.close(fd)
+    try:
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+               "-fno-exceptions", "-o", tmp, _SRC]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return _SO
 
 
@@ -199,17 +209,8 @@ class NativeLib:
         return out.raw[:written]
 
     def encode_scan(self, comps, restart_interval: int = 0) -> bytes:
-        n = len(comps)
-        arrays = [np.ascontiguousarray(c.qcoefs, dtype=np.int32)
-                  for c in comps]
-        ptrs = (ctypes.c_void_p * n)(
-            *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrays])
-        bw = (ctypes.c_int * n)(*[c.bw for c in comps])
-        bh = (ctypes.c_int * n)(*[c.bh for c in comps])
-        hs = (ctypes.c_int * n)(*[c.h for c in comps])
-        vs = (ctypes.c_int * n)(*[c.v for c in comps])
-        chroma = (ctypes.c_int * n)(
-            *[1 if getattr(c, "chroma", False) else 0 for c in comps])
+        n, arrays, ptrs, bw, bh, hs, vs, chroma = \
+            self._comp_geometry(comps)
         total_blocks = sum(a.shape[0] for a in arrays)
         cap = total_blocks * 64 * 4 + 65536
         out = ctypes.create_string_buffer(cap)
@@ -272,7 +273,10 @@ class NativeLib:
         extent).  Raises ValueError on corrupt data, OverflowError when
         exceptions exceed max_exc."""
         n = len(comps)
-        assert out_i8.dtype == np.int8 and out_i8.flags.c_contiguous
+        if out_i8.dtype != np.int8 or not out_i8.flags.c_contiguous:
+            # Hard precondition before raw pointers reach C; assert would
+            # vanish under python -O.
+            raise ValueError("fennec: out_i8 must be contiguous int8")
         bw = (ctypes.c_int * n)(*[c.bw for c in comps])
         bh = (ctypes.c_int * n)(*[c.bh for c in comps])
         hs = (ctypes.c_int * n)(*[c.h for c in comps])
@@ -330,7 +334,9 @@ class NativeLib:
         snapshot is restored), so callers can retry with the Python path."""
         n = len(coefs)
         for c in coefs:
-            assert c.dtype == np.int32 and c.flags.c_contiguous
+            if c.dtype != np.int32 or not c.flags.c_contiguous:
+                raise ValueError(
+                    "fennec: coefs must be contiguous int32")
         ptrs = (ctypes.c_void_p * n)(
             *[c.ctypes.data_as(ctypes.c_void_p).value for c in coefs])
         bw_a = (ctypes.c_int * n)(*bw)

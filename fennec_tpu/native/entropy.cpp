@@ -297,6 +297,7 @@ struct BitReader {
     nbits = 0;
     while (pos + 1 < len) {
       if (data[pos] == 0xFF && data[pos + 1] != 0x00) {
+        if (data[pos + 1] == 0xFF) { pos++; continue; }  // fill byte (B.1.1.2)
         uint8_t m = data[pos + 1];
         pos += 2;
         if (m < 0xD0 || m > 0xD7) bad = true;
@@ -314,6 +315,7 @@ struct BitReader {
     acc = 0;
     nbits = 0;
     while (pos + 1 < len) {
+      if (data[pos] == 0xFF && data[pos + 1] == 0xFF) { pos++; continue; }
       if (data[pos] == 0xFF && data[pos + 1] != 0x00) {
         pos += 2;
         return;

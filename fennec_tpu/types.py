@@ -132,6 +132,12 @@ class Context:
     def done(self) -> bool:
         return self.err() is not None
 
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        """Block until canceled (the Go <-ctx.Done() analogue).  Returns
+        True when canceled, False on timeout.  Deadline-only expiry is
+        still observed by polling err(); this wakes on explicit cancel."""
+        return self._event.wait(timeout)
+
     def raise_if_done(self) -> None:
         e = self.err()
         if e is not None:

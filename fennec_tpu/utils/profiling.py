@@ -40,10 +40,13 @@ class StageTimer:
                 self.counts[name] = self.counts.get(name, 0) + 1
 
     def report(self) -> str:
+        with self._lock:  # workers may still be recording stages
+            totals = dict(self.totals)
+            counts = dict(self.counts)
         lines = []
-        for name in sorted(self.totals, key=self.totals.get, reverse=True):
-            t = self.totals[name]
-            n = self.counts[name]
+        for name in sorted(totals, key=totals.get, reverse=True):
+            t = totals[name]
+            n = counts[name]
             lines.append(f"{name:24s} {t * 1000:9.1f} ms  ({n}×, "
                          f"{t / n * 1000:.1f} ms avg)")
         return "\n".join(lines)

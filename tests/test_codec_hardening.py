@@ -223,3 +223,48 @@ class TestFuzzDecodersNoCrash:
             except Exception:
                 err += 1
         assert ok + err == 60
+
+
+def test_rst_fill_bytes_accepted():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before RST markers; both
+    decode paths must accept them (native and Python)."""
+    import os
+
+    data = encode_jpeg(_img(48, 48, seed=5), quality=85, subsample=True)
+    # Re-encode with a restart interval to get RST markers: build via
+    # our own encoder path with DRI by splicing is fragile — instead use
+    # PIL, which honors the restart marker option.
+    from PIL import Image
+    import io as _io
+
+    buf = _io.BytesIO()
+    Image.fromarray(_img(48, 48, seed=5)[..., :3], "RGB").save(
+        buf, "JPEG", quality=85, restart_marker_blocks=1)
+    data = buf.getvalue()
+    # Insert a fill byte before each RST marker (FF Dn -> FF FF Dn).
+    out = bytearray()
+    i = 0
+    scan_started = False
+    while i < len(data):
+        if (scan_started and data[i] == 0xFF and i + 1 < len(data)
+                and 0xD0 <= data[i + 1] <= 0xD7):
+            out += b"\xff"
+        if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] == 0xDA:
+            scan_started = True
+        out.append(data[i])
+        i += 1
+    padded = bytes(out)
+    assert padded != data, "no RST markers found to pad"
+    ref = decode_jpeg(data)
+    got = decode_jpeg(padded)
+    np.testing.assert_array_equal(got, ref)
+    # Python fallback path too.
+    os.environ["FENNEC_NO_NATIVE"] = "1"
+    try:
+        import fennec_tpu.native as native
+        native._lib, native._lib_tried = None, False
+        got_py = decode_jpeg(padded)
+        np.testing.assert_array_equal(got_py, ref)
+    finally:
+        del os.environ["FENNEC_NO_NATIVE"]
+        native._lib, native._lib_tried = None, False
