@@ -114,7 +114,14 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
     import subprocess
     import sys
 
-    probe = ("import jax; d = jax.devices(); "
+    # The probe inherits the persistent compile cache so a live-but-
+    # slow tunnel doesn't recompile the matmul fresh and time out.
+    cache = os.path.expanduser("~/.cache/fennec_jax_cache")
+    probe = ("import jax; "
+             f"jax.config.update('jax_compilation_cache_dir', {cache!r}); "
+             "jax.config.update("
+             "'jax_persistent_cache_min_compile_time_secs', 0.0); "
+             "d = jax.devices(); "
              "x = jax.numpy.ones((64, 64)); (x @ x).block_until_ready(); "
              "print('UP', d[0].platform)")
     try:
@@ -129,7 +136,7 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
 def main():
     if not _probe_backend():
         print(json.dumps({
-            "metric": "compress_batch_file_to_file_500px_balanced",
+            "metric": "compress_batch_balanced_500px_images_per_sec",
             "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
             "note": ("device backend unreachable at bench time "
                      "(axon tunnel down; probe timed out) — see "
@@ -137,11 +144,8 @@ def main():
         return
 
     import jax
-    import jax.numpy as jnp
 
     _enable_compile_cache()
-
-    from fennec_tpu.ops.dct import all_quality_tables
 
     platform = jax.devices()[0].platform
 
@@ -170,8 +174,6 @@ def main():
 
     # ── North-star workload: CompressBatch over real files ──
     import tempfile
-
-    import fennec_tpu as fennec
 
     batch_n = 128
     with tempfile.TemporaryDirectory() as tmp:

@@ -76,7 +76,8 @@ def bench_ssim_fast_4k_batched():
     wh_d = jnp.asarray(wh)
     wv_d = jnp.asarray(wv)
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(0, 256, (B, H, W, 4)), dtype=jnp.float32)
+    a = jnp.asarray(rng.integers(0, 256, (B, H, W, 4),
+                                 dtype=np.uint8), dtype=jnp.float32)
     b = jnp.clip(a + 5.0, 0, 255)
 
     import jax
@@ -245,12 +246,6 @@ def bench_adaptive_sharpen():
             "vs_baseline": None}
 
 
-def _make_jpeg_fixtures(tmp, n_files, w=500, h=500, quality=92):
-    from bench import write_jpeg_fixtures
-
-    return write_jpeg_fixtures(tmp, n_files, w, h, quality)
-
-
 def bench_compress_batch_files(n_files: int = 200):
     """CompressBatch over real files: decode → search → encode → write
     (BASELINE config 5, scaled to n_files for wall-clock sanity)."""
@@ -259,7 +254,9 @@ def bench_compress_batch_files(n_files: int = 200):
     import fennec_tpu as fennec
 
     with tempfile.TemporaryDirectory() as tmp:
-        srcs = _make_jpeg_fixtures(tmp, n_files)
+        from bench import write_jpeg_fixtures
+
+        srcs = write_jpeg_fixtures(tmp, n_files)
         items = [fennec.BatchItem(
             src=s, dst=os.path.join(tmp, f"out{i}.jpg"))
             for i, s in enumerate(srcs)]
@@ -273,9 +270,9 @@ def bench_compress_batch_files(n_files: int = 200):
         # Warm ALL chunk shapes the timed run uses (full pass once).
         fennec.compress_batch(None, items, bopts)
 
-        t0 = time.time()
+        t0 = time.perf_counter()
         results = fennec.compress_batch(None, items, bopts)
-        dt = time.time() - t0
+        dt = time.perf_counter() - t0
         summary = fennec.summarize(results)
         ips = n_files / dt
         return {"metric": "compress_batch_files_images_per_sec",

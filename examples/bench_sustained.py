@@ -14,6 +14,7 @@ import os
 import resource
 import sys
 import tempfile
+import threading
 import time
 
 
@@ -44,8 +45,13 @@ def main() -> None:
 
         # Warm the chunk shapes on a small prefix (compiles are not the
         # sustained number), then run the full batch once, cold-start to
-        # last byte written.
+        # last byte written.  The tail chunk (n % 64) pads to its own
+        # power-of-two program, so warm that shape separately or its XLA
+        # compile lands inside the timed run.
         fennec.compress_batch(None, items[:256], bopts)
+        tail = n_files % 64
+        if tail:
+            fennec.compress_batch(None, items[:tail], bopts)
 
         # on_item fires once per written file; bucket completions into
         # 128-item windows so the latency stream tracks steady-state
@@ -53,14 +59,19 @@ def main() -> None:
         WINDOW = 128
         chunk_marks = []
         done_prev = [0, time.perf_counter()]
+        mark_lock = threading.Lock()
 
         def on_item(completed: int, total: int) -> None:
-            if completed - done_prev[0] < WINDOW and completed < total:
-                return
-            now = time.perf_counter()
-            chunk_marks.append((completed - done_prev[0],
-                                now - done_prev[1]))
-            done_prev[0], done_prev[1] = completed, now
+            # compress_batch may invoke on_item from worker threads on
+            # the error/fallback paths; the window bookkeeping must not
+            # race.
+            with mark_lock:
+                if completed - done_prev[0] < WINDOW and completed < total:
+                    return
+                now = time.perf_counter()
+                chunk_marks.append((completed - done_prev[0],
+                                    now - done_prev[1]))
+                done_prev[0], done_prev[1] = completed, now
 
         bopts.on_item = on_item
         t0 = time.perf_counter()
@@ -70,8 +81,10 @@ def main() -> None:
         summ = fennec.summarize(res)
         rates = sorted(n / s for n, s in chunk_marks if n > 0 and s > 0)
         per_chunk = sorted(s for n, s in chunk_marks if n > 0)
-        rss_mb = resource.getrusage(
-            resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        maxrss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        # ru_maxrss is kilobytes on Linux but bytes on macOS.
+        rss_mb = maxrss / (1024.0 * 1024.0) if sys.platform == "darwin" \
+            else maxrss / 1024.0
         out = {
             "n_files": n_files,
             "sustained_images_per_sec": round(n_files / dt, 2),
