@@ -117,10 +117,16 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
     # The probe inherits the persistent compile cache so a live-but-
     # slow tunnel doesn't recompile the matmul fresh and time out.
     cache = os.path.expanduser("~/.cache/fennec_jax_cache")
-    probe = ("import jax; "
-             f"jax.config.update('jax_compilation_cache_dir', {cache!r}); "
-             "jax.config.update("
-             "'jax_persistent_cache_min_compile_time_secs', 0.0); "
+    # Cache config is best-effort (option names vary across jax
+    # versions); a config failure must not turn a reachable backend
+    # into a false "tunnel down" 0.0 headline.
+    probe = ("import jax\n"
+             "try:\n"
+             f"    jax.config.update('jax_compilation_cache_dir', {cache!r})\n"
+             "    jax.config.update("
+             "'jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+             "except Exception:\n"
+             "    pass\n"
              "d = jax.devices(); "
              "x = jax.numpy.ones((64, 64)); (x @ x).block_until_ready(); "
              "print('UP', d[0].platform)")

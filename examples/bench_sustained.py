@@ -45,11 +45,14 @@ def main() -> None:
 
         # Warm the chunk shapes on a small prefix (compiles are not the
         # sustained number), then run the full batch once, cold-start to
-        # last byte written.  The tail chunk (n % 64) pads to its own
+        # last byte written.  The tail chunk (n % chunk) pads to its own
         # power-of-two program, so warm that shape separately or its XLA
-        # compile lands inside the timed run.
-        fennec.compress_batch(None, items[:256], bopts)
-        tail = n_files % 64
+        # compile lands inside the timed run.  Use the engine's actual
+        # chunk size (FENNEC_BATCH_CHUNK-configurable), not a literal.
+        from fennec_tpu.engine.batched import BATCH_CHUNK
+        fennec.compress_batch(
+            None, items[:max(256, 4 * BATCH_CHUNK)], bopts)
+        tail = n_files % BATCH_CHUNK
         if tail:
             fennec.compress_batch(None, items[:tail], bopts)
 

@@ -116,6 +116,18 @@ def _specs_from_frequencies_py(dc_freq: np.ndarray, ac_freq: np.ndarray):
 
 _NATIVE_FALLBACK_WARNED = False
 
+# Native-builder failures that should degrade to the Python path with a
+# warning: load/symbol problems, rc!=0, and ctypes ABI drift (argtype
+# mismatches raise ctypes.ArgumentError / TypeError — see
+# native._dispatch_fallback for the same policy).  ValueError is
+# deliberately NOT here: the overlong-code-length error is raised
+# identically by both builders and must propagate.
+def _native_error_types():
+    import ctypes
+
+    return (OSError, AttributeError, RuntimeError, TypeError,
+            ctypes.ArgumentError)
+
 
 def _warn_native_fallback(exc: Exception) -> None:
     """The C spec builder failing is a real regression (the Python loop
@@ -140,7 +152,7 @@ def specs_from_frequencies_batch(dc_freq: np.ndarray, ac_freq: np.ndarray):
     if lib is not None:
         try:
             bits, vals, nvals = lib.build_optimal_specs(dc_freq, ac_freq)
-        except (OSError, AttributeError, RuntimeError) as e:
+        except _native_error_types() as e:
             _warn_native_fallback(e)
         else:
             return _specs_from_raw(bits, vals, nvals)
@@ -229,7 +241,7 @@ def specs_and_tables_batch(dc_freq: np.ndarray, ac_freq: np.ndarray):
     if lib is not None:
         try:
             bits, vals, nvals = lib.build_optimal_specs(dc_freq, ac_freq)
-        except (OSError, AttributeError, RuntimeError) as e:
+        except _native_error_types() as e:
             _warn_native_fallback(e)
         else:
             b = bits.shape[0]

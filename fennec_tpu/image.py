@@ -43,10 +43,17 @@ def to_nrgba(img: Union[np.ndarray, "np.generic"]) -> ImageArray:
     in uint8 or float.  Mirrors toNRGBA (reference convert.go:12-20): use
     when the caller will mutate the result.
     """
-    out = to_nrgba_ref(img)
+    if img is None:
+        raise NilImageError()
+    # Materialize once: device arrays transfer a single time and the
+    # aliasing check below reuses the same host buffer (a second
+    # np.asarray would re-transfer the whole image just to compare
+    # against a copy that can never alias).
+    src = np.asarray(img)
+    out = to_nrgba_ref(src)
     # Identity alone misses buffer aliasing (memoryview/memmap inputs
     # where np.asarray returns a distinct wrapper over the same memory).
-    if out.size and np.may_share_memory(out, np.asarray(img)):
+    if out.size and np.may_share_memory(out, src):
         out = out.copy()
     return out
 

@@ -183,6 +183,11 @@ class NativeLib:
             bits.ctypes.data_as(ctypes.c_void_p),
             vals.ctypes.data_as(ctypes.c_void_p),
             nvals.ctypes.data_as(ctypes.c_void_p))
+        if rc == 2:
+            # Same condition and message as the Python builder
+            # (huffopt.optimal_spec) so both paths fail identically.
+            raise ValueError(
+                "fennec: optimal Huffman code length exceeds 32 bits")
         if rc != 0:
             raise RuntimeError("fennec native: build_optimal_specs failed")
         return bits, vals, nvals

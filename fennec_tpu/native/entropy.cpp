@@ -991,9 +991,9 @@ long fennec_png_filter(const uint8_t *data, int h, int stride, int bpp,
 // table set per image — on a single-core host that is the batch
 // pipeline's biggest CPU term; here it is microseconds.
 
-static void fennec_optimal_spec_one(const int64_t *freq_in, int n,
-                                    uint8_t *bits16, uint8_t *vals,
-                                    int32_t *nvals) {
+static int fennec_optimal_spec_one(const int64_t *freq_in, int n,
+                                   uint8_t *bits16, uint8_t *vals,
+                                   int32_t *nvals) {
   int64_t f[257];
   int32_t codesize[257];
   int32_t others[257];
@@ -1029,8 +1029,12 @@ static void fennec_optimal_spec_one(const int64_t *freq_in, int n,
 
   int64_t bits[33];
   for (int i = 0; i < 33; i++) bits[i] = 0;
-  for (int s = 0; s <= n; s++)
-    if (codesize[s] > 0) bits[codesize[s] > 32 ? 32 : codesize[s]]++;
+  for (int s = 0; s <= n; s++) {
+    if (codesize[s] > 32) return 1;  // parity: huffopt.py raises here —
+    // clamping would oversubscribe bits[32] and break the Kraft
+    // invariant the K.3 redistribution assumes (broken DHT).
+    if (codesize[s] > 0) bits[codesize[s]]++;
+  }
 
   // Limit code lengths to 16 bits (K.2 Figure K.3).
   int i = 32;
@@ -1049,31 +1053,37 @@ static void fennec_optimal_spec_one(const int64_t *freq_in, int n,
   bits[i] -= 1;  // drop the reserved symbol's slot
   for (int k = 0; k < 16; k++) bits16[k] = (uint8_t)bits[k + 1];
 
-  // VALS: real symbols ordered by (code length, symbol value) — codesize
-  // can exceed 32 only pathologically; 257 merges bound it.
+  // VALS: real symbols ordered by (code length, symbol value); lengths
+  // are ≤32 here (overlong codes returned 1 above).
   int m = 0;
-  for (int len = 1; len <= 257 && m < n; len++)
+  for (int len = 1; len <= 32 && m < n; len++)
     for (int s = 0; s < n; s++)
       if (codesize[s] == len) vals[m++] = (uint8_t)s;
   *nvals = m;
+  return 0;
 }
 
 // Batch: nimg images, dc_freq (nimg,2,16) i64, ac_freq (nimg,2,256) i64 →
 // dht_bits (nimg,4,16) u8, dht_vals (nimg,4,256) u8, dht_nvals (nimg,4)
 // i32, table order per image: dc luma, dc chroma, ac luma, ac chroma.
+// Returns 0 on success, 2 if any table's optimal code length exceeds 32
+// bits (caller maps rc=2 to the same ValueError the Python builder
+// raises — see huffopt.py optimal_spec).
 long fennec_build_optimal_specs(long nimg, const int64_t *dc_freq,
                                 const int64_t *ac_freq, uint8_t *dht_bits,
                                 uint8_t *dht_vals, int32_t *dht_nvals) {
   for (long j = 0; j < nimg; j++) {
     for (int cls = 0; cls < 2; cls++) {
-      fennec_optimal_spec_one(dc_freq + (j * 2 + cls) * 16, 16,
-                              dht_bits + (j * 4 + cls) * 16,
-                              dht_vals + (j * 4 + cls) * 256,
-                              dht_nvals + j * 4 + cls);
-      fennec_optimal_spec_one(ac_freq + (j * 2 + cls) * 256, 256,
-                              dht_bits + (j * 4 + 2 + cls) * 16,
-                              dht_vals + (j * 4 + 2 + cls) * 256,
-                              dht_nvals + j * 4 + 2 + cls);
+      if (fennec_optimal_spec_one(dc_freq + (j * 2 + cls) * 16, 16,
+                                  dht_bits + (j * 4 + cls) * 16,
+                                  dht_vals + (j * 4 + cls) * 256,
+                                  dht_nvals + j * 4 + cls))
+        return 2;
+      if (fennec_optimal_spec_one(ac_freq + (j * 2 + cls) * 256, 256,
+                                  dht_bits + (j * 4 + 2 + cls) * 16,
+                                  dht_vals + (j * 4 + 2 + cls) * 256,
+                                  dht_nvals + j * 4 + 2 + cls))
+        return 2;
     }
   }
   return 0;

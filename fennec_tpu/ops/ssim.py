@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import threading
 from collections import OrderedDict
 from typing import Tuple, Union
 
@@ -364,6 +365,7 @@ def _ms_ssim_device_factory(w: int, h: int):
 # class the resize weight cache bounds by bytes).
 _MSSSIM_CACHE: "OrderedDict" = OrderedDict()
 _MSSSIM_CACHE_MAX = 16
+_msssim_cache_lock = threading.Lock()
 
 
 def ms_ssim(img1: Array, img2: Array) -> float:
@@ -378,14 +380,18 @@ def ms_ssim(img1: Array, img2: Array) -> float:
         return 1.0  # empty image, same contract as ssim()/pixel_ssim()
     if (b.shape[0], b.shape[1]) != (h, w):
         b = lanczos_resize(b, w, h)
-    fn = _MSSSIM_CACHE.get((w, h))
+    with _msssim_cache_lock:
+        fn = _MSSSIM_CACHE.get((w, h))
+        if fn is not None:
+            _MSSSIM_CACHE.move_to_end((w, h))
     if fn is None:
+        # Build outside the lock (tracing is slow); concurrent builders
+        # for the same shape just produce an identical replacement.
         fn = _ms_ssim_device_factory(w, h)
-        _MSSSIM_CACHE[(w, h)] = fn
-        while len(_MSSSIM_CACHE) > _MSSSIM_CACHE_MAX:
-            _MSSSIM_CACHE.popitem(last=False)
-    else:
-        _MSSSIM_CACHE.move_to_end((w, h))
+        with _msssim_cache_lock:
+            _MSSSIM_CACHE[(w, h)] = fn
+            while len(_MSSSIM_CACHE) > _MSSSIM_CACHE_MAX:
+                _MSSSIM_CACHE.popitem(last=False)
     return float(fn(_device_f32(a), _device_f32(b)))
 
 

@@ -195,6 +195,60 @@ class TestCodeTablesBatch:
                 np.testing.assert_array_equal(acp[j, cls], (c << 5) | ln)
 
 
+def _fibonacci_freqs(n_terms: int) -> np.ndarray:
+    """Fibonacci frequencies force a maximally skewed Huffman tree whose
+    deepest code length grows with the term count — the classic input
+    that overflows the 32-bit codesize bound of T.81 K.2 builders."""
+    acf = np.zeros((2, 256), np.int64)
+    a, b = 1, 1
+    for i in range(n_terms):
+        acf[0, i] = a
+        a, b = b, a + b
+    acf[1, 0] = 1
+    return acf
+
+
+def test_overlong_code_raises_both_paths():
+    """Python and C++ builders must agree on the >32-bit error: raise
+    ValueError, never clamp into bits[32] (a clamped table is
+    Kraft-inconsistent and the K.3 redistribution emits a broken DHT)."""
+    from fennec_tpu.codecs.huffopt import (
+        _specs_from_frequencies_py,
+        specs_from_frequencies_batch,
+    )
+    from fennec_tpu.native import native_available
+
+    dcf = np.zeros((2, 16), np.int64)
+    dcf[:, 0] = 1
+    acf = _fibonacci_freqs(70)
+    with pytest.raises(ValueError, match="exceeds 32 bits"):
+        _specs_from_frequencies_py(dcf, acf)
+    if native_available():
+        with pytest.raises(ValueError, match="exceeds 32 bits"):
+            specs_from_frequencies_batch(dcf[None], acf[None])
+
+
+def test_deep_but_legal_code_matches_native():
+    """Just under the 32-bit bound both builders must still agree
+    (the error path must not trigger early)."""
+    from fennec_tpu.codecs.huffopt import (
+        _specs_from_frequencies_py,
+        specs_from_frequencies_batch,
+    )
+    from fennec_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    dcf = np.zeros((2, 16), np.int64)
+    dcf[:, 0] = 1
+    acf = _fibonacci_freqs(60)
+    got = specs_from_frequencies_batch(dcf[None], acf[None])[0]
+    want = _specs_from_frequencies_py(dcf, acf)
+    for cls in range(2):
+        assert list(got[1][cls][0]) == list(want[1][cls][0])
+        assert list(got[1][cls][1]) == list(want[1][cls][1])
+
+
 def test_optimal_spec_all_zero_frequencies():
     """No coded symbols → empty spec, not an IndexError wraparound."""
     from fennec_tpu.codecs.huffopt import optimal_spec
