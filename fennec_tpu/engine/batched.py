@@ -78,12 +78,22 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _make_ledger_flush(ledger: List, results: List, on_chunk):
+def _make_ledger_flush(ledger: List, results: List, on_chunk,
+                       ctx=None):
     """FIFO chunk-completion reporter shared by both fused engines:
     flush(force) reports chunks whose host encodes have all finished;
-    force waits on stragglers, otherwise only fully-done chunks flush."""
+    force waits on stragglers, otherwise only fully-done chunks flush.
+
+    Cancellation is honored BETWEEN chunk reports: an on_item callback
+    that calls ctx.cancel() deterministically stops every later chunk
+    from being reported as a success — those items get the context
+    error, no matter how far ahead the device pipeline raced
+    (batch.go:93-99 semantics; the per-item pool has the same check
+    between items)."""
     def flush(force: bool) -> None:
         while ledger:
+            if ctx is not None:
+                ctx.raise_if_done()
             ids, futs = ledger[0]
             if not force and not all(f.done() for f in futs):
                 return
@@ -189,7 +199,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
-    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk)
+    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx)
     if opts.device_entropy is None:
         # Auto: device emission wins on TPU; on CPU the C++ host coder
         # is faster than emulating the vector emission.
@@ -210,16 +220,14 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
     def _collect_emit(chunk_ids, handles):
         """Pull a device-entropy chunk: the scan bitstream was assembled
-        on device; the host only 1-pads, byte-stuffs, and wraps."""
+        on device; the host only 1-pads, byte-stuffs, and wraps.  The
+        whole chunk output (q/ssim/found/bits + words) is ONE packed
+        uint32 array — one tunnel round-trip."""
         from ..ops.jpeg_emit import finalize_scan_host
+        from ..parallel.batched import split_emit_full
 
-        qs, ssims, found, words, bits = handles
-        q_host = np.asarray(qs)
-        s_host = np.asarray(ssims)
-        f_host = np.asarray(found)
-        bits_h = np.asarray(bits)
-        used = min(int(bits_h.max()) // 32 + 2, emit_words)
-        words_h = np.asarray(words[:, :used])
+        q_host, s_host, f_host, bits_h, words_h = split_emit_full(
+            np.asarray(handles))
 
         def emit_one(i: int, j: int) -> None:
             res = results[i]
@@ -252,38 +260,41 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         words pull + container wrap happen one pipeline stage later
         (stage B), overlapped with the next chunk's search."""
         from ..codecs.huffopt import specs_and_tables_batch
-        from ..parallel.batched import batched_emit_custom
+        from ..parallel.batched import (
+            batched_emit_custom,
+            split_search_small,
+        )
 
-        qs, ssims, found, packed, dc_freq, ac_freq, bits_std = handles
-        q_host = np.asarray(qs)
-        s_host = np.asarray(ssims)
-        f_host = np.asarray(found)
-        dcf = np.asarray(dc_freq).astype(np.int64)
-        acf = np.asarray(ac_freq).astype(np.int64)
+        small, packed = handles
+        # ONE pull for everything host-visible (q/ssim/found/bits_std +
+        # both histograms) — tunnel RPC latency dwarfs the bytes.
+        (q_host, s_host, f_host, bstd, dcf,
+         acf) = split_search_small(np.asarray(small))
         # Exact sizing: optimal tables never beat the standard-table bit
         # count they're built against, so overflow is impossible.
-        opt_words = emit_words_for_bits(int(np.asarray(bits_std).max()))
+        opt_words = emit_words_for_bits(int(bstd.max()))
 
         # One C call builds every image's K.2 specs; the packed device
         # code tables come from one vectorized canonical-code pass (the
         # per-image Python loop was the single-core host's largest term).
-        specs, dc_tabs, ac_tabs = specs_and_tables_batch(dcf, acf)
+        specs, dc_tabs, ac_tabs = specs_and_tables_batch(
+            dcf.astype(np.int64), acf.astype(np.int64))
 
-        words, bits = batched_emit_custom(
-            packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
+        wb = batched_emit_custom(
+            packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs],
+                                               axis=2)),
             h, w, subsample, opt_words)
-        return (chunk_ids, (q_host, s_host, f_host, specs, words, bits,
+        return (chunk_ids, (q_host, s_host, f_host, specs, wb,
                             opt_words))
 
     def _stage_b_opt(chunk_ids, state):
         """Stage B: pull the emitted words and wrap containers."""
         from ..codecs.jpeg import _dht_segment_custom
         from ..ops.jpeg_emit import finalize_scan_host
+        from ..parallel.batched import pull_emit_words
 
-        q_host, s_host, f_host, specs, words, bits, opt_words = state
-        bits_h = np.asarray(bits)
-        used = min(int(bits_h.max()) // 32 + 2, opt_words)
-        words_h = np.asarray(words[:, :used])
+        q_host, s_host, f_host, specs, wb, opt_words = state
+        words_h, bits_h = pull_emit_words(wb, opt_words)
 
         def emit_one(i: int, j: int) -> None:
             res = results[i]
@@ -430,7 +441,23 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             ei = np.concatenate(
                 [ei, np.zeros(pad - ei.size, np.int32)])
             ev = np.concatenate([ev, np.zeros(pad - ev.size, np.int16)])
-        return i8, qts, ej, ei, ev
+        # Pack EVERYTHING (coefficients, qtables, exceptions, targets)
+        # into ONE int32 buffer — the axon tunnel charges a full RPC
+        # round-trip per uploaded array, so six uploads become one
+        # (device side: parallel.batched.unpack_chunk_buf).
+        n0 = i8.size // 4  # kk is a multiple of 16 → size % 4 == 0
+        e = int(ej.size)
+        buf = np.empty(n0 + padded * 128 + 3 * e + padded, np.int32)
+        buf[:n0] = i8.reshape(-1).view(np.int32)
+        o = n0
+        buf[o:o + padded * 128] = qts.reshape(-1)
+        o += padded * 128
+        buf[o:o + e] = ej
+        buf[o + e:o + 2 * e] = ei
+        buf[o + 2 * e:o + 3 * e] = ev.astype(np.int32)
+        o += 3 * e
+        buf[o:] = np.full(padded, target, np.float32).view(np.int32)
+        return buf, i8.shape[2], e
 
     if use_device_entropy:
         # Word capacity: the winner is (re)quantized at most at the
@@ -472,8 +499,10 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             cbs = np.stack([parts[j % b][0][1] for j in range(padded)])
             crs = np.stack([parts[j % b][0][2] for j in range(padded)])
             qts = np.stack([parts[j % b][1] for j in range(padded)])
+            targets = jnp.asarray(
+                np.full((padded,), target, dtype=np.float32))
             return (chunk, padded, jnp.asarray(ys), jnp.asarray(cbs),
-                    jnp.asarray(crs), jnp.asarray(qts))
+                    jnp.asarray(crs), jnp.asarray(qts), targets)
 
         feeder = concurrent.futures.ThreadPoolExecutor(2)
         futs = [feeder.submit(_make_chunk_dense, s) for s in starts[:2]]
@@ -481,12 +510,12 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             for i in range(len(starts)):
                 if ctx is not None:
                     ctx.raise_if_done()
-                chunk, padded, ys, cbs, crs, qts = futs[i].result()
+                (chunk, padded, ys, cbs, crs, qts,
+                 targets) = futs[i].result()
                 futs[i] = None
                 if i + 2 < len(starts):
                     futs.append(
                         feeder.submit(_make_chunk_dense, starts[i + 2]))
-                targets = jnp.full((padded,), target, dtype=jnp.float32)
                 handles = batched_decode_resize_search_quantize(
                     ys, cbs, crs, qts, h, w, in_sub, subsample,
                     resize_wh=rwh, resize_wv=rwv, targets=targets)
@@ -525,9 +554,8 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         with _tstage(timer, "prep + upload (feeder)"):
             chunk = list(range(start, min(start + BATCH_CHUNK, n)))
             padded = _next_pow2(len(chunk))
-            i8, qts, ej, ei, ev = _prep_chunk_i8(chunk, padded)
-            return (chunk, padded, jnp.asarray(i8), jnp.asarray(qts),
-                    jnp.asarray(ej), jnp.asarray(ei), jnp.asarray(ev))
+            buf, kk, e = _prep_chunk_i8(chunk, padded)
+            return chunk, padded, jnp.asarray(buf), kk, e
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
     futs = [feeder.submit(_make_chunk, s) for s in starts[:2]]
@@ -537,12 +565,15 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         for i in range(len(starts)):
             if ctx is not None:
                 ctx.raise_if_done()
-            chunk, padded, di8, dqts, dej, dei, dev_ = futs[i].result()
+            chunk, padded, dbuf, kk, e = futs[i].result()
             futs[i] = None
             if i + 2 < len(starts):
                 futs.append(feeder.submit(_make_chunk, starts[i + 2]))
-            targets = jnp.full((padded,), target, dtype=jnp.float32)
             with _tstage(timer, "search dispatch"):
+                from ..parallel.batched import unpack_chunk_buf
+
+                (di8, dqts, dej, dei, dev_, targets) = unpack_chunk_buf(
+                    dbuf, padded, nt, kk, e)
                 if use_device_entropy and opts.optimize_huffman:
                     from ..parallel.batched import (
                         batched_decode_search_hist_i8,
@@ -727,7 +758,7 @@ def compress_images_batched(ctx: Optional[Context],
     subsample = bool(opts.subsample)
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
-    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk)
+    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx)
 
     if opts.device_entropy is None:
         use_device_entropy = jax.default_backend() == "tpu"
@@ -790,39 +821,39 @@ def compress_images_batched(ctx: Optional[Context],
         standard-table bit counts (optimal tables never exceed them, so
         overflow is impossible)."""
         from ..codecs.huffopt import specs_and_tables_batch
-        from ..parallel.batched import batched_emit_custom, batched_emit_std
+        from ..parallel.batched import (
+            batched_emit_custom,
+            batched_emit_std,
+            split_search_small,
+        )
 
-        qs, ssims, found, packed, dc_freq, ac_freq, bits_std = handles
-        q_host = np.asarray(qs)
-        s_host = np.asarray(ssims)
-        f_host = np.asarray(found)
-        bstd_h = np.asarray(bits_std)
+        small, packed = handles
+        (q_host, s_host, f_host, bstd_h, dcf,
+         acf) = split_search_small(np.asarray(small))
         emit_words = emit_words_for_bits(int(bstd_h.max()))
 
         specs: List = [None] * len(q_host)
         if use_opt:
-            dcf = np.asarray(dc_freq).astype(np.int64)
-            acf = np.asarray(ac_freq).astype(np.int64)
-            specs, dc_tabs, ac_tabs = specs_and_tables_batch(dcf, acf)
+            specs, dc_tabs, ac_tabs = specs_and_tables_batch(
+                dcf.astype(np.int64), acf.astype(np.int64))
 
-            words, bits = batched_emit_custom(
-                packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
+            wb = batched_emit_custom(
+                packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs],
+                                                   axis=2)),
                 h, w, subsample, emit_words)
         else:
-            words, bits = batched_emit_std(packed, h, w, subsample,
-                                           emit_words)
-        return (chunk_ids, h, w, (q_host, s_host, f_host, specs, words,
-                                  bits, emit_words, use_opt))
+            wb = batched_emit_std(packed, h, w, subsample, emit_words)
+        return (chunk_ids, h, w, (q_host, s_host, f_host, specs, wb,
+                                  emit_words, use_opt))
 
     def _stage_b_dev(chunk_ids, h, w, state):
         from ..codecs.jpeg import _dht_segment_custom
         from ..ops.jpeg_emit import finalize_scan_host
+        from ..parallel.batched import pull_emit_words
 
-        (q_host, s_host, f_host, specs, words, bits, emit_words,
+        (q_host, s_host, f_host, specs, wb, emit_words,
          use_opt) = state
-        bits_h = np.asarray(bits)
-        used = min(int(bits_h.max()) // 32 + 2, emit_words)
-        words_h = np.asarray(words[:, :used])
+        words_h, bits_h = pull_emit_words(wb, emit_words)
 
         def emit_one(i: int, j: int) -> None:
             quality = int(q_host[j])
@@ -867,7 +898,9 @@ def compress_images_batched(ctx: Optional[Context],
                 stack[j] = prepped[i][..., :nch]
             for j in range(b, padded):
                 stack[j] = stack[0]
-            return h, w, chunk, padded, jnp.asarray(stack)
+            targets = jnp.asarray(
+                np.full((padded,), target, dtype=np.float32))
+            return h, w, chunk, padded, jnp.asarray(stack), targets
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
     futs = [feeder.submit(_make_stack, j) for j in jobs[:2]]
@@ -888,11 +921,10 @@ def compress_images_batched(ctx: Optional[Context],
         for k in range(len(jobs)):
             if ctx is not None:
                 ctx.raise_if_done()
-            h, w, chunk, padded, stack_dev = futs[k].result()
+            h, w, chunk, padded, stack_dev, targets = futs[k].result()
             futs[k] = None
             if k + 2 < len(jobs):
                 futs.append(feeder.submit(_make_stack, jobs[k + 2]))
-            targets = jnp.full((padded,), target, dtype=jnp.float32)
             with _tstage(timer, "search dispatch"):
                 if use_device_entropy:
                     from ..parallel.batched import batched_search_hist

@@ -601,29 +601,31 @@ def _encode_from_coefs_device(coefs, w: int, h: int, quality: int,
         batched_emit_custom,
         batched_emit_std,
         packed_hist_bits,
+        pull_emit_words,
     )
 
     qt = jnp.asarray(dct_ops.all_quality_tables()[quality],
                      dtype=jnp.float32)
     qy, qcb, qcr = quantize_coefs_device(coefs, qt, subsample)
     packed = jnp.concatenate([qy, qcb, qcr], axis=0).astype(jnp.int16)[None]
-    dcf, acf, bits_std = packed_hist_bits(packed, h, w, subsample)
-    nbits = int(np.asarray(bits_std)[0])
+    # ONE pull for bits_std + both histograms (packed (B, 545) int32).
+    hb = np.asarray(packed_hist_bits(packed, h, w, subsample))
+    nbits = int(hb[0, 0])
     max_words = emit_words_for_bits(nbits)
     dht = None
     if optimize:
         specs, dc_tabs, ac_tabs = specs_and_tables_batch(
-            np.asarray(dcf).astype(np.int64),
-            np.asarray(acf).astype(np.int64))
-        words, bits = batched_emit_custom(
-            packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs),
+            hb[:, 1:33].reshape(-1, 2, 16).astype(np.int64),
+            hb[:, 33:545].reshape(-1, 2, 256).astype(np.int64))
+        wb = batched_emit_custom(
+            packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs],
+                                               axis=2)),
             h, w, subsample, max_words)
         dht = _dht_segment_custom(*specs[0])
     else:
-        words, bits = batched_emit_std(packed, h, w, subsample, max_words)
-    nb = int(np.asarray(bits)[0])
-    used = min(nb // 32 + 2, max_words)
-    scan = finalize_scan_host(np.asarray(words[0, :used]), nb)
+        wb = batched_emit_std(packed, h, w, subsample, max_words)
+    words_h, bits_h = pull_emit_words(wb, max_words)
+    scan = finalize_scan_host(words_h[0], int(bits_h[0]))
     return assemble_jpeg(w, h, dct_ops.all_quality_tables()[quality],
                          scan, subsample, dht=dht)
 

@@ -132,7 +132,14 @@ def _quantize_hist_jit(coefs: jax.Array, qvec: jax.Array, h: int, w: int):
     packed, dcf, acf = jax.vmap(one)(coefs, qvec)
     # Exact standard-table bit count = a dot over the histograms
     # (ops/jpeg_size.bits_std_from_hist) — no second coefficient pass.
-    return packed, dcf, acf, bits_std_from_hist(dcf, acf)
+    # Host-visible outputs ride in ONE (B, 545) int32 array (col 0
+    # bits_std, 1:33 dc_freq, 33:545 ac_freq) — one tunnel round-trip.
+    b = packed.shape[0]
+    small = jnp.concatenate([
+        bits_std_from_hist(dcf, acf).astype(jnp.int32)[:, None],
+        dcf.reshape(b, -1).astype(jnp.int32),
+        acf.reshape(b, -1).astype(jnp.int32)], axis=1)
+    return packed, small
 
 
 @jax.jit
@@ -184,25 +191,23 @@ def _encode_batch_at(pool, coefs: jax.Array, qvec: np.ndarray,
     from ..codecs.huffopt import specs_and_tables_batch
     from ..codecs.jpeg import _dht_segment_custom, assemble_jpeg
     from ..ops.jpeg_emit import finalize_scan_host
-    from ..parallel.batched import batched_emit_custom
+    from ..parallel.batched import batched_emit_custom, pull_emit_words
 
     b = len(qvec)
-    packed, dcf, acf, bits_std = _quantize_hist_jit(
+    packed, small = _quantize_hist_jit(
         coefs, jnp.asarray(qvec, dtype=jnp.int32), h, w)
-    dcf_h = np.asarray(dcf).astype(np.int64)
-    acf_h = np.asarray(acf).astype(np.int64)
-    bstd_h = np.asarray(bits_std)
+    sm = np.asarray(small)  # one pull: bits_std + both histograms
+    dcf_h = sm[:, 1:33].reshape(-1, 2, 16).astype(np.int64)
+    acf_h = sm[:, 33:545].reshape(-1, 2, 256).astype(np.int64)
 
     specs, dc_tabs, ac_tabs = specs_and_tables_batch(dcf_h, acf_h)
     # Optimal tables never exceed the standard-table bit count they are
     # built against, so the exact counts size the word buffer safely.
-    max_words = _next_pow2(int(bstd_h.max()) // 32 + 64)
-    words, bits = batched_emit_custom(
-        packed, jnp.asarray(dc_tabs), jnp.asarray(ac_tabs), h, w, True,
-        max_words)
-    bits_h = np.asarray(bits)
-    used = min(int(bits_h.max()) // 32 + 2, max_words)
-    words_h = np.asarray(words[:, :used])
+    max_words = _next_pow2(int(sm[:, 0].max()) // 32 + 64)
+    wb = batched_emit_custom(
+        packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs], axis=2)),
+        h, w, True, max_words)
+    words_h, bits_h = pull_emit_words(wb, max_words)
 
     out: List[Optional[bytes]] = [None] * b
     qtabs = dct_ops.all_quality_tables()

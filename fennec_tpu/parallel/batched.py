@@ -60,12 +60,30 @@ def batched_search_and_quantize(imgs: jax.Array, targets: jax.Array,
     return q, s, f, packed, fits_int8
 
 
+def _pack_search_small(q, s, f, bits_std, dc_freq, ac_freq) -> jax.Array:
+    """Trace-time packing of a search's host-visible outputs into ONE
+    (B, 548) int32 array (col 0 q, col 1 ssim f32 bits, col 2 found,
+    col 3 bits_std, 4:36 dc_freq, 36:548 ac_freq) — the axon tunnel
+    charges a full RPC round-trip per pulled array, so everything the
+    host needs rides together.  Decode with split_search_small."""
+    b = q.shape[0]
+    return jnp.concatenate([
+        q.astype(jnp.int32)[:, None],
+        jax.lax.bitcast_convert_type(
+            s.astype(jnp.float32), jnp.int32)[:, None],
+        f.astype(jnp.int32)[:, None],
+        bits_std.astype(jnp.int32)[:, None],
+        dc_freq.reshape(b, -1).astype(jnp.int32),
+        ac_freq.reshape(b, -1).astype(jnp.int32)], axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def batched_search_hist(imgs: jax.Array, targets: jax.Array,
                         subsample: bool = True):
     """Pixel-path analogue of batched_decode_search_hist_i8: images in,
-    winning coefficients resident on device + per-class symbol histograms
-    + exact standard-table scan bits out.  Stage 2 (batched_emit_custom /
+    winning coefficients resident on device + the packed (B, 548) small
+    output (split_search_small) with per-class symbol histograms and the
+    exact standard-table scan bits.  Stage 2 (batched_emit_custom /
     batched_emit_std) sizes its word buffer from the bit counts — optimal
     tables never exceed the standard-table size, so overflow is
     impossible by construction."""
@@ -93,7 +111,7 @@ def batched_search_hist(imgs: jax.Array, targets: jax.Array,
     # The exact standard-table bit count is a dot over the histograms —
     # no separate coefficient pass (ops/jpeg_size.bits_std_from_hist).
     bits_std = bits_std_from_hist(dc_freq, ac_freq)
-    return q, s, f, packed, dc_freq, ac_freq, bits_std
+    return _pack_search_small(q, s, f, bits_std, dc_freq, ac_freq), packed
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -102,7 +120,9 @@ def packed_hist_bits(packed: jax.Array, h: int, w: int,
     """Symbol histograms + exact standard-table bit count for already-
     quantized packed blocks (B, Ny+2Nc, 64) — stage 1 of device emission
     when the search already ran (single-image path, engine/compress.py).
-    Returns (dc_freq (B,2,16), ac_freq (B,2,256), bits (B,))."""
+    Returns ONE (B, 545) int32 array — col 0 bits_std, cols 1:33
+    dc_freq, cols 33:545 ac_freq — so the host pays one tunnel
+    round-trip."""
     from ..ops.jpeg_emit import scan_symbol_hist_device
     from ..ops.jpeg_size import bits_std_from_hist
 
@@ -117,14 +137,20 @@ def packed_hist_bits(packed: jax.Array, h: int, w: int,
                                        out_subsample)
 
     dcf, acf = jax.vmap(one)(packed)
-    return dcf, acf, bits_std_from_hist(dcf, acf)
+    b = packed.shape[0]
+    return jnp.concatenate([
+        bits_std_from_hist(dcf, acf).astype(jnp.int32)[:, None],
+        dcf.reshape(b, -1).astype(jnp.int32),
+        acf.reshape(b, -1).astype(jnp.int32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def batched_emit_std(packed: jax.Array, h: int, w: int,
                      out_subsample: bool, max_words: int):
     """Stage 2 with the standard Annex-K tables: emit resident quantized
-    coefficients.  Returns (words, bits)."""
+    coefficients.  Returns (B, max_words+1) uint32 — column 0 is the
+    total bit count, columns 1: the big-endian scan words — one array so
+    the host pays ONE tunnel round-trip (decode with split_emit_words)."""
     from ..ops.jpeg_emit import emit_scan_device
 
     mult = 16 if out_subsample else 8
@@ -137,7 +163,9 @@ def batched_emit_std(packed: jax.Array, h: int, w: int,
             p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
             max_words, batch_hint=packed.shape[0])
 
-    return jax.vmap(one)(packed)
+    words, bits = jax.vmap(one)(packed)
+    return jnp.concatenate(
+        [bits.astype(jnp.uint32)[:, None], words], axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -219,6 +247,31 @@ def _i8_zigzag_to_natural(packed_i8: jax.Array, exc_img: jax.Array,
     inv = np.zeros(64, np.int32)
     inv[np.asarray(ZIGZAG)] = np.arange(64, dtype=np.int32)
     return dense[:, :, jnp.asarray(inv)]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def unpack_chunk_buf(buf: jax.Array, b: int, nt: int, k: int, e: int):
+    """Split the feeder's SINGLE int32 upload back into the coefficient
+    fast path's device inputs — one tunnel round-trip instead of six
+    (the axon link charges full RPC latency per host→device array).
+
+    Layout (int32 words, see engine/batched._prep_chunk_i8):
+    [i8 coefficients (B·NT·K/4, bitcast int8) | qtables (B·128) |
+     exc_img (E) | exc_off (E) | exc_val (E, widened) |
+     targets (B, f32 bits)].  The unpack dispatch is async — it never
+    blocks the dispatch thread."""
+    n0 = b * nt * k // 4
+    i8 = jax.lax.bitcast_convert_type(
+        buf[:n0], jnp.int8).reshape(b, nt, k)
+    o = n0
+    qts = buf[o:o + b * 128].reshape(b, 2, 64)
+    o += b * 128
+    ej = buf[o:o + e]
+    ei = buf[o + e:o + 2 * e]
+    ev = buf[o + 2 * e:o + 3 * e]
+    o += 3 * e
+    targets = jax.lax.bitcast_convert_type(buf[o:o + b], jnp.float32)
+    return i8, qts, ej, ei, ev, targets
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
@@ -304,7 +357,10 @@ def batched_decode_search_emit_i8(packed_i8: jax.Array,
     """Compact-upload variant of batched_decode_search_emit: int8 + sparse
     exception coefficients in, device-assembled Huffman bitstream out —
     the transfers in BOTH directions shrink to near the entropy content.
-    Returns (q, ssim, found, words (B, max_words) u32, bits (B,) i32)."""
+    Returns ONE (B, max_words+4) uint32 array — col 0 q, col 1 ssim
+    (f32 bits), col 2 found, col 3 total bits, cols 4: the scan words —
+    so the host pays one tunnel round-trip (decode with
+    split_emit_full)."""
     from ..engine.compress import decode_jpeg_image_device
     from ..ops.jpeg_emit import emit_scan_device
 
@@ -333,7 +389,23 @@ def batched_decode_search_emit_i8(packed_i8: jax.Array,
         p[:ny], p[ny:ny + nc], p[ny + nc:],
         ph, pw, out_subsample, max_words,
         batch_hint=packed.shape[0]))(packed)
-    return q, s, f, words, bits
+    return jnp.concatenate([
+        q.astype(jnp.uint32)[:, None],
+        jax.lax.bitcast_convert_type(
+            s.astype(jnp.float32), jnp.uint32)[:, None],
+        f.astype(jnp.uint32)[:, None],
+        bits.astype(jnp.uint32)[:, None],
+        words], axis=1)
+
+
+def split_emit_full(wb_host: np.ndarray):
+    """Host-side decode of batched_decode_search_emit_i8's packed
+    output: (q, ssim f32, found bool, bits int64, words (B, W))."""
+    q = wb_host[:, 0].astype(np.int32)
+    s = np.ascontiguousarray(wb_host[:, 1]).view(np.float32)
+    f = wb_host[:, 2] != 0
+    bits = wb_host[:, 3].astype(np.int64)
+    return q, s, f, bits, wb_host[:, 4:]
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
@@ -347,10 +419,13 @@ def batched_decode_search_hist_i8(packed_i8: jax.Array,
     search + quantize + per-class symbol HISTOGRAMS.
 
     The winning coefficients stay RESIDENT on device (returned as an
-    array the caller holds but never downloads); only q/ssim/found and
-    the tiny (B, 2, 16)/(B, 2, 256) frequency tables come to the host,
-    which builds T.81 K.2 optimal tables and dispatches stage 2
-    (batched_emit_custom) on the resident coefficients.
+    array the caller holds but never downloads); the host-visible
+    outputs come back as ONE (B, 548) int32 array — the axon tunnel
+    charges a full RPC round-trip per pulled array, so q/ssim/found/
+    bits_std and the (2,16)+(2,256) frequency tables ride together:
+    col 0 q, col 1 ssim (f32 bits), col 2 found, col 3 bits_std,
+    cols 4:36 dc_freq, cols 36:548 ac_freq.  Decode with
+    split_search_small on the host.
     """
     from ..engine.compress import decode_jpeg_image_device
     from ..ops.jpeg_emit import scan_symbol_hist_device
@@ -381,18 +456,56 @@ def batched_decode_search_hist_i8(packed_i8: jax.Array,
         p[:ny], p[ny:ny + nc], p[ny + nc:],
         ph, pw, out_subsample))(packed)
     bits_std = bits_std_from_hist(dc_freq, ac_freq)
-    return q, s, f, packed, dc_freq, ac_freq, bits_std
+    return _pack_search_small(q, s, f, bits_std, dc_freq, ac_freq), packed
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def batched_emit_custom(packed: jax.Array, dc_tables: jax.Array,
-                        ac_tables: jax.Array, h: int, w: int,
+def split_search_small(small_host: np.ndarray):
+    """Host-side decode of _pack_search_small's (B, 548) int32 array:
+    (q, ssim f32, found bool, bits_std, dc_freq (B,2,16), ac_freq
+    (B,2,256))."""
+    b = small_host.shape[0]
+    q = small_host[:, 0]
+    s = np.ascontiguousarray(small_host[:, 1]).view(np.float32)
+    f = small_host[:, 2] != 0
+    bits_std = small_host[:, 3]
+    dcf = small_host[:, 4:36].reshape(b, 2, 16)
+    acf = small_host[:, 36:548].reshape(b, 2, 256)
+    return q, s, f, bits_std, dcf, acf
+
+
+def pull_emit_words(wb, max_words: int,
+                    full_limit_bytes: int = 8 << 20):
+    """Pull a batched_emit_* result with minimal tunnel round-trips.
+
+    wb: device (B, max_words+1) uint32 (col 0 = bits).  Small buffers
+    come down in ONE pull; above full_limit_bytes the bit counts come
+    first and the word pull is sliced to the batch's actual extent
+    (large-input chunks size max_words from the input files, which can
+    far exceed the re-encoded output).  Returns (words (B, ≤max_words)
+    uint32, bits (B,) int64)."""
+    b = wb.shape[0]
+    if (max_words + 1) * b * 4 <= full_limit_bytes:
+        wb_h = np.asarray(wb)
+        return wb_h[:, 1:], wb_h[:, 0].astype(np.int64)
+    bits = np.asarray(wb[:, 0]).astype(np.int64)
+    used = min(int(bits.max()) // 32 + 2, max_words)
+    return np.asarray(wb[:, 1:1 + used]), bits
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def batched_emit_custom(packed: jax.Array, tables: jax.Array,
+                        h: int, w: int,
                         out_subsample: bool, max_words: int):
     """Stage 2: Huffman-emit resident quantized coefficients with
     per-image code tables.  packed: (B, Ny+2Nc, 64); dc_tables
     (B, 2, 16) / ac_tables (B, 2, 256) int32 PACKED code << 5 | length
     per class (huffopt.code_tables_batch) — 4× less upload than separate
-    code/length planes over the host link.  Returns (words, bits)."""
+    code/length planes over the host link.  tables: ONE (B, 2, 272)
+    int32 upload, dc (…,:16) | ac (…,16:) concatenated on the last axis
+    (np.concatenate on the host — one tunnel round-trip instead of two).
+    Returns (B, max_words+1) uint32 — column 0 is the total bit count,
+    columns 1: the scan words (one array → one round-trip; decode with
+    split_emit_words)."""
     from ..ops.jpeg_emit import emit_scan_device
 
     mult = 16 if out_subsample else 8
@@ -400,7 +513,8 @@ def batched_emit_custom(packed: jax.Array, dc_tables: jax.Array,
     ny = (ph // 8) * (pw // 8)
     nc = (ph // 16) * (pw // 16) if out_subsample else ny
 
-    def one(p, dcp, acp):
+    def one(p, tabp):
+        dcp, acp = tabp[:, :16], tabp[:, 16:]
         dct = jnp.stack([dcp >> 5, dcp & 31], axis=1)  # (2, 2, 16)
         act = jnp.stack([acp >> 5, acp & 31], axis=1)  # (2, 2, 256)
         return emit_scan_device(
@@ -408,7 +522,9 @@ def batched_emit_custom(packed: jax.Array, dc_tables: jax.Array,
             max_words, dc_tables=dct, ac_tables=act,
             batch_hint=packed.shape[0])
 
-    return jax.vmap(one)(packed, dc_tables, ac_tables)
+    words, bits = jax.vmap(one)(packed, tables)
+    return jnp.concatenate(
+        [bits.astype(jnp.uint32)[:, None], words], axis=1)
 
 
 @jax.jit
@@ -469,11 +585,13 @@ def batched_search_emit_sharded(mesh: Mesh, imgs, targets,
     vec_sh = NamedSharding(mesh, P("data"))
 
     def run(im, t):
-        q, s, f, packed, dcf, acf, bits_std = batched_search_hist(
-            im, t, subsample)
-        words, bits = batched_emit_std(
+        small, packed = batched_search_hist(im, t, subsample)
+        wb = batched_emit_std(
             packed, im.shape[1], im.shape[2], subsample, max_words)
-        return q, s, f, words, bits
+        q = small[:, 0]
+        s = jax.lax.bitcast_convert_type(small[:, 1], jnp.float32)
+        f = small[:, 2].astype(jnp.bool_)
+        return q, s, f, wb[:, 1:], wb[:, 0].astype(jnp.int32)
 
     fn = jax.jit(shard_map(run, mesh=mesh,
                            in_specs=(P("data"), P("data")),

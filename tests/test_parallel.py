@@ -83,6 +83,8 @@ class TestBatchedSearch:
             batched_emit_std,
             batched_search_emit_sharded,
             batched_search_hist,
+            pull_emit_words,
+            split_search_small,
         )
 
         mesh = data_mesh(8)
@@ -90,9 +92,11 @@ class TestBatchedSearch:
         targets = jnp.full((8,), 0.90, dtype=jnp.float32)
         max_words = 2048
 
-        q1, s1, f1, packed, _dcf, _acf, _bits = batched_search_hist(
-            imgs, targets, True)
-        w1, b1 = batched_emit_std(packed, 32, 48, True, max_words)
+        small, packed = batched_search_hist(imgs, targets, True)
+        q1, _s1, _f1, _bits, _dcf, _acf = split_search_small(
+            np.asarray(small))
+        w1, b1 = pull_emit_words(
+            batched_emit_std(packed, 32, 48, True, max_words), max_words)
         q2, s2, f2, w2, b2 = batched_search_emit_sharded(
             mesh, imgs, targets, True, max_words)
 
