@@ -538,16 +538,21 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         return results
 
     # ── Pipelined no-resize path ──
-    # Three overlapped stages around the single device FIFO:
-    #   feeder thread : C++ decode into the int8 upload buffer + the
-    #                   host→device copy for chunk k+2 — uploads never
-    #                   block the dispatch thread;
-    #   stage A (k-1) : pull the small search outputs (+ histograms),
-    #                   build optimal tables, dispatch stage-2 emission
-    #                   on the resident coefficients;
-    #   stage B (k-2) : pull emitted words, byte-stuff + wrap on the pool.
-    # Steady state: the device runs search(k) while the host does A/B for
-    # older chunks and the feeder prepares newer ones.
+    # Five overlapped actors around the single device FIFO:
+    #   feeder threads (2) : C++ decode into the packed upload buffer +
+    #                        the host→device copy for chunk k+2;
+    #   dispatch thread    : unpack + search dispatch only (async RPCs),
+    #                        plus the FIFO ledger flush;
+    #   stage-A thread     : pull the packed small search outputs, build
+    #                        optimal tables, upload them, dispatch the
+    #                        stage-2 emission on resident coefficients;
+    #   stage-B thread     : pull emitted words, queue byte-stuff + wrap
+    #                        on the worker pool.
+    # Stage A and B each BLOCK on one tunnel round-trip per chunk
+    # (~70-300 ms on a bad day); running them on their own single-thread
+    # executors keeps those waits off the dispatch thread, so the
+    # critical path drops to max(feeder, stage A, stage B) instead of
+    # their sum.  Single-thread executors preserve chunk order.
     timer = _batch_timer()
 
     def _make_chunk(start):
@@ -558,9 +563,24 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             return chunk, padded, jnp.asarray(buf), kk, e
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
+    stage_a_exec = concurrent.futures.ThreadPoolExecutor(1)
+    stage_b_exec = concurrent.futures.ThreadPoolExecutor(1)
     futs = [feeder.submit(_make_chunk, s) for s in starts[:2]]
     searchq: List = []
-    emitq: List = []
+    bfuts: List = []
+
+    def _run_a(kind, chunk, handles):
+        if kind == "opt":
+            with _tstage(timer, "stage A: pull + tables + emit"):
+                state = _stage_a_opt(chunk, handles)
+            return stage_b_exec.submit(_run_b, state)
+        _collect((kind, chunk, handles))
+        return None
+
+    def _run_b(state):
+        with _tstage(timer, "stage B: words pull + wrap"):
+            _stage_b_opt(*state)
+
     try:
         for i in range(len(starts)):
             if ctx is not None:
@@ -603,36 +623,35 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     searchq.append(("quant", chunk, handles))
 
             if len(searchq) >= 2:
-                e = searchq.pop(0)
-                if e[0] == "opt":
-                    with _tstage(timer, "stage A: pull + tables + emit"):
-                        emitq.append(_stage_a_opt(e[1], e[2]))
-                else:
-                    _collect(e)
-            if len(emitq) >= 2:
-                with _tstage(timer, "stage B: words pull + wrap"):
-                    _stage_b_opt(*emitq.pop(0))
+                e2 = searchq.pop(0)
+                bfuts.append(stage_a_exec.submit(_run_a, *e2))
+            # Backpressure: an error in stage A/B must surface promptly,
+            # and unbounded racing would pin every chunk's resident
+            # coefficients in HBM at once.
+            while len(bfuts) > 3:
+                bf = bfuts.pop(0).result()
+                if bf is not None:
+                    bf.result()
             _flush_ledger(False)
 
         while searchq:
-            e = searchq.pop(0)
-            if e[0] == "opt":
-                with _tstage(timer, "stage A: pull + tables + emit"):
-                    emitq.append(_stage_a_opt(e[1], e[2]))
-            else:
-                _collect(e)
-        while emitq:
-            with _tstage(timer, "stage B: words pull + wrap"):
-                _stage_b_opt(*emitq.pop(0))
+            bfuts.append(stage_a_exec.submit(_run_a, *searchq.pop(0)))
+        for af in bfuts:
+            bf = af.result()
+            if bf is not None:
+                bf.result()
         for fut in pending:
             fut.result()
         _flush_ledger(True)
         _treport(timer, "coef-fastpath")
     finally:
         # Feeder first (its chunk prep uses `pool` internally), then the
+        # stage executors (their work writes results/pending), then the
         # emit pool: cancel queued encodes, wait out in-flight ones so no
         # worker writes results after an exception has propagated.
         feeder.shutdown(wait=True, cancel_futures=True)
+        stage_a_exec.shutdown(wait=True, cancel_futures=True)
+        stage_b_exec.shutdown(wait=True, cancel_futures=True)
         pool.shutdown(wait=True, cancel_futures=True)
     return results
 
