@@ -74,12 +74,14 @@ def compress_bytes(ctx: Optional[Context], data: bytes,
 
 
 def compress_images(ctx: Optional[Context], images,
-                    opts: Optional[Options] = None) -> list:
+                    opts: Optional[Options] = None,
+                    workers: int = 0) -> list:
     """Compress many decoded images with shared options — the TPU-native
     mega-batch API (no reference equivalent; CompressBatch works on
     files).  Same-shape images batch into single device programs; results
-    keep input order."""
+    keep input order.  workers sizes the host encode pool (0 = auto)."""
     from .engine.batched import compress_images_batched
 
     opts = opts if opts is not None else Options()
-    return compress_images_batched(ctx, list(images), opts)
+    return compress_images_batched(ctx, list(images), opts,
+                                   workers=workers)

@@ -79,10 +79,17 @@ def _next_pow2(n: int) -> int:
 
 
 def _make_ledger_flush(ledger: List, results: List, on_chunk,
-                       ctx=None):
+                       ctx=None, lock=None):
     """FIFO chunk-completion reporter shared by both fused engines:
     flush(force) reports chunks whose host encodes have all finished;
     force waits on stragglers, otherwise only fully-done chunks flush.
+
+    Ledger entries are appended from the stage-A/stage-B executor
+    threads while the dispatch thread flushes; `lock` guards the list
+    mutations.  FIFO ORDER additionally relies on stage A and stage B
+    each being SINGLE-thread executors (see their definitions) — a
+    wider executor would reorder appends and corrupt on_chunk's index
+    mapping even with the lock held.
 
     Cancellation is honored BETWEEN chunk reports: an on_item callback
     that calls ctx.cancel() deterministically stops every later chunk
@@ -90,18 +97,31 @@ def _make_ledger_flush(ledger: List, results: List, on_chunk,
     error, no matter how far ahead the device pipeline raced
     (batch.go:93-99 semantics; the per-item pool has the same check
     between items)."""
+    import threading
+
+    if lock is None:
+        lock = threading.Lock()
+
     def flush(force: bool) -> None:
-        while ledger:
+        while True:
             if ctx is not None:
                 ctx.raise_if_done()
-            ids, futs = ledger[0]
+            with lock:
+                if not ledger:
+                    return
+                ids, futs = ledger[0]
+            # Futures are waited on OUTSIDE the lock (they run on the
+            # same pools that append new entries).
             if not force and not all(f.done() for f in futs):
                 return
             for f in futs:
                 f.result()
-            ledger.pop(0)
+            with lock:
+                ledger.pop(0)
             if on_chunk is not None:
                 on_chunk([(i, results[i]) for i in ids])
+
+    flush.lock = lock  # appenders use the same lock
     return flush
 
 
@@ -222,12 +242,26 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         """Pull a device-entropy chunk: the scan bitstream was assembled
         on device; the host only 1-pads, byte-stuffs, and wraps.  The
         whole chunk output (q/ssim/found/bits + words) is ONE packed
-        uint32 array — one tunnel round-trip."""
+        uint32 array — one tunnel round-trip.  emit_words is sized from
+        the LARGEST INPUT file, so a chunk of big JPEGs can pad the
+        buffer far past the re-encoded outputs: above the same 8 MB
+        guard pull_emit_words uses, the small columns come down first
+        and the word pull is sliced to the chunk's actual extent."""
         from ..ops.jpeg_emit import finalize_scan_host
         from ..parallel.batched import split_emit_full
 
-        q_host, s_host, f_host, bits_h, words_h = split_emit_full(
-            np.asarray(handles))
+        b = handles.shape[0]
+        if (emit_words + 4) * b * 4 <= (8 << 20):
+            q_host, s_host, f_host, bits_h, words_h = split_emit_full(
+                np.asarray(handles))
+        else:
+            head = np.asarray(handles[:, :4])
+            q_host = head[:, 0].astype(np.int32)
+            s_host = np.ascontiguousarray(head[:, 1]).view(np.float32)
+            f_host = head[:, 2] != 0
+            bits_h = head[:, 3].astype(np.int64)
+            used = min(int(bits_h.max()) // 32 + 2, emit_words)
+            words_h = np.asarray(handles[:, 4:4 + used])
 
         def emit_one(i: int, j: int) -> None:
             res = results[i]
@@ -249,8 +283,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
         futs = [pool.submit(emit_one, i, j)
                 for j, i in enumerate(chunk_ids)]
-        pending.extend(futs)
-        ledger.append((chunk_ids, futs))
+        with _flush_ledger.lock:
+            pending.extend(futs)
+            ledger.append((chunk_ids, futs))
 
     def _stage_a_opt(chunk_ids, handles):
         """Stage A of the optimal-Huffman pipeline: pull the SMALL search
@@ -315,8 +350,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
         futs = [pool.submit(emit_one, i, j)
                 for j, i in enumerate(chunk_ids)]
-        pending.extend(futs)
-        ledger.append((chunk_ids, futs))
+        with _flush_ledger.lock:
+            pending.extend(futs)
+            ledger.append((chunk_ids, futs))
 
     def _collect(entry):
         """Pull a dispatched chunk's results and queue host encodes."""
@@ -366,8 +402,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
         futs = [pool.submit(encode_one, i, j)
                 for j, i in enumerate(chunk_ids)]
-        pending.extend(futs)
-        ledger.append((chunk_ids, futs))
+        with _flush_ledger.lock:
+            pending.extend(futs)
+            ledger.append((chunk_ids, futs))
 
     # Input MCU geometry — the flat int8 upload layout.
     mult_in = 16 if in_sub else 8
@@ -829,8 +866,9 @@ def compress_images_batched(ctx: Optional[Context],
 
         futs = [pool.submit(encode_one, i, j)
                 for j, i in enumerate(chunk_ids)]
-        pending.extend(futs)
-        ledger.append((chunk_ids, futs))
+        with _flush_ledger.lock:
+            pending.extend(futs)
+            ledger.append((chunk_ids, futs))
 
     def _stage_a_dev(chunk_ids, h, w, handles, use_opt):
         """Stage A: pull small search outputs + histograms, build tables
@@ -887,8 +925,9 @@ def compress_images_batched(ctx: Optional[Context],
 
         futs = [pool.submit(emit_one, i, j)
                 for j, i in enumerate(chunk_ids)]
-        pending.extend(futs)
-        ledger.append((chunk_ids, futs))
+        with _flush_ledger.lock:
+            pending.extend(futs)
+            ledger.append((chunk_ids, futs))
 
     # ── Pipelined dispatch: feeder thread builds + uploads pixel stacks
     # for chunk k+2; stage A (k-1) builds tables and dispatches emission;

@@ -150,7 +150,7 @@ def batched_emit_std(packed: jax.Array, h: int, w: int,
     """Stage 2 with the standard Annex-K tables: emit resident quantized
     coefficients.  Returns (B, max_words+1) uint32 — column 0 is the
     total bit count, columns 1: the big-endian scan words — one array so
-    the host pays ONE tunnel round-trip (decode with split_emit_words)."""
+    the host pays ONE tunnel round-trip (decode with pull_emit_words)."""
     from ..ops.jpeg_emit import emit_scan_device
 
     mult = 16 if out_subsample else 8
@@ -497,15 +497,14 @@ def batched_emit_custom(packed: jax.Array, tables: jax.Array,
                         h: int, w: int,
                         out_subsample: bool, max_words: int):
     """Stage 2: Huffman-emit resident quantized coefficients with
-    per-image code tables.  packed: (B, Ny+2Nc, 64); dc_tables
-    (B, 2, 16) / ac_tables (B, 2, 256) int32 PACKED code << 5 | length
-    per class (huffopt.code_tables_batch) — 4× less upload than separate
-    code/length planes over the host link.  tables: ONE (B, 2, 272)
-    int32 upload, dc (…,:16) | ac (…,16:) concatenated on the last axis
-    (np.concatenate on the host — one tunnel round-trip instead of two).
+    per-image code tables.  packed: (B, Ny+2Nc, 64); tables: ONE
+    (B, 2, 272) int32 upload per class [luma, chroma] — dc (…, :16) and
+    ac (…, 16:) concatenated on the last axis, each entry PACKED as
+    code << 5 | length (huffopt.code_tables_batch) — one tunnel
+    round-trip and 4× less upload than separate code/length planes.
     Returns (B, max_words+1) uint32 — column 0 is the total bit count,
     columns 1: the scan words (one array → one round-trip; decode with
-    split_emit_words)."""
+    pull_emit_words)."""
     from ..ops.jpeg_emit import emit_scan_device
 
     mult = 16 if out_subsample else 8
@@ -557,14 +556,12 @@ def batched_quality_search_sharded(mesh: Mesh, imgs, targets,
     kernel on TPU (a per-device kernel composes with shard_map, unlike a
     jit-partitioned custom call) — the TPU-native CompressBatch.
     """
-    from jax.experimental.shard_map import shard_map
-
     img_sh = NamedSharding(mesh, P("data"))
     vec_sh = NamedSharding(mesh, P("data"))
-    fn = jax.jit(shard_map(
+    fn = jax.jit(jax.shard_map(
         lambda im, t: batched_quality_search_device(im, t, subsample),
         mesh=mesh, in_specs=(P("data"), P("data")),
-        out_specs=(P("data"), P("data"), P("data")), check_rep=False))
+        out_specs=(P("data"), P("data"), P("data")), check_vma=False))
     return fn(jax.device_put(imgs, img_sh), jax.device_put(targets, vec_sh))
 
 
@@ -579,8 +576,6 @@ def batched_search_emit_sharded(mesh: Mesh, imgs, targets,
     images are independent, so all work stays chip-local (the
     CompressBatch analogue of the reference's per-core worker pool,
     batch.go:58-128)."""
-    from jax.experimental.shard_map import shard_map
-
     img_sh = NamedSharding(mesh, P("data"))
     vec_sh = NamedSharding(mesh, P("data"))
 
@@ -593,9 +588,10 @@ def batched_search_emit_sharded(mesh: Mesh, imgs, targets,
         f = small[:, 2].astype(jnp.bool_)
         return q, s, f, wb[:, 1:], wb[:, 0].astype(jnp.int32)
 
-    fn = jax.jit(shard_map(run, mesh=mesh,
-                           in_specs=(P("data"), P("data")),
-                           out_specs=(P("data"),) * 5, check_rep=False))
+    fn = jax.jit(jax.shard_map(run, mesh=mesh,
+                               in_specs=(P("data"), P("data")),
+                               out_specs=(P("data"),) * 5,
+                               check_vma=False))
     return fn(jax.device_put(imgs, img_sh),
               jax.device_put(targets, vec_sh))
 

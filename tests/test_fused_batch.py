@@ -63,6 +63,17 @@ class TestCompressImagesBatched:
     def test_empty(self):
         assert compress_images_batched(None, [], fennec.Options()) == []
 
+    def test_compress_images_workers_passthrough(self):
+        # The public API must pass `workers` through to the fused engine
+        # and produce identical results regardless of pool size.
+        imgs = [photo(48, 48, s) for s in range(3)]
+        opts = fennec.Options(format=fennec.JPEG)
+        base = fennec.compress_images(None, imgs, opts)
+        narrow = fennec.compress_images(None, imgs, opts, workers=1)
+        for a, b in zip(base, narrow):
+            assert a.compressed_data == b.compressed_data
+            assert a.jpeg_quality == b.jpeg_quality
+
 
 class TestFusedFileBatch:
     def test_fused_matches_pool(self, tmp_path):
