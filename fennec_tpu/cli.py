@@ -75,6 +75,11 @@ def default_output(input_path: str) -> str:
 
 
 def main(argv: Optional[list] = None) -> int:
+    # The CLI is a fresh process per invocation: without the persistent
+    # compile cache every run would recompile its device programs.
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(
         prog="fennec-tpu",
         description="TPU-native SSIM-guided image compression")

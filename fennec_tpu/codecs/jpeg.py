@@ -492,6 +492,33 @@ def decode_jpeg_to_coefs_i8(data: bytes, out_flat: np.ndarray,
     return hdr, r[0], r[1], r[2]
 
 
+def decode_jpeg_to_coefs_coo(data: bytes, out_dc: np.ndarray,
+                             out_pos: np.ndarray, out_val: np.ndarray,
+                             rcap: int, max_exc: int = 16384):
+    """Decode a single-scan baseline JPEG straight into the sparse COO
+    upload layout (DC int8 plane + (zigzag position, int8 value) AC
+    nonzero pairs padded to rcap slots per block) — one C++ pass, no
+    dense intermediates.  |v| > 127 values and slot overflow ride the
+    exception list as image-local offsets into the NT*64 zigzag layout.
+
+    Returns (hdr, exc_idx, exc_val, cnt_hist, max_zigzag_extent) or
+    None when the fast path doesn't apply; callers fall back to
+    decode_jpeg_to_coefs_i8 / decode_jpeg_to_coefs.
+    """
+    from .. import native
+
+    hdr = parse_jpeg(data)
+    if len(hdr.scan_comps) != hdr.ncomp:
+        return None
+    _, _, _, _, specs = _build_decode_specs(hdr)
+    r = native.jpeg_decode_scan_coo(data, hdr.scan_offset, specs,
+                                    hdr.restart_interval, out_dc,
+                                    out_pos, out_val, rcap, max_exc)
+    if r is None:
+        return None
+    return hdr, r[0], r[1], r[2], r[3]
+
+
 def _decode_multiscan_to_coefs(data: bytes, hdr: JpegHeader,
                                mcus_x: int, mcus_y: int,
                                hmax: int, vmax: int):

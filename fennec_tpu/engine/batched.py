@@ -217,6 +217,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
     nworkers = workers if workers > 0 else min(16, os.cpu_count() or 4)
     pool = concurrent.futures.ThreadPoolExecutor(nworkers)
+    timer = _batch_timer()
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx)
@@ -303,8 +304,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         small, packed = handles
         # ONE pull for everything host-visible (q/ssim/found/bits_std +
         # both histograms) — tunnel RPC latency dwarfs the bytes.
-        (q_host, s_host, f_host, bstd, dcf,
-         acf) = split_search_small(np.asarray(small))
+        with _tstage(timer, "A: small pull"):
+            (q_host, s_host, f_host, bstd, dcf,
+             acf) = split_search_small(np.asarray(small))
         # Exact sizing: optimal tables never beat the standard-table bit
         # count they're built against, so overflow is impossible.
         opt_words = emit_words_for_bits(int(bstd.max()))
@@ -312,13 +314,15 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         # One C call builds every image's K.2 specs; the packed device
         # code tables come from one vectorized canonical-code pass (the
         # per-image Python loop was the single-core host's largest term).
-        specs, dc_tabs, ac_tabs = specs_and_tables_batch(
-            dcf.astype(np.int64), acf.astype(np.int64))
+        with _tstage(timer, "A: K.2 tables"):
+            specs, dc_tabs, ac_tabs = specs_and_tables_batch(
+                dcf.astype(np.int64), acf.astype(np.int64))
 
-        wb = batched_emit_custom(
-            packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs],
-                                               axis=2)),
-            h, w, subsample, opt_words)
+        with _tstage(timer, "A: emit dispatch"):
+            wb = batched_emit_custom(
+                packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs],
+                                                   axis=2)),
+                h, w, subsample, opt_words)
         return (chunk_ids, (q_host, s_host, f_host, specs, wb,
                             opt_words))
 
@@ -413,13 +417,45 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     nci = (phi // 16) * (pwi // 16) if in_sub else nyi
     nt = nyi + 2 * nci
 
-    def _prep_chunk_i8(chunk, padded):
-        """Decode a chunk's files straight into the (padded, NT, 64)
-        int8 ZIGZAG-order upload buffer with sparse exceptions — one C++
-        pass per file on the worker pool, no intermediate int16 stacks —
-        then truncate to the chunk's maximum nonzero zigzag extent
-        (photo blocks end early in zigzag order, typically halving the
-        upload)."""
+    def _pack_exceptions(exc_parts, padded, extra=None):
+        """Merge per-file exception lists (+ optional COO overflow
+        triple) into padded (ej, ei, ev) arrays; rows with img == padded
+        are out of bounds → dropped by the device scatter."""
+        ejs = [np.full(p[0].shape, j, np.int32)
+               for j, p in enumerate(exc_parts)]
+        eis = [p[0] for p in exc_parts]
+        evs = [p[1] for p in exc_parts]
+        if extra is not None:
+            ejs.append(extra[0])
+            eis.append(extra[1])
+            evs.append(extra[2])
+        ej = np.concatenate(ejs)
+        ei = np.concatenate(eis).astype(np.int32)
+        ev = np.concatenate(evs)
+        pad = _next_pow2(max(int(ei.size), 1))
+        if pad != ei.size:
+            ej = np.concatenate(
+                [ej, np.full(pad - ej.size, padded, np.int32)])
+            ei = np.concatenate(
+                [ei, np.zeros(pad - ei.size, np.int32)])
+            ev = np.concatenate([ev, np.zeros(pad - ev.size, np.int16)])
+        return ej, ei, ev
+
+    def _pack_tail(buf, o, padded, qts, ej, ei, ev):
+        e = int(ej.size)
+        buf[o:o + padded * 128] = qts.reshape(-1)
+        o += padded * 128
+        buf[o:o + e] = ej
+        buf[o + e:o + 2 * e] = ei
+        buf[o + 2 * e:o + 3 * e] = ev.astype(np.int32)
+        o += 3 * e
+        buf[o:] = np.full(padded, target, np.float32).view(np.int32)
+
+    def _prep_chunk_dense(chunk, padded):
+        """Dense upload path: decode into a (padded, NT, 64) int8
+        ZIGZAG-order buffer with sparse exceptions — one C++ pass per
+        file — then truncate to the chunk's maximum nonzero zigzag
+        extent (photo blocks end early in zigzag order)."""
         from ..codecs.jpeg import decode_jpeg_to_coefs_i8
         from ..ops.dct import ZIGZAG
 
@@ -463,21 +499,10 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         kk = min(64, ((kk + 15) // 16) * 16)
         if kk < 64:
             i8 = np.ascontiguousarray(i8[:, :, :kk])
-        ej = np.concatenate([np.full(p[0].shape, j, np.int32)
-                             for j, p in enumerate(exc_parts)])
-        ei = np.concatenate([p[0] for p in exc_parts])
-        ev = np.concatenate([p[1] for p in exc_parts])
+        ej, ei, ev = _pack_exceptions(exc_parts, padded)
         if kk < 64 and ei.size:
-            ei = (ei // 64) * kk + (ei % 64)
-        ei = ei.astype(np.int32)
-        pad = _next_pow2(max(int(ei.size), 1))
-        if pad != ei.size:
-            # img == padded is out of bounds → dropped on device.
-            ej = np.concatenate(
-                [ej, np.full(pad - ej.size, padded, np.int32)])
-            ei = np.concatenate(
-                [ei, np.zeros(pad - ei.size, np.int32)])
-            ev = np.concatenate([ev, np.zeros(pad - ev.size, np.int16)])
+            live = ej < padded
+            ei[live] = (ei[live] // 64) * kk + (ei[live] % 64)
         # Pack EVERYTHING (coefficients, qtables, exceptions, targets)
         # into ONE int32 buffer — the axon tunnel charges a full RPC
         # round-trip per uploaded array, so six uploads become one
@@ -486,15 +511,107 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         e = int(ej.size)
         buf = np.empty(n0 + padded * 128 + 3 * e + padded, np.int32)
         buf[:n0] = i8.reshape(-1).view(np.int32)
-        o = n0
-        buf[o:o + padded * 128] = qts.reshape(-1)
-        o += padded * 128
-        buf[o:o + e] = ej
-        buf[o + e:o + 2 * e] = ei
-        buf[o + 2 * e:o + 3 * e] = ev.astype(np.int32)
-        o += 3 * e
-        buf[o:] = np.full(padded, target, np.float32).view(np.int32)
-        return buf, i8.shape[2], e
+        _pack_tail(buf, n0, padded, qts, ej, ei, ev)
+        return "i8", buf, i8.shape[2], e
+
+    _COO_RCAP = 16
+
+    def _prep_chunk_i8(chunk, padded):
+        """Decode a chunk's files into the smaller of two single-buffer
+        upload formats (the ~42 MB/s axon tunnel makes upload bytes the
+        batch throughput ceiling):
+
+        - "coo": DC int8 plane + per-block (zigzag position, int8 value)
+          AC-nonzero pairs padded to R slots, written DIRECTLY by the
+          C++ entropy decoder (photo content is ~92% zeros at typical
+          qualities → ~2.5× smaller than dense); |v| > 127 and slot
+          overflow ride the exception list;
+        - "i8": the dense zigzag-truncated layout (_prep_chunk_dense),
+          kept for noisy/dense content where COO would not pay and as
+          the fallback when any file rejects the COO decoder.
+        """
+        from ..codecs.jpeg import decode_jpeg_to_coefs_coo
+        from ..native import native_available
+
+        if not native_available():
+            return _prep_chunk_dense(chunk, padded)
+
+        rcap = _COO_RCAP
+        dcp = np.zeros((padded, nt), np.int8)
+        posp = np.zeros((padded, nt, rcap), np.uint8)
+        valp = np.zeros((padded, nt, rcap), np.int8)
+        qts = np.zeros((padded, 2, 64), np.int32)
+        exc_parts: List = [None] * len(chunk)
+        hists = np.zeros((len(chunk), 65), np.int64)
+        maxks = [1] * len(chunk)
+        failed = [False]
+
+        def one(j: int) -> None:
+            r = decode_jpeg_to_coefs_coo(datas[chunk[j]], dcp[j],
+                                         posp[j], valp[j], rcap)
+            if r is None:
+                failed[0] = True
+                return
+            hdr, ei, ev, hist, mk = r
+            qts[j] = np.stack(
+                [hdr.qtables[hdr.comps[0]["tq"]],
+                 hdr.qtables[hdr.comps[1]["tq"]]]).astype(np.int32)
+            exc_parts[j] = (ei, ev)
+            hists[j] = hist
+            maxks[j] = mk
+
+        list(pool.map(one, range(len(chunk))))
+        if failed[0]:
+            # Any COO-rejected file (unusual scan, exception overflow):
+            # the whole chunk re-decodes through the dense path, which
+            # has per-file Python fallbacks.
+            return _prep_chunk_dense(chunk, padded)
+
+        # Pick R minimizing upload bytes; compare against the dense
+        # estimate.  hist[k] counts blocks with k slot-eligible AC
+        # nonzeros (capped contributions at rcap — deeper spills are
+        # exceptions under every R).
+        hist = hists.sum(axis=0)
+        ks = np.arange(65)
+        kk = min(64, ((max(maxks) + 15) // 16) * 16)
+        best_r, best_bytes = rcap, None
+        for r_ in (2, 4, 6, 8, 12, 16):
+            # Every slot-eligible nonzero beyond r_ becomes a 12-byte
+            # exception row in the COO buffer (including the > rcap
+            # spills the C++ decoder already diverted) but is FREE in
+            # the dense layout — charge them all.
+            over = int((ks - r_).clip(0).dot(hist))
+            bytes_ = padded * nt * (1 + 2 * r_) + 12 * over
+            if best_bytes is None or bytes_ < best_bytes:
+                best_r, best_bytes = r_, bytes_
+        if best_bytes >= 0.85 * padded * nt * kk:
+            return _prep_chunk_dense(chunk, padded)
+        r = best_r
+
+        extra = None
+        if r < rcap:
+            # Demote slots ≥ R to the exception list, then narrow.
+            bi, ni, si = np.nonzero(posp[:, :, r:])
+            if bi.size:
+                pdem = posp[bi, ni, si + r].astype(np.int32)
+                extra = (bi.astype(np.int32),
+                         (ni.astype(np.int64) * 64
+                          + pdem).astype(np.int32),
+                         valp[bi, ni, si + r].astype(np.int16))
+            posp = np.ascontiguousarray(posp[:, :, :r])
+            valp = np.ascontiguousarray(valp[:, :, :r])
+
+        ej, ei, ev = _pack_exceptions(exc_parts, padded, extra)
+        e = int(ej.size)
+        nb = padded * nt * (1 + 2 * r)
+        w0 = (nb + 3) // 4
+        buf = np.zeros(w0 + padded * 128 + 3 * e + padded, np.int32)
+        bview = buf[:w0].view(np.int8)
+        bview[:padded * nt] = dcp.reshape(-1)
+        bview[padded * nt:padded * nt * (1 + r)] = posp.reshape(-1)
+        bview[padded * nt * (1 + r):nb] = valp.reshape(-1)
+        _pack_tail(buf, w0, padded, qts, ej, ei, ev)
+        return "coo", buf, r, e
 
     if use_device_entropy:
         # Word capacity: the winner is (re)quantized at most at the
@@ -590,14 +707,13 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     # executors keeps those waits off the dispatch thread, so the
     # critical path drops to max(feeder, stage A, stage B) instead of
     # their sum.  Single-thread executors preserve chunk order.
-    timer = _batch_timer()
 
     def _make_chunk(start):
         with _tstage(timer, "prep + upload (feeder)"):
             chunk = list(range(start, min(start + BATCH_CHUNK, n)))
             padded = _next_pow2(len(chunk))
-            buf, kk, e = _prep_chunk_i8(chunk, padded)
-            return chunk, padded, jnp.asarray(buf), kk, e
+            fmt, buf, meta, e = _prep_chunk_i8(chunk, padded)
+            return fmt, chunk, padded, jnp.asarray(buf), meta, e
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
     stage_a_exec = concurrent.futures.ThreadPoolExecutor(1)
@@ -622,42 +738,56 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         for i in range(len(starts)):
             if ctx is not None:
                 ctx.raise_if_done()
-            chunk, padded, dbuf, kk, e = futs[i].result()
+            fmt, chunk, padded, dbuf, meta, e = futs[i].result()
             futs[i] = None
             if i + 2 < len(starts):
                 futs.append(feeder.submit(_make_chunk, starts[i + 2]))
             with _tstage(timer, "search dispatch"):
-                from ..parallel.batched import unpack_chunk_buf
-
-                (di8, dqts, dej, dei, dev_, targets) = unpack_chunk_buf(
-                    dbuf, padded, nt, kk, e)
                 if use_device_entropy and opts.optimize_huffman:
-                    from ..parallel.batched import (
-                        batched_decode_search_hist_i8,
-                    )
-
-                    handles = batched_decode_search_hist_i8(
-                        di8, dej, dei, dev_, dqts, targets, h, w, in_sub,
-                        subsample)
-                    searchq.append(("opt", chunk, handles))
+                    kind, mw = "opt", 0
+                    flavor = "hist"
                 elif use_device_entropy:
+                    kind, mw = "emit", emit_words
+                    flavor = "emit"
+                else:
+                    kind, mw = "quant", 0
+                    flavor = "quant"
+                if fmt == "coo":
                     from ..parallel.batched import (
-                        batched_decode_search_emit_i8,
+                        batched_search_coo,
+                        unpack_chunk_coo,
                     )
 
-                    handles = batched_decode_search_emit_i8(
-                        di8, dej, dei, dev_, dqts, targets, h, w, in_sub,
-                        subsample, emit_words)
-                    searchq.append(("emit", chunk, handles))
+                    (dc, dpos, dval, dqts, dej, dei, dev_,
+                     targets) = unpack_chunk_coo(dbuf, padded, nt,
+                                                 meta, e)
+                    handles = batched_search_coo(
+                        dc, dpos, dval, dej, dei, dev_, dqts, targets,
+                        h, w, in_sub, subsample, flavor, mw)
                 else:
                     from ..parallel.batched import (
+                        batched_decode_search_emit_i8,
+                        batched_decode_search_hist_i8,
                         batched_decode_search_quantize_i8,
+                        unpack_chunk_buf,
                     )
 
-                    handles = batched_decode_search_quantize_i8(
-                        di8, dej, dei, dev_, dqts, targets, h, w, in_sub,
-                        subsample)
-                    searchq.append(("quant", chunk, handles))
+                    (di8, dqts, dej, dei, dev_,
+                     targets) = unpack_chunk_buf(dbuf, padded, nt,
+                                                 meta, e)
+                    if kind == "opt":
+                        handles = batched_decode_search_hist_i8(
+                            di8, dej, dei, dev_, dqts, targets, h, w,
+                            in_sub, subsample)
+                    elif kind == "emit":
+                        handles = batched_decode_search_emit_i8(
+                            di8, dej, dei, dev_, dqts, targets, h, w,
+                            in_sub, subsample, emit_words)
+                    else:
+                        handles = batched_decode_search_quantize_i8(
+                            di8, dej, dei, dev_, dqts, targets, h, w,
+                            in_sub, subsample)
+                searchq.append((kind, chunk, handles))
 
             if len(searchq) >= 2:
                 e2 = searchq.pop(0)

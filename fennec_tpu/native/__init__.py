@@ -153,6 +153,28 @@ def jpeg_decode_scan_i8(data: bytes, pos: int,
         return None
 
 
+def jpeg_decode_scan_coo(data: bytes, pos: int,
+                         comps: List["entropy_py.DecodeComponentSpec"],
+                         restart_interval: int, out_dc: np.ndarray,
+                         out_pos: np.ndarray, out_val: np.ndarray,
+                         rcap: int, max_exc: int = 16384):
+    """Decode an interleaved scan straight into the sparse COO upload
+    layout (DC plane + per-block (zigzag pos, int8 value) AC pairs) with
+    an exception list for |v| > 127 / slot overflow.  Returns (exc_idx,
+    exc_val, cnt_hist, max_zigzag_extent) or None when the native
+    library is absent or rejected the data."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    try:
+        return lib.decode_scan_coo(data, pos, comps, restart_interval,
+                                   out_dc, out_pos, out_val, rcap,
+                                   max_exc)
+    except Exception as e:
+        _dispatch_fallback(e)
+        return None
+
+
 def jpeg_decode_progressive_scan(data: bytes, pos: int,
                                  coefs: List[np.ndarray],
                                  bw, hs, vs, mcus_x: int, mcus_y: int,

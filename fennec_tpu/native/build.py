@@ -100,6 +100,21 @@ class NativeLib:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.fennec_jpeg_decode_scan_coo.restype = ctypes.c_long
+        lib.fennec_jpeg_decode_scan_coo.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.fennec_jpeg_decode_progressive_scan.restype = ctypes.c_long
         lib.fennec_jpeg_decode_progressive_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
@@ -324,6 +339,72 @@ class NativeLib:
         if ne == -2:
             raise OverflowError("fennec native: too many int8 exceptions")
         return exc_idx[:ne].copy(), exc_val[:ne].copy(), int(maxk.value)
+
+    def decode_scan_coo(self, data: bytes, pos: int, comps,
+                        restart_interval: int, out_dc: np.ndarray,
+                        out_pos: np.ndarray, out_val: np.ndarray,
+                        rcap: int, max_exc: int = 16384):
+        """Decode an interleaved scan straight into the sparse COO
+        upload layout: out_dc (NT,) int8, out_pos/out_val (NT, rcap)
+        uint8/int8 zigzag (position, value) AC-nonzero pairs; |v|>127
+        and slot overflow spill to the exception list (image-local
+        offsets into the NT*64 zigzag layout).  Returns (exc_idx,
+        exc_val, cnt_hist (65,) int32, max_zigzag_extent)."""
+        n = len(comps)
+        if out_dc.dtype != np.int8 or not out_dc.flags.c_contiguous \
+                or out_pos.dtype != np.uint8 \
+                or not out_pos.flags.c_contiguous \
+                or out_val.dtype != np.int8 \
+                or not out_val.flags.c_contiguous:
+            raise ValueError("fennec: COO outputs must be contiguous "
+                             "int8/uint8/int8")
+        bw = (ctypes.c_int * n)(*[c.bw for c in comps])
+        bh = (ctypes.c_int * n)(*[c.bh for c in comps])
+        hs = (ctypes.c_int * n)(*[c.h for c in comps])
+        vs = (ctypes.c_int * n)(*[c.v for c in comps])
+        dc_bits = b"".join(bytes(c.dc_spec[0]) for c in comps)
+        ac_bits = b"".join(bytes(c.ac_spec[0]) for c in comps)
+        dc_vals_list = [bytes(c.dc_spec[1]) for c in comps]
+        ac_vals_list = [bytes(c.ac_spec[1]) for c in comps]
+        dc_vals = b"".join(dc_vals_list)
+        ac_vals = b"".join(ac_vals_list)
+        dc_nvals = (ctypes.c_int * n)(*[len(v) for v in dc_vals_list])
+        ac_nvals = (ctypes.c_int * n)(*[len(v) for v in ac_vals_list])
+        offs = []
+        off = 0
+        for v in dc_vals_list:
+            offs.append(off)
+            off += len(v)
+        dc_voff = (ctypes.c_int * n)(*offs)
+        offs = []
+        off = 0
+        for v in ac_vals_list:
+            offs.append(off)
+            off += len(v)
+        ac_voff = (ctypes.c_int * n)(*offs)
+        exc_idx = np.empty(max_exc, dtype=np.int32)
+        exc_val = np.empty(max_exc, dtype=np.int16)
+        cnt_hist = np.zeros(65, dtype=np.int32)
+        maxk = ctypes.c_int32(64)
+        ne = self._lib.fennec_jpeg_decode_scan_coo(
+            data, len(data), pos, n,
+            out_dc.ctypes.data_as(ctypes.c_void_p),
+            out_pos.ctypes.data_as(ctypes.c_void_p),
+            out_val.ctypes.data_as(ctypes.c_void_p), rcap,
+            bw, bh, hs, vs,
+            dc_bits, dc_vals, dc_nvals, dc_voff,
+            ac_bits, ac_vals, ac_nvals, ac_voff,
+            restart_interval,
+            exc_idx.ctypes.data_as(ctypes.c_void_p),
+            exc_val.ctypes.data_as(ctypes.c_void_p), max_exc,
+            cnt_hist.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(maxk))
+        if ne == -1:
+            raise ValueError("fennec native: corrupt JPEG scan")
+        if ne == -2:
+            raise OverflowError("fennec native: too many COO exceptions")
+        return (exc_idx[:ne].copy(), exc_val[:ne].copy(), cnt_hist,
+                int(maxk.value))
 
     def decode_progressive_scan(self, data: bytes, pos: int,
                                 coefs: List[np.ndarray],

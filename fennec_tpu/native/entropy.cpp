@@ -850,6 +850,127 @@ long fennec_jpeg_decode_scan_i8(const uint8_t *data, long len, long pos,
   return ne;
 }
 
+// Decode an interleaved baseline scan directly into the sparse COO upload
+// layout: per block, the DC value (int8 plane, block-index order y|cb|cr)
+// plus up to rcap AC-nonzero (zigzag position, int8 value) pairs; |v|>127
+// values and slots past rcap spill to the exception list (image-local
+// offsets into the flat NT*64 zigzag layout, matching decode_scan_i8).
+// cnt_hist[min(count, 64)]++ per block records the slot-consuming
+// AC-nonzero distribution so the caller can pick the final R bucket and
+// estimate upload sizes; out_maxk reports the max zigzag extent for the
+// dense-format comparison.  Returns the exception count, -1 on corrupt
+// data, -2 on exception-list overflow.
+long fennec_jpeg_decode_scan_coo(
+    const uint8_t *data, long len, long pos, int ncomp, int8_t *dc,
+    uint8_t *pos_out, int8_t *val_out, int rcap, const int *bw,
+    const int *bh, const int *hs, const int *vs, const uint8_t *dc_bits,
+    const uint8_t *dc_vals, const int *dc_nvals, const int *dc_voff,
+    const uint8_t *ac_bits, const uint8_t *ac_vals, const int *ac_nvals,
+    const int *ac_voff, int restart_interval, int32_t *exc_idx,
+    int16_t *exc_val, long max_exc, int32_t *cnt_hist,
+    int32_t *out_maxk) {
+  if (ncomp < 1 || ncomp > 4 || rcap < 1 || rcap > 63) return -1;
+  DecTable dct_[4], act_[4];
+  long comp_blk[4];
+  long nblocks = 0;
+  for (int c = 0; c < ncomp; c++) {
+    if (!dct_[c].build(dc_bits + c * 16, dc_vals + dc_voff[c],
+                       dc_nvals[c]) ||
+        !act_[c].build(ac_bits + c * 16, ac_vals + ac_voff[c],
+                       ac_nvals[c]))
+      return -1;
+    comp_blk[c] = nblocks;
+    nblocks += (long)bw[c] * bh[c];
+  }
+  std::memset(dc, 0, nblocks);
+  std::memset(pos_out, 0, nblocks * (long)rcap);
+  std::memset(val_out, 0, nblocks * (long)rcap);
+  std::memset(cnt_hist, 0, 65 * sizeof(int32_t));
+  int mcus_x = hs[0] ? bw[0] / hs[0] : 0;
+  int mcus_y = vs[0] ? bh[0] / vs[0] : 0;
+
+  BitReader r(data, len, pos);
+  int pred[4] = {0, 0, 0, 0};
+  int mcu_count = 0;
+  long ne = 0;
+  int maxk = 1;  // DC always present
+
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && mcu_count == restart_interval) {
+        r.align_to_rst();
+        if (r.bad) return -1;
+        pred[0] = pred[1] = pred[2] = pred[3] = 0;
+        mcu_count = 0;
+      }
+      for (int c = 0; c < ncomp; c++) {
+        for (int dy = 0; dy < vs[c]; dy++) {
+          for (int dx = 0; dx < hs[c]; dx++) {
+            int by = my * vs[c] + dy;
+            int bx = mx * hs[c] + dx;
+            long nb = comp_blk[c] + (long)by * bw[c] + bx;
+            int size = r.decode(dct_[c]);
+            // size comes from file-supplied VALS; >16 would shift by a
+            // negative count in read_bits/extend (UB).
+            if (r.bad || size > 16) return -1;
+            int diff = extend((int)r.read_bits(size), size);
+            pred[c] += diff;
+            int v = pred[c];
+            if (v > 127 || v < -127) {
+              if (ne >= max_exc) return -2;
+              exc_idx[ne] = (int32_t)(nb * 64);
+              exc_val[ne] = (int16_t)v;
+              ne++;
+            } else {
+              dc[nb] = (int8_t)v;
+            }
+            int slot = 0, count = 0;
+            int8_t *vp = val_out + nb * rcap;
+            uint8_t *pp = pos_out + nb * rcap;
+            int k = 1;
+            while (k < 64) {
+              int rs = r.decode(act_[c]);
+              int run = rs >> 4, s = rs & 0x0F;
+              if (s == 0) {
+                if (run == 15) { k += 16; continue; }
+                break;  // EOB
+              }
+              k += run;
+              if (k > 63) return -1;
+              v = extend((int)r.read_bits(s), s);
+              if (v > 127 || v < -127) {
+                if (ne >= max_exc) return -2;
+                exc_idx[ne] = (int32_t)(nb * 64 + k);
+                exc_val[ne] = (int16_t)v;
+                ne++;
+              } else {
+                count++;
+                if (slot < rcap) {
+                  pp[slot] = (uint8_t)k;
+                  vp[slot] = (int8_t)v;
+                  slot++;
+                } else {
+                  if (ne >= max_exc) return -2;
+                  exc_idx[ne] = (int32_t)(nb * 64 + k);
+                  exc_val[ne] = (int16_t)v;
+                  ne++;
+                }
+              }
+              if (k + 1 > maxk) maxk = k + 1;
+              k++;
+            }
+            cnt_hist[count > 64 ? 64 : count]++;
+            if (r.bad) return -1;
+          }
+        }
+      }
+      mcu_count++;
+    }
+  }
+  if (out_maxk) *out_maxk = maxk;
+  return ne;
+}
+
 // Pack int16 coefficients to int8 with an exception list for |v| > 127.
 // Returns the exception count, or -1 if it exceeds max_exc.
 long fennec_int16_to_int8_exc(const int16_t *in, long n, int8_t *out,

@@ -249,6 +249,140 @@ def _i8_zigzag_to_natural(packed_i8: jax.Array, exc_img: jax.Array,
     return dense[:, :, jnp.asarray(inv)]
 
 
+def _coo_to_natural(dc: jax.Array, pos: jax.Array, val: jax.Array,
+                    exc_img: jax.Array, exc_off: jax.Array,
+                    exc_val: jax.Array) -> jax.Array:
+    """(B, NT) int8 DC plane + (B, NT, R) (pos, val) AC nonzero pairs +
+    sparse exceptions → (B, NT, 64) int32 natural-order blocks.
+
+    The sparse upload format for photographic JPEG inputs: ~92% of
+    truncated-extent coefficients are zero, so shipping only the nonzero
+    (zigzag position, int8 value) pairs cuts the host→device bytes
+    ~2.5× vs the dense int8 layout (the axon tunnel runs at ~42 MB/s —
+    upload size IS the batch throughput ceiling).  Reconstruction is one
+    one-hot bf16 MXU dot per block row — positions within a block are
+    distinct, so each output cell receives at most one term (exact);
+    |v| > 127 values, overflow beyond R slots, and rare decode quirks
+    ride the (image, offset) exception lists, scattered after the dense
+    rebuild.  pos == 0 slots are padding (position 0 is the DC plane).
+    """
+    from ..ops.dct import ZIGZAG
+
+    b, nt, r = pos.shape
+    i64 = jnp.arange(64, dtype=jnp.int32)
+    oh = (pos.astype(jnp.int32)[..., None] == i64).astype(jnp.bfloat16)
+    dense = jax.lax.dot_general(
+        val.astype(jnp.bfloat16), oh,
+        (((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    dense = dense.at[:, :, 0].set(dc.astype(jnp.int32))
+    flat = dense.reshape(b, -1).at[exc_img, exc_off].set(
+        exc_val.astype(jnp.int32), mode="drop")
+    dense = flat.reshape(b, nt, 64)
+    inv = np.zeros(64, np.int32)
+    inv[np.asarray(ZIGZAG)] = np.arange(64, dtype=np.int32)
+    return dense[:, :, jnp.asarray(inv)]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def unpack_chunk_coo(buf: jax.Array, b: int, nt: int, r: int, e: int):
+    """Split the feeder's SINGLE int32 COO upload back into device
+    inputs — the sparse twin of unpack_chunk_buf.
+
+    Byte layout (int8 within the int32 words, see
+    engine/batched._prep_chunk_coo): [dc (B·NT) | pos (B·NT·R) |
+    val (B·NT·R) | pad to word] then int32 words [qtables (B·128) |
+    exc_img (E) | exc_off (E) | exc_val (E) | targets (B, f32 bits)].
+    """
+    nb = b * nt * (1 + 2 * r)
+    w0 = (nb + 3) // 4
+    by = jax.lax.bitcast_convert_type(buf[:w0], jnp.int8).reshape(-1)
+    dc = by[:b * nt].reshape(b, nt)
+    pos = by[b * nt:b * nt * (1 + r)].reshape(b, nt, r)
+    val = by[b * nt * (1 + r):nb].reshape(b, nt, r)
+    o = w0
+    qts = buf[o:o + b * 128].reshape(b, 2, 64)
+    o += b * 128
+    ej = buf[o:o + e]
+    ei = buf[o + e:o + 2 * e]
+    ev = buf[o + 2 * e:o + 3 * e]
+    o += 3 * e
+    targets = jax.lax.bitcast_convert_type(buf[o:o + b], jnp.float32)
+    return dc, pos, val, qts, ej, ei, ev, targets
+
+
+def _dense_to_imgs(dense: jax.Array, in_qtabs: jax.Array, h: int, w: int,
+                   in_subsample: bool) -> jax.Array:
+    """(B, NT, 64) natural-order int blocks + per-image quant tables →
+    reconstructed (B, h, w, 4) float32 images (shared input-decode half
+    of the coefficient fast-path entries)."""
+    from ..engine.compress import decode_jpeg_image_device
+
+    mult_in = 16 if in_subsample else 8
+    phi, pwi = h + (-h) % mult_in, w + (-w) % mult_in
+    nyi = (phi // 8) * (pwi // 8)
+    nci = (phi // 16) * (pwi // 16) if in_subsample else nyi
+    in_y = dense[:, :nyi]
+    in_cb = dense[:, nyi:nyi + nci]
+    in_cr = dense[:, nyi + nci:]
+    return jax.vmap(lambda y, cb, cr, qt: decode_jpeg_image_device(
+        y.astype(jnp.float32), cb.astype(jnp.float32),
+        cr.astype(jnp.float32), qt.astype(jnp.float32),
+        h, w, in_subsample))(in_y, in_cb, in_cr, in_qtabs)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
+def batched_search_coo(dc: jax.Array, pos: jax.Array, val: jax.Array,
+                       exc_img: jax.Array, exc_off: jax.Array,
+                       exc_val: jax.Array, in_qtabs: jax.Array,
+                       targets: jax.Array, h: int, w: int,
+                       in_subsample: bool, out_subsample: bool,
+                       flavor: str, max_words: int):
+    """COO-upload search entry, one jit per static flavor:
+
+    - "hist": returns (packed small (B, 548) int32, resident packed
+      coefficients) — stage 1 of optimal-Huffman device emission
+      (mirrors batched_decode_search_hist_i8);
+    - "emit": returns ONE (B, max_words+4) uint32 array with the
+      standard-table scan assembled on device (mirrors
+      batched_decode_search_emit_i8);
+    - "quant": returns (q, ssim, found, packed, fits_int8) (mirrors
+      batched_decode_search_quantize_i8).
+    """
+    from ..ops.jpeg_emit import emit_scan_device, scan_symbol_hist_device
+    from ..ops.jpeg_size import bits_std_from_hist
+
+    dense = _coo_to_natural(dc, pos, val, exc_img, exc_off, exc_val)
+    imgs = _dense_to_imgs(dense, in_qtabs, h, w, in_subsample)
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, out_subsample)
+    if flavor == "quant":
+        fits_int8 = jnp.all(jnp.abs(packed) <= 127)
+        return q, s, f, packed, fits_int8
+
+    mult = 16 if out_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if out_subsample else ny
+    if flavor == "emit":
+        words, bits = jax.vmap(lambda p: emit_scan_device(
+            p[:ny], p[ny:ny + nc], p[ny + nc:],
+            ph, pw, out_subsample, max_words,
+            batch_hint=packed.shape[0]))(packed)
+        return jnp.concatenate([
+            q.astype(jnp.uint32)[:, None],
+            jax.lax.bitcast_convert_type(
+                s.astype(jnp.float32), jnp.uint32)[:, None],
+            f.astype(jnp.uint32)[:, None],
+            bits.astype(jnp.uint32)[:, None],
+            words], axis=1)
+    dc_freq, ac_freq = jax.vmap(lambda p: scan_symbol_hist_device(
+        p[:ny], p[ny:ny + nc], p[ny + nc:],
+        ph, pw, out_subsample))(packed)
+    bits_std = bits_std_from_hist(dc_freq, ac_freq)
+    return _pack_search_small(q, s, f, bits_std, dc_freq, ac_freq), packed
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def unpack_chunk_buf(buf: jax.Array, b: int, nt: int, k: int, e: int):
     """Split the feeder's SINGLE int32 upload back into the coefficient

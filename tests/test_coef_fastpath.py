@@ -412,3 +412,61 @@ class TestExceptionLayout:
         for r in out:
             assert r.compressed_data[:2] == b"\xff\xd8"
             assert r.ssim > 0.5
+
+
+class TestUploadFormats:
+    """The feeder picks the smaller of two upload layouts per chunk
+    (sparse COO pairs for photo content, dense truncated int8 for noisy
+    content); both must produce identical Results."""
+
+    def test_photo_content_picks_coo_and_matches(self, monkeypatch):
+        # Smooth gradients quantize to very sparse coefficients → COO.
+        img = np.zeros((64, 64, 4), np.uint8)
+        yy, xx = np.mgrid[0:64, 0:64]
+        img[..., 0] = (xx * 2).astype(np.uint8)
+        img[..., 1] = (yy * 2).astype(np.uint8)
+        img[..., 2] = 128
+        img[..., 3] = 255
+        datas = [encode_jpeg(img, 90) for _ in range(3)]
+        opts = fennec.Options(format=fennec.JPEG)
+
+        fmts = []
+        from fennec_tpu.parallel import batched as pb
+
+        orig_coo = pb.unpack_chunk_coo
+        orig_i8 = pb.unpack_chunk_buf
+        monkeypatch.setattr(
+            pb, "unpack_chunk_coo",
+            lambda *a, **k: (fmts.append("coo"), orig_coo(*a, **k))[1])
+        monkeypatch.setattr(
+            pb, "unpack_chunk_buf",
+            lambda *a, **k: (fmts.append("i8"), orig_i8(*a, **k))[1])
+        got = compress_jpeg_bytes_batched(None, datas, opts)
+        assert fmts == ["coo"]
+        want = [fennec.compress_bytes(None, d, opts) for d in datas]
+        for g, w_ in zip(got, want):
+            assert g.jpeg_quality == w_.jpeg_quality
+            assert g.ssim == pytest.approx(w_.ssim, abs=2e-5)
+
+    def test_noise_content_picks_dense_and_matches(self, monkeypatch):
+        # High-frequency noise fills every zigzag slot → dense int8 wins.
+        datas = [jpeg_bytes(64, 64, s, quality=98) for s in range(3)]
+        opts = fennec.Options(format=fennec.JPEG)
+
+        fmts = []
+        from fennec_tpu.parallel import batched as pb
+
+        orig_coo = pb.unpack_chunk_coo
+        orig_i8 = pb.unpack_chunk_buf
+        monkeypatch.setattr(
+            pb, "unpack_chunk_coo",
+            lambda *a, **k: (fmts.append("coo"), orig_coo(*a, **k))[1])
+        monkeypatch.setattr(
+            pb, "unpack_chunk_buf",
+            lambda *a, **k: (fmts.append("i8"), orig_i8(*a, **k))[1])
+        got = compress_jpeg_bytes_batched(None, datas, opts)
+        assert fmts == ["i8"]
+        want = [fennec.compress_bytes(None, d, opts) for d in datas]
+        for g, w_ in zip(got, want):
+            assert g.jpeg_quality == w_.jpeg_quality
+            assert g.ssim == pytest.approx(w_.ssim, abs=2e-5)
