@@ -45,6 +45,12 @@ from ..types import Context, Format, Options, Result
 from .compress import compress_png
 
 BATCH_CHUNK = int(os.environ.get("FENNEC_BATCH_CHUNK", "64"))
+# How many chunks the feeder keeps decoded+uploaded ahead of the
+# dispatch thread.  2 = classic double-buffering — measured BEST on the
+# serialized axon tunnel (3/4-deep prefetch queues upload bytes ahead
+# of the latency-critical small pulls: 64-img chunks at 500² measured
+# 219-233 img/s at depth 2, 203-216 at 3, 148-163 at 4).
+PREFETCH = max(2, int(os.environ.get("FENNEC_BATCH_PREFETCH", "2")))
 
 
 def _batch_timer():
@@ -221,6 +227,12 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx)
+
+    # Multi-chip: shard every chunk's batch axis over all local devices
+    # (the TPU-native CompressBatch parallelism, batch.go:58-128).
+    from ..parallel.batched import data_mesh, shard_data_call
+
+    mesh = data_mesh()
     if opts.device_entropy is None:
         # Auto: device emission wins on TPU; on CPU the C++ host coder
         # is faster than emulating the vector emission.
@@ -319,10 +331,16 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 dcf.astype(np.int64), acf.astype(np.int64))
 
         with _tstage(timer, "A: emit dispatch"):
-            wb = batched_emit_custom(
-                packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs],
-                                                   axis=2)),
-                h, w, subsample, opt_words)
+            tables = np.concatenate([dc_tabs, ac_tabs], axis=2)
+            if mesh is not None:
+                wb = shard_data_call(
+                    mesh, ("emit_custom", h, w, subsample, opt_words),
+                    lambda p, tb: batched_emit_custom(
+                        p, tb, h, w, subsample, opt_words),
+                    packed, tables)
+            else:
+                wb = batched_emit_custom(packed, jnp.asarray(tables),
+                                         h, w, subsample, opt_words)
         return (chunk_ids, (q_host, s_host, f_host, specs, wb,
                             opt_words))
 
@@ -371,7 +389,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
         f_host = np.asarray(found)
-        if bool(fits8):
+        # fits8 is a scalar on the unsharded path, a per-image vector on
+        # the mesh path (shard_map outputs can't mix per-shard scalars).
+        if bool(np.asarray(fits8).all()):
             packed_h = np.asarray(packed_to_int8(packed))
         else:
             packed_h = np.asarray(packed)
@@ -659,7 +679,8 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     jnp.asarray(crs), jnp.asarray(qts), targets)
 
         feeder = concurrent.futures.ThreadPoolExecutor(2)
-        futs = [feeder.submit(_make_chunk_dense, s) for s in starts[:2]]
+        futs = [feeder.submit(_make_chunk_dense, s)
+                for s in starts[:PREFETCH]]
         try:
             for i in range(len(starts)):
                 if ctx is not None:
@@ -667,9 +688,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 (chunk, padded, ys, cbs, crs, qts,
                  targets) = futs[i].result()
                 futs[i] = None
-                if i + 2 < len(starts):
-                    futs.append(
-                        feeder.submit(_make_chunk_dense, starts[i + 2]))
+                if i + PREFETCH < len(starts):
+                    futs.append(feeder.submit(_make_chunk_dense,
+                                              starts[i + PREFETCH]))
                 handles = batched_decode_resize_search_quantize(
                     ys, cbs, crs, qts, h, w, in_sub, subsample,
                     resize_wh=rwh, resize_wv=rwv, targets=targets)
@@ -708,17 +729,64 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     # critical path drops to max(feeder, stage A, stage B) instead of
     # their sum.  Single-thread executors preserve chunk order.
 
+    def _upload_sharded(fmt, buf, meta, e, padded):
+        """Mesh path: split the flat upload buffer host-side and place
+        each section with its sharding — batch-leading sections split
+        over 'data', the flat cross-image exception lists replicated
+        (their image indices are globally addressed; the shard_map
+        wrappers rebase them per shard and let mode="drop" discard
+        other shards' rows)."""
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        dsh = NamedSharding(mesh, _P("data"))
+        rsh = NamedSharding(mesh, _P())
+        if fmt == "coo":
+            r = meta
+            nb = padded * nt * (1 + 2 * r)
+            w0 = (nb + 3) // 4
+            by = buf[:w0].view(np.int8)
+            lead = (by[:padded * nt].reshape(padded, nt),
+                    by[padded * nt:padded * nt * (1 + r)]
+                    .reshape(padded, nt, r),
+                    by[padded * nt * (1 + r):nb].reshape(padded, nt, r))
+            o = w0
+        else:
+            k = meta
+            n0 = padded * nt * k // 4
+            lead = (buf[:n0].view(np.int8).reshape(padded, nt, k),)
+            o = n0
+        qts = buf[o:o + padded * 128].reshape(padded, 2, 64)
+        o += padded * 128
+        ej = buf[o:o + e]
+        ei = buf[o + e:o + 2 * e]
+        ev = buf[o + 2 * e:o + 3 * e]
+        o += 3 * e
+        tgt = buf[o:o + padded].view(np.float32)
+        parts = [jax.device_put(np.ascontiguousarray(a), dsh)
+                 for a in lead]
+        parts.append(jax.device_put(np.ascontiguousarray(qts), dsh))
+        parts.append(jax.device_put(np.ascontiguousarray(tgt), dsh))
+        parts.extend(jax.device_put(np.ascontiguousarray(x), rsh)
+                     for x in (ej, ei, ev))
+        return tuple(parts)
+
     def _make_chunk(start):
         with _tstage(timer, "prep + upload (feeder)"):
             chunk = list(range(start, min(start + BATCH_CHUNK, n)))
             padded = _next_pow2(len(chunk))
+            if mesh is not None:  # shards need equal batch slices
+                padded = -(-padded // mesh.size) * mesh.size
             fmt, buf, meta, e = _prep_chunk_i8(chunk, padded)
+            if mesh is not None:
+                return (fmt, chunk, padded,
+                        _upload_sharded(fmt, buf, meta, e, padded),
+                        meta, e)
             return fmt, chunk, padded, jnp.asarray(buf), meta, e
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
     stage_a_exec = concurrent.futures.ThreadPoolExecutor(1)
     stage_b_exec = concurrent.futures.ThreadPoolExecutor(1)
-    futs = [feeder.submit(_make_chunk, s) for s in starts[:2]]
+    futs = [feeder.submit(_make_chunk, s) for s in starts[:PREFETCH]]
     searchq: List = []
     bfuts: List = []
 
@@ -740,8 +808,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 ctx.raise_if_done()
             fmt, chunk, padded, dbuf, meta, e = futs[i].result()
             futs[i] = None
-            if i + 2 < len(starts):
-                futs.append(feeder.submit(_make_chunk, starts[i + 2]))
+            if i + PREFETCH < len(starts):
+                futs.append(feeder.submit(_make_chunk,
+                                          starts[i + PREFETCH]))
             with _tstage(timer, "search dispatch"):
                 if use_device_entropy and opts.optimize_huffman:
                     kind, mw = "opt", 0
@@ -752,12 +821,67 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 else:
                     kind, mw = "quant", 0
                     flavor = "quant"
-                if fmt == "coo":
-                    from ..parallel.batched import (
-                        batched_search_coo,
-                        unpack_chunk_coo,
-                    )
+                from ..parallel.batched import (
+                    batched_decode_search_emit_i8,
+                    batched_decode_search_hist_i8,
+                    batched_decode_search_quantize_i8,
+                    batched_search_coo,
+                    unpack_chunk_buf,
+                    unpack_chunk_coo,
+                )
 
+                if mesh is not None and fmt == "coo":
+                    dc, dpos, dval, dqts, dtg, dej, dei, dev_ = dbuf
+
+                    def _coo_fn(dc_, pos_, val_, qts_, t_, ej_, ei_,
+                                ev_):
+                        # Rebase global exception image indices to this
+                        # shard; rows landing outside [0, local_b) are
+                        # dropped by the scatter's mode="drop".
+                        off = (jax.lax.axis_index("data")
+                               * dc_.shape[0]).astype(ej_.dtype)
+                        out = batched_search_coo(
+                            dc_, pos_, val_, ej_ - off, ei_, ev_, qts_,
+                            t_, h, w, in_sub, subsample, flavor, mw)
+                        if flavor == "quant":
+                            q, sv, fv, pk, f8 = out
+                            out = (q, sv, fv, pk,
+                                   jnp.broadcast_to(f8, q.shape))
+                        return out
+
+                    handles = shard_data_call(
+                        mesh, ("coo", h, w, in_sub, subsample, flavor,
+                               mw),
+                        _coo_fn, dc, dpos, dval, dqts, dtg, dej, dei,
+                        dev_, replicated=3)
+                elif mesh is not None:
+                    di8, dqts, dtg, dej, dei, dev_ = dbuf
+
+                    def _i8_fn(i8_, qts_, t_, ej_, ei_, ev_):
+                        off = (jax.lax.axis_index("data")
+                               * i8_.shape[0]).astype(ej_.dtype)
+                        ejl = ej_ - off
+                        if kind == "opt":
+                            return batched_decode_search_hist_i8(
+                                i8_, ejl, ei_, ev_, qts_, t_, h, w,
+                                in_sub, subsample)
+                        if kind == "emit":
+                            return batched_decode_search_emit_i8(
+                                i8_, ejl, ei_, ev_, qts_, t_, h, w,
+                                in_sub, subsample, emit_words)
+                        q, sv, fv, pk, f8 = \
+                            batched_decode_search_quantize_i8(
+                                i8_, ejl, ei_, ev_, qts_, t_, h, w,
+                                in_sub, subsample)
+                        return (q, sv, fv, pk,
+                                jnp.broadcast_to(f8, q.shape))
+
+                    handles = shard_data_call(
+                        mesh, ("i8", kind, h, w, in_sub, subsample,
+                               mw),
+                        _i8_fn, di8, dqts, dtg, dej, dei, dev_,
+                        replicated=3)
+                elif fmt == "coo":
                     (dc, dpos, dval, dqts, dej, dei, dev_,
                      targets) = unpack_chunk_coo(dbuf, padded, nt,
                                                  meta, e)
@@ -765,13 +889,6 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                         dc, dpos, dval, dej, dei, dev_, dqts, targets,
                         h, w, in_sub, subsample, flavor, mw)
                 else:
-                    from ..parallel.batched import (
-                        batched_decode_search_emit_i8,
-                        batched_decode_search_hist_i8,
-                        batched_decode_search_quantize_i8,
-                        unpack_chunk_buf,
-                    )
-
                     (di8, dqts, dej, dei, dev_,
                      targets) = unpack_chunk_buf(dbuf, padded, nt,
                                                  meta, e)
@@ -946,6 +1063,12 @@ def compress_images_batched(ctx: Optional[Context],
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx)
 
+    # Multi-chip: shard every chunk's batch axis over all local devices
+    # (the TPU-native CompressBatch parallelism, batch.go:58-128).
+    from ..parallel.batched import data_mesh, shard_data_call
+
+    mesh = data_mesh()
+
     if opts.device_entropy is None:
         use_device_entropy = jax.default_backend() == "tpu"
     else:
@@ -968,7 +1091,9 @@ def compress_images_batched(ctx: Optional[Context],
         q_host = np.asarray(qs)
         s_host = np.asarray(ssims)
         f_host = np.asarray(found)
-        if bool(fits8):
+        # fits8 is a scalar on the unsharded path, a per-image vector on
+        # the mesh path (shard_map outputs can't mix per-shard scalars).
+        if bool(np.asarray(fits8).all()):
             packed_h = np.asarray(packed_to_int8(packed))
         else:
             packed_h = np.asarray(packed)
@@ -1024,10 +1149,22 @@ def compress_images_batched(ctx: Optional[Context],
             specs, dc_tabs, ac_tabs = specs_and_tables_batch(
                 dcf.astype(np.int64), acf.astype(np.int64))
 
-            wb = batched_emit_custom(
-                packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs],
-                                                   axis=2)),
-                h, w, subsample, emit_words)
+            tables = np.concatenate([dc_tabs, ac_tabs], axis=2)
+            if mesh is not None:
+                wb = shard_data_call(
+                    mesh, ("emit_custom", h, w, subsample, emit_words),
+                    lambda p, tb: batched_emit_custom(
+                        p, tb, h, w, subsample, emit_words),
+                    packed, tables)
+            else:
+                wb = batched_emit_custom(packed, jnp.asarray(tables),
+                                         h, w, subsample, emit_words)
+        elif mesh is not None:
+            wb = shard_data_call(
+                mesh, ("emit_std", h, w, subsample, emit_words),
+                lambda p: batched_emit_std(p, h, w, subsample,
+                                           emit_words),
+                packed)
         else:
             wb = batched_emit_std(packed, h, w, subsample, emit_words)
         return (chunk_ids, h, w, (q_host, s_host, f_host, specs, wb,
@@ -1080,30 +1217,54 @@ def compress_images_batched(ctx: Optional[Context],
             # uint8 (4x less transfer); opaque chunks ship RGB-only (25%
             # less) — alpha is synthesized on device by the search kernels.
             padded = _next_pow2(b)
+            if mesh is not None:  # shards need equal batch slices
+                padded = -(-padded // mesh.size) * mesh.size
             nch = 3 if all(is_opaque(prepped[i]) for i in chunk) else 4
             stack = np.empty((padded, h, w, nch), dtype=np.uint8)
             for j, i in enumerate(chunk):
                 stack[j] = prepped[i][..., :nch]
             for j in range(b, padded):
                 stack[j] = stack[0]
-            targets = jnp.asarray(
-                np.full((padded,), target, dtype=np.float32))
-            return h, w, chunk, padded, jnp.asarray(stack), targets
+            tgt = np.full((padded,), target, dtype=np.float32)
+            if mesh is not None:
+                from jax.sharding import (
+                    NamedSharding, PartitionSpec as _P,
+                )
 
+                dsh = NamedSharding(mesh, _P("data"))
+                return (h, w, chunk, padded,
+                        jax.device_put(stack, dsh),
+                        jax.device_put(tgt, dsh))
+            return h, w, chunk, padded, jnp.asarray(stack), \
+                jnp.asarray(tgt)
+
+    # Stage A and B each block on one tunnel round-trip per chunk; the
+    # coefficient fast path runs them on dedicated single-thread
+    # executors so those waits stay off the dispatch thread (critical
+    # path = max(feeder, A, B), not their sum).  The pixel path drained
+    # them inline through round 2 — the measured in-memory regression —
+    # so it now uses the same executor scheme.  Single-thread executors
+    # preserve chunk order (the ledger FIFO invariant).
     feeder = concurrent.futures.ThreadPoolExecutor(2)
-    futs = [feeder.submit(_make_stack, j) for j in jobs[:2]]
+    stage_a_exec = concurrent.futures.ThreadPoolExecutor(1)
+    stage_b_exec = concurrent.futures.ThreadPoolExecutor(1)
+    futs = [feeder.submit(_make_stack, j) for j in jobs[:PREFETCH]]
     searchq: List = []
-    emitq: List = []
+    bfuts: List = []
 
-    def _drain_search():
-        e = searchq.pop(0)
-        if e[0] == "dev":
+    def _run_a(kind, chunk_ids, hw, handles):
+        if kind == "dev":
             with _tstage(timer, "stage A: pull + tables + emit"):
-                emitq.append(_stage_a_dev(e[1], *e[2], e[3],
-                                          bool(opts.optimize_huffman)))
-        else:
-            with _tstage(timer, "pull + host encode queue"):
-                _collect_quant(e[1], *e[2], e[3])
+                state = _stage_a_dev(chunk_ids, *hw, handles,
+                                     bool(opts.optimize_huffman))
+            return stage_b_exec.submit(_run_b, state)
+        with _tstage(timer, "pull + host encode queue"):
+            _collect_quant(chunk_ids, *hw, handles)
+        return None
+
+    def _run_b(state):
+        with _tstage(timer, "stage B: words pull + wrap"):
+            _stage_b_dev(*state)
 
     try:
         for k in range(len(jobs)):
@@ -1111,36 +1272,62 @@ def compress_images_batched(ctx: Optional[Context],
                 ctx.raise_if_done()
             h, w, chunk, padded, stack_dev, targets = futs[k].result()
             futs[k] = None
-            if k + 2 < len(jobs):
-                futs.append(feeder.submit(_make_stack, jobs[k + 2]))
+            if k + PREFETCH < len(jobs):
+                futs.append(feeder.submit(_make_stack,
+                                          jobs[k + PREFETCH]))
             with _tstage(timer, "search dispatch"):
                 if use_device_entropy:
                     from ..parallel.batched import batched_search_hist
 
-                    handles = batched_search_hist(stack_dev, targets,
-                                                  subsample)
+                    if mesh is not None:
+                        handles = shard_data_call(
+                            mesh, ("search_hist", subsample),
+                            lambda im, t: batched_search_hist(
+                                im, t, subsample),
+                            stack_dev, targets)
+                    else:
+                        handles = batched_search_hist(stack_dev, targets,
+                                                      subsample)
                     searchq.append(("dev", chunk, (h, w), handles))
                 else:
-                    handles = batched_search_and_quantize(
-                        stack_dev, targets, subsample)
+                    if mesh is not None:
+                        def _quant_fn(im, t):
+                            q, s, f, pk, f8 = batched_search_and_quantize(
+                                im, t, subsample)
+                            return (q, s, f, pk,
+                                    jnp.broadcast_to(f8, q.shape))
+
+                        handles = shard_data_call(
+                            mesh, ("search_quant", subsample),
+                            _quant_fn, stack_dev, targets)
+                    else:
+                        handles = batched_search_and_quantize(
+                            stack_dev, targets, subsample)
                     searchq.append(("quant", chunk, (h, w), handles))
             if len(searchq) >= 2:
-                _drain_search()
-            if len(emitq) >= 2:
-                with _tstage(timer, "stage B: words pull + wrap"):
-                    _stage_b_dev(*emitq.pop(0))
+                bfuts.append(stage_a_exec.submit(_run_a,
+                                                 *searchq.pop(0)))
+            # Backpressure: surface stage A/B errors promptly and bound
+            # the number of chunks' coefficients resident in HBM.
+            while len(bfuts) > 3:
+                bf = bfuts.pop(0).result()
+                if bf is not None:
+                    bf.result()
             _flush_ledger(False)
 
         while searchq:
-            _drain_search()
-        while emitq:
-            with _tstage(timer, "stage B: words pull + wrap"):
-                _stage_b_dev(*emitq.pop(0))
+            bfuts.append(stage_a_exec.submit(_run_a, *searchq.pop(0)))
+        for af in bfuts:
+            bf = af.result()
+            if bf is not None:
+                bf.result()
         for fut in pending:
             fut.result()
         _flush_ledger(True)
         _treport(timer, "pixel-path")
     finally:
         feeder.shutdown(wait=True, cancel_futures=True)
+        stage_a_exec.shutdown(wait=True, cancel_futures=True)
+        stage_b_exec.shutdown(wait=True, cancel_futures=True)
         pool.shutdown(wait=True, cancel_futures=True)
     return results  # type: ignore[return-value]

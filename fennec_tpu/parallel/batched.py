@@ -24,6 +24,68 @@ from ..ops.color import luminance_device
 from ..ops.ssim import ssim_map_device
 
 
+# ── Production data-parallel mesh ───────────────────────────────────────
+#
+# The reference's CompressBatch saturates every core with a goroutine
+# worker pool (batch.go:58-128).  The TPU-native equivalent shards the
+# fused mega-batch dispatches over ALL local chips via one Mesh('data')
+# axis: each chip searches/quantizes/emits its shard of the chunk, no
+# collectives needed (images are independent).
+
+def data_mesh():
+    """The mesh the production batch engines shard over, or None.
+
+    Auto-enabled on multi-chip TPU backends; FENNEC_MESH=0 disables,
+    FENNEC_MESH=1 forces it on any multi-device backend (the test suite
+    and the driver dryrun use this on the 8-virtual-device CPU backend).
+    Single-device backends always return None — the unsharded dispatch
+    path is byte-identical and avoids shard_map overhead."""
+    import os
+
+    flag = os.environ.get("FENNEC_MESH", "")
+    if flag == "0":
+        return None
+    devs = jax.devices()
+    if len(devs) < 2:
+        return None
+    if devs[0].platform != "tpu" and flag != "1":
+        return None
+    return Mesh(np.array(devs), ("data",))
+
+
+_SHARD_CACHE: dict = {}
+
+
+def shard_data_call(mesh: Mesh, key, fn, *args, replicated: int = 0):
+    """Dispatch fn(*args) SPMD over mesh's 'data' axis via jax.shard_map.
+
+    Every arg and every output leaf is a batch-leading array sharded on
+    dim 0, except the LAST `replicated` args, which are replicated to
+    every device (cross-image side inputs, e.g. the coefficient path's
+    flat exception lists).  Batch dim 0 of the sharded args must divide
+    by mesh.size (the engines pad chunks accordingly).
+
+    `key` must uniquely identify fn's traced program (name + every
+    static argument fn closes over) — the wrapped jit is cached on
+    (devices, key) so repeated chunks reuse one program per shape, same
+    as the unsharded @jax.jit entry points."""
+    nk = (tuple(int(d.id) for d in mesh.devices.flat), key, replicated)
+    cached = _SHARD_CACHE.get(nk)
+    if cached is None:
+        nshard = len(args) - replicated
+        in_specs = tuple([P("data")] * nshard + [P()] * replicated)
+        cached = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=P("data"),
+            check_vma=False))
+        _SHARD_CACHE[nk] = cached
+    dsh = NamedSharding(mesh, P("data"))
+    rsh = NamedSharding(mesh, P())
+    nshard = len(args) - replicated
+    put = [jax.device_put(a, dsh if i < nshard else rsh)
+           for i, a in enumerate(args)]
+    return cached(*put)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def batched_quality_search(imgs: jax.Array, targets: jax.Array,
                            subsample: bool = True):
