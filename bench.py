@@ -181,7 +181,12 @@ def main():
     # ── North-star workload: CompressBatch over real files ──
     import tempfile
 
-    batch_n = 128
+    # 512 files (8 pipelined chunks): enough to measure the steady-state
+    # pipeline rate rather than the 2-chunk ramp — the BASELINE.md
+    # north-star workload is a 10k-photo batch, so steady state is the
+    # faithful number (examples/bench_sustained.py holds this rate at
+    # 10k, BENCH_NOTES.md).
+    batch_n = 512
     with tempfile.TemporaryDirectory() as tmp:
         srcs = write_jpeg_fixtures(tmp, batch_n)
         bopts = fennec.BatchOptions(
