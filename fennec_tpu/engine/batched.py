@@ -51,6 +51,11 @@ BATCH_CHUNK = int(os.environ.get("FENNEC_BATCH_CHUNK", "64"))
 # of the latency-critical small pulls: 64-img chunks at 500² measured
 # 219-233 img/s at depth 2, 203-216 at 3, 148-163 at 4).
 PREFETCH = max(2, int(os.environ.get("FENNEC_BATCH_PREFETCH", "2")))
+# Fused optimal-Huffman: search → histograms → DEVICE K.2 table build →
+# custom-table emission in ONE dispatch with ONE pull (ops/huffbuild.py),
+# vs the two-stage hist-pull → host-tables → emit-dispatch → words-pull.
+# FENNEC_FUSED_OPT=0 restores the two-stage path (A/B, CPU debugging).
+FUSED_OPT = os.environ.get("FENNEC_FUSED_OPT", "1") != "0"
 
 
 def _batch_timer():
@@ -300,6 +305,63 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             pending.extend(futs)
             ledger.append((chunk_ids, futs))
 
+    def _collect_opt_fused(chunk_ids, handles):
+        """Pull a FUSED optimal-Huffman chunk (flavor "opt"): the device
+        built the K.2 tables itself and emitted with them, so the ONE
+        packed pull carries q/ssim/found/bits, the DHT specs, and the
+        scan words.  Same 8 MB guard as _collect_emit: oversized buffers
+        pull the header first and slice the words to the chunk's actual
+        bit extent."""
+        from ..codecs.jpeg import _dht_segment_custom
+        from ..ops.jpeg_emit import finalize_scan_host
+        from ..parallel.batched import (
+            OPT_HDR,
+            specs_from_opt_header,
+            split_opt_header,
+        )
+
+        b = handles.shape[0]
+        with _tstage(timer, "opt: packed pull"):
+            if (OPT_HDR + emit_words) * b * 4 <= (8 << 20):
+                wb_h = np.asarray(handles)
+                hdr, words_h = wb_h[:, :OPT_HDR], wb_h[:, OPT_HDR:]
+            else:
+                hdr = np.asarray(handles[:, :OPT_HDR])
+                bmax = int(hdr[:, 3].astype(np.int64).max())
+                used = min(bmax // 32 + 2, emit_words)
+                words_h = np.asarray(
+                    handles[:, OPT_HDR:OPT_HDR + used])
+        (q_host, s_host, f_host, bits_h, ovf, bits16, nvals,
+         vals) = split_opt_header(hdr)
+
+        def emit_one(i: int, j: int) -> None:
+            res = results[i]
+            # K.2 >32-bit code (host builder raises the canonical
+            # ValueError) or word-capacity overflow: redo on host.
+            if bool(ovf[j]) or int(bits_h[j]) + 64 > emit_words * 32:
+                return _overflow_redo(i, res)
+            quality = int(q_host[j])
+            ssim_val = float(s_host[j])
+            if not bool(f_host[j]):
+                quality, ssim_val = 100, 1.0
+            scan = finalize_scan_host(words_h[j], int(bits_h[j]))
+            dht = _dht_segment_custom(
+                *specs_from_opt_header(bits16, nvals, vals, j))
+            data = assemble_jpeg(dst_w, dst_h,
+                                 all_quality_tables()[quality],
+                                 scan, subsample, dht=dht)
+            res.jpeg_quality = quality
+            res.ssim = ssim_val
+            res.compressed_data = data
+            res.compressed_size = len(data)
+            res.compute_stats()
+
+        futs = [pool.submit(emit_one, i, j)
+                for j, i in enumerate(chunk_ids)]
+        with _flush_ledger.lock:
+            pending.extend(futs)
+            ledger.append((chunk_ids, futs))
+
     def _stage_a_opt(chunk_ids, handles):
         """Stage A of the optimal-Huffman pipeline: pull the SMALL search
         outputs + symbol histograms (blocks only until the search kernel
@@ -383,6 +445,8 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         kind, chunk_ids, handles = entry
         if kind == "emit":
             return _collect_emit(chunk_ids, handles)
+        if kind == "optf":
+            return _collect_opt_fused(chunk_ids, handles)
         if kind == "opt":
             return _stage_b_opt(*_stage_a_opt(chunk_ids, handles))
         (qs, ssims, found, packed, fits8) = handles
@@ -813,8 +877,15 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                                           starts[i + PREFETCH]))
             with _tstage(timer, "search dispatch"):
                 if use_device_entropy and opts.optimize_huffman:
-                    kind, mw = "opt", 0
-                    flavor = "hist"
+                    if FUSED_OPT:
+                        # mw stays 0: dispatch 1 doesn't emit, and the
+                        # program cache key must not vary with input
+                        # file sizes.
+                        kind, mw = "optf", 0
+                        flavor = "opt"
+                    else:
+                        kind, mw = "opt", 0
+                        flavor = "hist"
                 elif use_device_entropy:
                     kind, mw = "emit", emit_words
                     flavor = "emit"
@@ -824,6 +895,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 from ..parallel.batched import (
                     batched_decode_search_emit_i8,
                     batched_decode_search_hist_i8,
+                    batched_decode_search_opt_i8,
                     batched_decode_search_quantize_i8,
                     batched_search_coo,
                     unpack_chunk_buf,
@@ -861,6 +933,10 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                         off = (jax.lax.axis_index("data")
                                * i8_.shape[0]).astype(ej_.dtype)
                         ejl = ej_ - off
+                        if kind == "optf":
+                            return batched_decode_search_opt_i8(
+                                i8_, ejl, ei_, ev_, qts_, t_, h, w,
+                                in_sub, subsample)
                         if kind == "opt":
                             return batched_decode_search_hist_i8(
                                 i8_, ejl, ei_, ev_, qts_, t_, h, w,
@@ -892,7 +968,11 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     (di8, dqts, dej, dei, dev_,
                      targets) = unpack_chunk_buf(dbuf, padded, nt,
                                                  meta, e)
-                    if kind == "opt":
+                    if kind == "optf":
+                        handles = batched_decode_search_opt_i8(
+                            di8, dej, dei, dev_, dqts, targets, h, w,
+                            in_sub, subsample)
+                    elif kind == "opt":
                         handles = batched_decode_search_hist_i8(
                             di8, dej, dei, dev_, dqts, targets, h, w,
                             in_sub, subsample)
@@ -904,6 +984,25 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                         handles = batched_decode_search_quantize_i8(
                             di8, dej, dei, dev_, dqts, targets, h, w,
                             in_sub, subsample)
+                if kind == "optf":
+                    # Chain the custom-table emission on the RESIDENT
+                    # dispatch-1 handles — both dispatches are async, so
+                    # the host pays zero round-trips between them (the
+                    # single guarded pull happens in _collect_opt_fused).
+                    from ..parallel.batched import batched_emit_custom_hdr
+
+                    hdr_d, pk_d, tb_d = handles
+                    if mesh is not None:
+                        handles = shard_data_call(
+                            mesh, ("emit_hdr", h, w, subsample,
+                                   emit_words),
+                            lambda p, tb, hd: batched_emit_custom_hdr(
+                                p, tb, hd, h, w, subsample, emit_words),
+                            pk_d, tb_d, hdr_d)
+                    else:
+                        handles = batched_emit_custom_hdr(
+                            pk_d, tb_d, hdr_d, h, w, subsample,
+                            emit_words)
                 searchq.append((kind, chunk, handles))
 
             if len(searchq) >= 2:
@@ -1125,6 +1224,57 @@ def compress_images_batched(ctx: Optional[Context],
             pending.extend(futs)
             ledger.append((chunk_ids, futs))
 
+    def _collect_opt_px(chunk_ids, h, w, mw, handles):
+        """Fused optimal-Huffman pixel chunk: ONE guarded pull carries
+        q/ssim/found/bits, the device-built DHT specs, and the scan
+        words.  mw is the hard per-block bound (53 words/block), so
+        word overflow is impossible; the K.2 >32-bit flag (pathological
+        histograms where the host builder raises) redoes that image on
+        the per-image host path."""
+        from ..codecs.jpeg import _dht_segment_custom
+        from ..ops.jpeg_emit import finalize_scan_host
+        from ..parallel.batched import (
+            OPT_HDR,
+            specs_from_opt_header,
+            split_opt_header,
+        )
+
+        b = handles.shape[0]
+        if (OPT_HDR + mw) * b * 4 <= (8 << 20):
+            wb_h = np.asarray(handles)
+            hdr, words_h = wb_h[:, :OPT_HDR], wb_h[:, OPT_HDR:]
+        else:
+            hdr = np.asarray(handles[:, :OPT_HDR])
+            bmax = int(hdr[:, 3].astype(np.int64).max())
+            used = min(bmax // 32 + 2, mw)
+            words_h = np.asarray(handles[:, OPT_HDR:OPT_HDR + used])
+        (q_host, s_host, f_host, bits_h, ovf, bits16, nvals,
+         vals) = split_opt_header(hdr)
+
+        def emit_one(i: int, j: int) -> None:
+            if bool(ovf[j]):
+                from ..api import compress_image
+                od = results[i].original_dimensions
+                results[i] = compress_image(ctx, prepped[i], opts)
+                results[i].original_dimensions = od
+                return
+            quality = int(q_host[j])
+            if not bool(f_host[j]):
+                quality = 100
+            scan = finalize_scan_host(words_h[j], int(bits_h[j]))
+            dht = _dht_segment_custom(
+                *specs_from_opt_header(bits16, nvals, vals, j))
+            data = assemble_jpeg(w, h, all_quality_tables()[quality],
+                                 scan, subsample, dht=dht)
+            _finalize(i, int(q_host[j]), float(s_host[j]),
+                      bool(f_host[j]), data)
+
+        futs = [pool.submit(emit_one, i, j)
+                for j, i in enumerate(chunk_ids)]
+        with _flush_ledger.lock:
+            pending.extend(futs)
+            ledger.append((chunk_ids, futs))
+
     def _stage_a_dev(chunk_ids, h, w, handles, use_opt):
         """Stage A: pull small search outputs + histograms, build tables
         (one C call), dispatch the stage-2 emission on the resident
@@ -1258,6 +1408,10 @@ def compress_images_batched(ctx: Optional[Context],
                 state = _stage_a_dev(chunk_ids, *hw, handles,
                                      bool(opts.optimize_huffman))
             return stage_b_exec.submit(_run_b, state)
+        if kind == "optf":
+            with _tstage(timer, "opt: packed pull + wrap"):
+                _collect_opt_px(chunk_ids, *hw, handles)
+            return None
         with _tstage(timer, "pull + host encode queue"):
             _collect_quant(chunk_ids, *hw, handles)
         return None
@@ -1276,7 +1430,52 @@ def compress_images_batched(ctx: Optional[Context],
                 futs.append(feeder.submit(_make_stack,
                                           jobs[k + PREFETCH]))
             with _tstage(timer, "search dispatch"):
-                if use_device_entropy:
+                # Fused single-dispatch optimal path: word capacity is
+                # the hard 53-words/block bound (no input file to size
+                # from), so gate on the padded device buffer staying
+                # reasonable — large stills fall back to the two-stage
+                # exact-sized path.
+                mult_ = 16 if subsample else 8
+                ph_ = h + (-h) % mult_
+                pw_ = w + (-w) % mult_
+                nb_ = ((ph_ // 8) * (pw_ // 8)
+                       + 2 * ((ph_ // 16) * (pw_ // 16) if subsample
+                              else (ph_ // 8) * (pw_ // 8)))
+                opt_mw = nb_ * 53 + 64
+                fused = (use_device_entropy and opts.optimize_huffman
+                         and FUSED_OPT
+                         and (opt_mw + 209) * 4 * padded <= (256 << 20))
+                if fused:
+                    from ..parallel.batched import (
+                        batched_emit_custom_hdr,
+                        batched_search_opt,
+                    )
+
+                    # Two chained async dispatches, zero host pulls in
+                    # between: search+hist+K.2-build returns RESIDENT
+                    # handles, the custom-table emission consumes them.
+                    # (A single fused program measured 2.7× slower —
+                    # XLA pessimizes the one-hot code lookups when the
+                    # tables are intermediates instead of inputs.)
+                    if mesh is not None:
+                        hdr_d, pk_d, tb_d = shard_data_call(
+                            mesh, ("search_opt", subsample),
+                            lambda im, t: batched_search_opt(
+                                im, t, subsample),
+                            stack_dev, targets)
+                        handles = shard_data_call(
+                            mesh, ("emit_hdr", h, w, subsample, opt_mw),
+                            lambda p, tb, hd: batched_emit_custom_hdr(
+                                p, tb, hd, h, w, subsample, opt_mw),
+                            pk_d, tb_d, hdr_d)
+                    else:
+                        hdr_d, pk_d, tb_d = batched_search_opt(
+                            stack_dev, targets, subsample)
+                        handles = batched_emit_custom_hdr(
+                            pk_d, tb_d, hdr_d, h, w, subsample, opt_mw)
+                    searchq.append(("optf", chunk, (h, w, opt_mw),
+                                    handles))
+                elif use_device_entropy:
                     from ..parallel.batched import batched_search_hist
 
                     if mesh is not None:

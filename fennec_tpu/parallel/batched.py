@@ -206,6 +206,182 @@ def packed_hist_bits(packed: jax.Array, h: int, w: int,
         acf.reshape(b, -1).astype(jnp.int32)], axis=1)
 
 
+# ── Chained-dispatch optimal-Huffman emission ───────────────────────────
+#
+# The two-stage optimal path (hist pull → host K.2 build → emit dispatch
+# → words pull) pays two tunnel round-trips per chunk.  With the K.2
+# builder on device (ops/huffbuild.py, bit-exact vs the host builder)
+# the chain becomes: dispatch 1 — search → histograms → table build
+# (resident coefficients + resident tables + header out); dispatch 2 —
+# custom-table emission fed the RESIDENT handles.  Both dispatches are
+# async, so the host never blocks between them: one upload, one guarded
+# pull per chunk.  (A fully fused single program was measured 2.7×
+# slower on TPU — XLA pessimizes the emission's one-hot code lookups
+# when the tables are loop-carried intermediates instead of program
+# inputs; two programs keep each at its measured-best speed.)
+#
+# Final output layout, (B, OPT_HDR + max_words) uint32:
+#   col 0 q | 1 ssim (f32 bits) | 2 found | 3 total emitted bits |
+#   4 K.2 overflow flag (codesize > 32 pre-redistribution: redo this
+#     image on the host, which raises the identical ValueError) |
+#   5:69   DHT BITS lists, (4, 16) table order [dcl, dcc, acl, acc] |
+#   69:73  nvals (4,) |
+#   73:209 DHT VALS bytes — dcl[16] dcc[16] acl[256] acc[256] = 544
+#          bytes packed 4/word |
+#   209:   the emitted scan words.
+
+OPT_HDR = 209
+
+
+def _pack_opt_header(q, s, f, bits, ovf, bits16, vals, nvals):
+    b = q.shape[0]
+    vals_u8 = jnp.concatenate([
+        vals[:, 0, :16], vals[:, 1, :16], vals[:, 2, :],
+        vals[:, 3, :]], axis=1).astype(jnp.uint8)  # (B, 544)
+    vals_w = jax.lax.bitcast_convert_type(
+        vals_u8.reshape(b, 136, 4), jnp.uint32)
+    return jnp.concatenate([
+        q.astype(jnp.uint32)[:, None],
+        jax.lax.bitcast_convert_type(
+            s.astype(jnp.float32), jnp.uint32)[:, None],
+        f.astype(jnp.uint32)[:, None],
+        bits.astype(jnp.uint32)[:, None],
+        ovf.astype(jnp.uint32)[:, None],
+        bits16.reshape(b, 64).astype(jnp.uint32),
+        nvals.astype(jnp.uint32), vals_w], axis=1)
+
+
+def _search_build_tail(q, s, f, packed, ph: int, pw: int,
+                       out_subsample: bool):
+    """Shared tail of every dispatch-1 entry: resident winning
+    coefficients → histograms → device K.2 tables → (header with
+    bits col 3 zeroed, resident packed, resident tables)."""
+    from ..ops.huffbuild import build_tables_device
+    from ..ops.jpeg_emit import scan_symbol_hist_device
+
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if out_subsample else ny
+    dc_freq, ac_freq = jax.vmap(lambda p: scan_symbol_hist_device(
+        p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw,
+        out_subsample))(packed)
+    tables, bits16, vals, nvals, ovf = build_tables_device(
+        dc_freq, ac_freq)
+    hdr = _pack_opt_header(q, s, f, jnp.zeros_like(q), ovf, bits16,
+                           vals, nvals)
+    return hdr, packed, tables
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def batched_emit_custom_hdr(packed: jax.Array, tables: jax.Array,
+                            hdr: jax.Array, h: int, w: int,
+                            out_subsample: bool, max_words: int):
+    """Dispatch 2 of the chained optimal path: emit the RESIDENT
+    coefficients with the RESIDENT device-built tables, splice the total
+    bit count into header col 3, and return the single packed
+    (B, OPT_HDR + max_words) output (split_opt_header +
+    pull-guard layout above)."""
+    from ..ops.jpeg_emit import emit_scan_device
+
+    mult = 16 if out_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16) if out_subsample else ny
+
+    def one(p, tabp):
+        dcp, acp = tabp[:, :16], tabp[:, 16:]
+        dct = jnp.stack([dcp >> 5, dcp & 31], axis=1)
+        act = jnp.stack([acp >> 5, acp & 31], axis=1)
+        return emit_scan_device(
+            p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
+            max_words, dc_tables=dct, ac_tables=act,
+            batch_hint=packed.shape[0])
+
+    words, bits = jax.vmap(one)(packed, tables)
+    return jnp.concatenate([
+        hdr[:, :3], bits.astype(jnp.uint32)[:, None], hdr[:, 4:],
+        words], axis=1)
+
+
+def split_opt_header(hdr_host: np.ndarray):
+    """Host decode of the fused-opt header (B, OPT_HDR) uint32 →
+    (q, ssim f32, found, bits int64, overflow, bits16 (B,4,16),
+    vals bytes (B,544), nvals (B,4))."""
+    b = hdr_host.shape[0]
+    q = hdr_host[:, 0].astype(np.int32)
+    s = np.ascontiguousarray(hdr_host[:, 1]).view(np.float32)
+    f = hdr_host[:, 2] != 0
+    bits = hdr_host[:, 3].astype(np.int64)
+    ovf = hdr_host[:, 4] != 0
+    bits16 = hdr_host[:, 5:69].reshape(b, 4, 16).astype(np.int32)
+    nvals = hdr_host[:, 69:73].astype(np.int32)
+    vals = np.ascontiguousarray(
+        hdr_host[:, 73:209]).view(np.uint8).reshape(b, 544)
+    return q, s, f, bits, ovf, bits16, nvals, vals
+
+
+def specs_from_opt_header(bits16, nvals, vals, j: int):
+    """Rebuild the (dc_specs, ac_specs) lists for image j from pulled
+    header arrays — the codecs.jpeg._dht_segment_custom input."""
+    segs = (vals[j, :16], vals[j, 16:32], vals[j, 32:288],
+            vals[j, 288:544])
+    dc_specs = [(bits16[j, c].tolist(),
+                 segs[c][:nvals[j, c]].tolist()) for c in range(2)]
+    ac_specs = [(bits16[j, 2 + c].tolist(),
+                 segs[2 + c][:nvals[j, 2 + c]].tolist())
+                for c in range(2)]
+    return dc_specs, ac_specs
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def batched_search_opt(imgs: jax.Array, targets: jax.Array,
+                       subsample: bool):
+    """Pixel-path dispatch 1 of the chained optimal path: images in →
+    (header, resident packed coefficients, resident K.2 tables).  Chase
+    with batched_emit_custom_hdr — no host pull in between."""
+    imgs = imgs.astype(jnp.float32)
+    if imgs.shape[-1] == 3:
+        alpha = jnp.full(imgs.shape[:-1] + (1,), 255.0,
+                         dtype=jnp.float32)
+        imgs = jnp.concatenate([imgs, alpha], axis=-1)
+    h, w = imgs.shape[1:3]
+    mult = 16 if subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, subsample)
+    return _search_build_tail(q, s, f, packed, ph, pw, subsample)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def batched_decode_search_opt_i8(packed_i8: jax.Array,
+                                 exc_img: jax.Array, exc_off: jax.Array,
+                                 exc_val: jax.Array,
+                                 in_qtabs: jax.Array, targets: jax.Array,
+                                 h: int, w: int, in_subsample: bool,
+                                 out_subsample: bool):
+    """Coefficient fast path, dense-i8 upload, dispatch 1 of the
+    chained optimal path: decode → search → quantize → histograms →
+    device K.2 tables → (header, resident packed, resident tables)."""
+    from ..engine.compress import decode_jpeg_image_device
+
+    dense = _i8_zigzag_to_natural(packed_i8, exc_img, exc_off, exc_val)
+
+    mult_in = 16 if in_subsample else 8
+    phi, pwi = h + (-h) % mult_in, w + (-w) % mult_in
+    nyi = (phi // 8) * (pwi // 8)
+    nci = (phi // 16) * (pwi // 16) if in_subsample else nyi
+
+    imgs = jax.vmap(lambda y, cb, cr, qt: decode_jpeg_image_device(
+        y.astype(jnp.float32), cb.astype(jnp.float32),
+        cr.astype(jnp.float32), qt.astype(jnp.float32),
+        h, w, in_subsample))(dense[:, :nyi], dense[:, nyi:nyi + nci],
+                             dense[:, nyi + nci:], in_qtabs)
+    q, s, f, packed = batched_quality_search_quantize_device(
+        imgs, targets, out_subsample)
+    mult = 16 if out_subsample else 8
+    ph, pw = h + (-h) % mult, w + (-w) % mult
+    return _search_build_tail(q, s, f, packed, ph, pw, out_subsample)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def batched_emit_std(packed: jax.Array, h: int, w: int,
                      out_subsample: bool, max_words: int):
@@ -409,7 +585,10 @@ def batched_search_coo(dc: jax.Array, pos: jax.Array, val: jax.Array,
       standard-table scan assembled on device (mirrors
       batched_decode_search_emit_i8);
     - "quant": returns (q, ssim, found, packed, fits_int8) (mirrors
-      batched_decode_search_quantize_i8).
+      batched_decode_search_quantize_i8);
+    - "opt": returns (header, resident packed, resident K.2 tables) —
+      dispatch 1 of the chained optimal path (mirrors
+      batched_decode_search_opt_i8; chase with batched_emit_custom_hdr).
     """
     from ..ops.jpeg_emit import emit_scan_device, scan_symbol_hist_device
     from ..ops.jpeg_size import bits_std_from_hist
@@ -424,6 +603,9 @@ def batched_search_coo(dc: jax.Array, pos: jax.Array, val: jax.Array,
 
     mult = 16 if out_subsample else 8
     ph, pw = h + (-h) % mult, w + (-w) % mult
+    if flavor == "opt":
+        return _search_build_tail(q, s, f, packed, ph, pw,
+                                  out_subsample)
     ny = (ph // 8) * (pw // 8)
     nc = (ph // 16) * (pw // 16) if out_subsample else ny
     if flavor == "emit":
