@@ -182,12 +182,153 @@ def _resize_group_jit(stack: jax.Array, idx: jax.Array, wh: jax.Array,
 # ── Host-side batch encode (optimal Huffman, byte-identical to the host
 #    encoder — same two-stage emission as the standard-mode batch path) ──────
 
+# EXPERIMENTAL (FENNEC_TS_FUSED=1): K.2 tables built ON DEVICE
+# (ops/huffbuild.py) and the emission chained on resident handles — two
+# async dispatches, ONE guarded pull, zero host table builds.  Default
+# OFF: this call chain (unlike the batch engine's identical-looking
+# FUSED_OPT chain) trips a jax-0.9 captured-constant runtime bug on
+# repeat calls — "Execution supplied 2 buffers but compiled program
+# expected 14 buffers" on CPU, "TPU backend error (InvalidArgument)" on
+# TPU — even with one jit closure per (geometry, batch) signature.  The
+# two-stage path below costs one extra pull per encode round and has
+# been solid since r2.
+TS_FUSED = os.environ.get("FENNEC_TS_FUSED", "0") == "1"
+
+# Concurrent strategy speculation (S1 ∥ S2 ∥ S3) and concurrent S3
+# final-geometry groups.  FENNEC_TS_CONC=0 restores the sequential
+# cascade (debugging / pathological hosts).
+TS_CONC = os.environ.get("FENNEC_TS_CONC", "1") != "0"
+
+
+@functools.lru_cache(maxsize=64)
+def _quantize_build_for(ph: int, pw: int, b: int):
+    """Per-padded-geometry jitted dispatch 1 of the chained target-size
+    encode: quantize resident (B, NT, 64) coefficients at per-image
+    qualities, then histogram + device K.2 table build
+    (parallel.batched._search_build_tail) — the packed coefficients and
+    tables stay RESIDENT for the chained batched_emit_custom_hdr
+    dispatch.
+
+    One jit PER (padded geometry, batch size) — the padded dims are all
+    the program depends on ((79,95) and (80,96) share a program) —
+    rather than static_argnums: retracing/re-keying ONE jit wrapper for
+    a second signature trips a jax-0.9 captured-constant bug on this
+    call chain ("Execution supplied 2 buffers but compiled program
+    expected 14 buffers": the hoisted device-array constants of the
+    prior executable stop being supplied).  A closure per signature
+    compiles exactly once and never retraces."""
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16)
+
+    @jax.jit
+    def f(coefs: jax.Array, qvec: jax.Array):
+        from ..parallel.batched import _search_build_tail
+
+        all_tables = jnp.asarray(dct_ops.all_quality_tables(),
+                                 dtype=jnp.float32)
+
+        def one(c, q):
+            qtab = jax.lax.dynamic_index_in_dim(all_tables, q, axis=0,
+                                                keepdims=False)
+            qy = dct_ops.quantize_blocks(c[:ny], qtab[0])
+            qcb = dct_ops.quantize_blocks(c[ny:ny + nc], qtab[1])
+            qcr = dct_ops.quantize_blocks(c[ny + nc:], qtab[1])
+            return jnp.concatenate([qy, qcb, qcr],
+                                   axis=0).astype(jnp.int16)
+
+        packed = jax.vmap(one)(coefs, qvec)
+        b = packed.shape[0]
+        return _search_build_tail(
+            qvec, jnp.zeros((b,), jnp.float32),
+            jnp.ones((b,), jnp.bool_), packed, ph, pw, True)
+
+    return f
+
+
+def _quantize_build_jit(coefs: jax.Array, qvec: jax.Array, h: int,
+                        w: int):
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    return _quantize_build_for(ph, pw, int(coefs.shape[0]))(coefs, qvec)
+
+
+def _encode_batch_fused(pool, coefs: jax.Array, qvec: np.ndarray,
+                        h: int, w: int,
+                        target_bytes: int) -> List[bytes]:
+    """Fused encode round: 2 chained async dispatches + 1 guarded pull.
+
+    Word capacity is sized statically from the target (the bisection
+    winner's standard-table bits never exceed the budget, optimal tables
+    only shrink, and ascent probes move one quality step ≈ ±10%); the
+    rare overflow and the K.2 >32-bit-code flag fall back per lane to
+    the two-stage host-table path."""
+    from ..codecs.jpeg import _dht_segment_custom, assemble_jpeg
+    from ..ops.jpeg_emit import finalize_scan_host
+    from ..parallel.batched import (
+        OPT_HDR,
+        batched_emit_custom_hdr,
+        specs_from_opt_header,
+        split_opt_header,
+    )
+
+    b = len(qvec)
+    qdev = jnp.asarray(qvec, dtype=jnp.int32)
+    hdr_d, packed_d, tables_d = _quantize_build_jit(coefs, qdev, h, w)
+    max_words = _next_pow2(target_bytes // 2 + 256)
+    wb = batched_emit_custom_hdr(packed_d, tables_d, hdr_d, h, w, True,
+                                 max_words)
+    if (OPT_HDR + max_words) * b * 4 <= (8 << 20):
+        wb_h = np.asarray(wb)
+        hdr, words_h = wb_h[:, :OPT_HDR], wb_h[:, OPT_HDR:]
+    else:
+        hdr = np.asarray(wb[:, :OPT_HDR])
+        bmax = int(hdr[:, 3].astype(np.int64).max())
+        used = min(bmax // 32 + 2, max_words)
+        words_h = np.asarray(wb[:, OPT_HDR:OPT_HDR + used])
+    (_q, _s, _f, bits_h, ovf, bits16, nvals,
+     vals) = split_opt_header(hdr)
+
+    out: List[Optional[bytes]] = [None] * b
+    qtabs = dct_ops.all_quality_tables()
+    redo = [j for j in range(b)
+            if bool(ovf[j]) or int(bits_h[j]) + 64 > max_words * 32]
+    redo_set = set(redo)
+
+    def emit(j: int) -> None:
+        if j in redo_set:
+            return
+        scan = finalize_scan_host(words_h[j], int(bits_h[j]))
+        dht = _dht_segment_custom(
+            *specs_from_opt_header(bits16, nvals, vals, j))
+        out[j] = assemble_jpeg(w, h, qtabs[int(qvec[j])], scan, True,
+                               dht=dht)
+
+    list(pool.map(emit, range(b)))
+    if redo:  # rare: exact-sized two-stage encode for those lanes only
+        idx = _pad_lanes(redo)
+        sub = jnp.take(coefs, jnp.asarray(idx), axis=0)
+        enc = _encode_two_stage(pool, sub, qvec[idx].astype(np.int32),
+                                h, w)
+        for k, j in enumerate(redo):
+            out[j] = enc[k]
+    return out  # type: ignore[return-value]
+
 
 def _encode_batch_at(pool, coefs: jax.Array, qvec: np.ndarray,
-                     h: int, w: int) -> List[bytes]:
+                     h: int, w: int,
+                     target_bytes: int = 0) -> List[bytes]:
     """Encode every image's resident coefficients at its own quality with
     per-image optimal Huffman tables (the target-size engine always
-    optimizes, matching _JpegSizer).  2 device dispatches per call."""
+    optimizes, matching _JpegSizer).  Fused device-table path when a
+    target is known; otherwise 2 device dispatches + 2 pulls."""
+    if TS_FUSED and target_bytes > 0:
+        return _encode_batch_fused(pool, coefs, qvec, h, w, target_bytes)
+    return _encode_two_stage(pool, coefs, qvec, h, w)
+
+
+def _encode_two_stage(pool, coefs: jax.Array, qvec: np.ndarray,
+                      h: int, w: int) -> List[bytes]:
+    """Two-stage encode: pull histograms, build K.2 tables on host,
+    dispatch emission sized from the exact bit counts."""
     from ..codecs.huffopt import specs_and_tables_batch
     from ..codecs.jpeg import _dht_segment_custom, assemble_jpeg
     from ..ops.jpeg_emit import finalize_scan_host
@@ -223,19 +364,26 @@ def _encode_batch_at(pool, coefs: jax.Array, qvec: np.ndarray,
 
 
 def _encode_lanes(pool, coefs: jax.Array, qvec: np.ndarray,
-                  sel: np.ndarray, h: int, w: int
-                  ) -> List[Tuple[int, bytes]]:
-    """Encode only the selected lanes of the resident coefficient stack
-    (gathered into a pow2-padded sub-batch to bound recompiles); returns
-    (lane, bytes) pairs.  A straggler lane needing many verify/ascent
-    rounds no longer re-encodes the whole bucket each round."""
+                  sel: np.ndarray, h: int, w: int,
+                  target_bytes: int = 0) -> List[Tuple[int, bytes]]:
+    """Encode only the selected lanes of the resident coefficient stack,
+    gathered into a sub-batch padded to the FULL stack width; returns
+    (lane, bytes) pairs.  One lane count per geometry keeps every encode
+    round on the ONE already-compiled program — pow2 sub-padding minted
+    a program per (geometry, pow2 size) pair, and retracing the fused
+    encode with a second batch size trips a jax-0.9 captured-constant
+    bug ("Execution supplied 2 buffers but compiled program expected
+    14": the retraced executable's hoisted device-array constants are
+    not re-supplied at call time)."""
     b = int(coefs.shape[0])
     if len(sel) == b:
-        enc = _encode_batch_at(pool, coefs, qvec.astype(np.int32), h, w)
+        enc = _encode_batch_at(pool, coefs, qvec.astype(np.int32), h, w,
+                               target_bytes)
         return list(enumerate(enc))
-    idx = _pad_lanes(sel)
+    idx = _pad_lanes(sel, pad_to=b)
     sub = jnp.take(coefs, jnp.asarray(idx), axis=0)
-    enc = _encode_batch_at(pool, sub, qvec[idx].astype(np.int32), h, w)
+    enc = _encode_batch_at(pool, sub, qvec[idx].astype(np.int32), h, w,
+                           target_bytes)
     return [(int(sel[k]), enc[k]) for k in range(len(sel))]
 
 
@@ -268,7 +416,8 @@ def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
     pending = ok.copy()
     while pending.any():
         for j, e in _encode_lanes(pool, coefs, q,
-                                  np.nonzero(pending)[0], h, w):
+                                  np.nonzero(pending)[0], h, w,
+                                  target_bytes):
             if len(e) <= target_bytes:
                 data[j] = e
                 pending[j] = False
@@ -286,7 +435,8 @@ def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
     while climbing.any():
         trial = np.where(climbing, q + 1, q)
         for j, e in _encode_lanes(pool, coefs, trial,
-                                  np.nonzero(climbing)[0], h, w):
+                                  np.nonzero(climbing)[0], h, w,
+                                  target_bytes):
             if len(e) <= target_bytes:
                 q[j] += 1
                 data[j] = e
@@ -617,9 +767,9 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
         fw, fh = int(w * scale), int(h * scale)
         finals.setdefault((fw, fh), []).append(i)
 
-    for (fw, fh), group in finals.items():
+    def _final_group(fw: int, fh: int, group: List[int]) -> None:
         if _ctx_err(ctx):
-            break
+            return
         from ..ops.resize import lanczos_weights_device
 
         idx = _pad_lanes(group)
@@ -657,6 +807,21 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
                                 final_w=fw, final_h=fh,
                                 img_fetch=functools.partial(
                                     _fetch, scaled_dev, k))
+
+    # Each geometry group's final (resize → S1 re-search → upscale SSIM)
+    # is independent and pays several dispatch/pull round-trips; running
+    # groups on their own threads overlaps that RPC latency (each group
+    # writes disjoint `out` lanes, and JAX dispatch is thread-safe).
+    # A dedicated executor — the groups' inner encode rounds use `pool`
+    # themselves, so running groups ON `pool` could starve its workers.
+    finals_exec = concurrent.futures.ThreadPoolExecutor(
+        min(4, max(1, len(finals))) if TS_CONC else 1)
+    try:
+        list(finals_exec.map(
+            lambda kv: _final_group(kv[0][0], kv[0][1], kv[1]),
+            finals.items()))
+    finally:
+        finals_exec.shutdown()
     return out
 
 
@@ -691,29 +856,51 @@ def hit_target_size_batched(ctx: Optional[Context],
             # reuses it.
             stack_dev = jnp.asarray(np.stack(arrs))
 
+        # The three strategies are independent until the better_fit
+        # ranking (hit_target_size runs ALL of them, no early exit —
+        # targetsize.go:26-75 collects candidates the same way), so
+        # speculate them CONCURRENTLY: each strategy's device dispatches
+        # and host work (median-cut, PNG deflate, scan finalize)
+        # interleave, overlapping dispatch-RPC latency that a sequential
+        # cascade pays three times over on hosted links.  JAX dispatch
+        # is thread-safe; the device serializes execution, so results
+        # are byte-identical to the sequential order.
+        strat_exec = concurrent.futures.ThreadPoolExecutor(
+            3 if TS_CONC else 1)
+        futs = {}
         if jpeg_idx and not _ctx_err(ctx):
-            s1 = _s1_batched(pool, stack_dev, arrs, h, w, target_bytes,
-                             jpeg_idx)
-            for i in jpeg_idx:
-                r = s1[i]
-                if r is not None and r.quality >= MIN_JPEG_QUALITY:
-                    candidates[i].append(r)
-
+            futs["s1"] = strat_exec.submit(
+                _s1_batched, pool, stack_dev, arrs, h, w, target_bytes,
+                jpeg_idx)
         if not want_jpeg and not _ctx_err(ctx):
             # S2: median-cut on the pool, palette map batched on device
             # (one dispatch per level), PNG deflate on the pool.
-            s2 = _s2_batched(pool, stack_dev, arrs, target_bytes,
-                             list(range(b)))
-            for i in range(b):
-                if s2[i] is not None:
-                    candidates[i].append(s2[i])
-
+            futs["s2"] = strat_exec.submit(
+                _s2_batched, pool, stack_dev, arrs, target_bytes,
+                list(range(b)))
         if jpeg_idx and not _ctx_err(ctx):
-            s3 = _s3_batched(ctx, pool, stack_dev, arrs, h, w,
-                             target_bytes, jpeg_idx)
-            for i in jpeg_idx:
-                if s3[i] is not None:
-                    candidates[i].append(s3[i])
+            futs["s3"] = strat_exec.submit(
+                _s3_batched, ctx, pool, stack_dev, arrs, h, w,
+                target_bytes, jpeg_idx)
+        try:
+            if "s1" in futs:
+                s1 = futs["s1"].result()
+                for i in jpeg_idx:
+                    r = s1[i]
+                    if r is not None and r.quality >= MIN_JPEG_QUALITY:
+                        candidates[i].append(r)
+            if "s2" in futs:
+                s2 = futs["s2"].result()
+                for i in range(b):
+                    if s2[i] is not None:
+                        candidates[i].append(s2[i])
+            if "s3" in futs:
+                s3 = futs["s3"].result()
+                for i in jpeg_idx:
+                    if s3[i] is not None:
+                        candidates[i].append(s3[i])
+        finally:
+            strat_exec.shutdown()
 
         results: List[Optional[SizeResult]] = [None] * b
         for i in range(b):

@@ -55,18 +55,38 @@ def _make_kernel(oh_real: int, ow_real: int, w: int, n_bands: int):
     def kernel(a_hbm, b_hbm, out_ref, sa, sb, sem_a, sem_b):
         i = pl.program_id(0)
 
-        def band_body(j, acc):
+        def band_copies(j, slot):
             row0 = j * BAND
             ca = pltpu.make_async_copy(
-                a_hbm.at[i, pl.ds(row0, BAND + WINDOW_SIZE), :], sa, sem_a)
+                a_hbm.at[i, pl.ds(row0, BAND + WINDOW_SIZE), :],
+                sa.at[slot], sem_a.at[slot])
             cb = pltpu.make_async_copy(
-                b_hbm.at[i, pl.ds(row0, BAND + WINDOW_SIZE), :], sb, sem_b)
-            ca.start()
-            cb.start()
+                b_hbm.at[i, pl.ds(row0, BAND + WINDOW_SIZE), :],
+                sb.at[slot], sem_b.at[slot])
+            return ca, cb
+
+        # Double-buffered band pipeline: band j+1's HBM→VMEM DMA is in
+        # flight while band j's statistics compute, so the VPU never
+        # stalls on memory between bands (matters most for B=1, where
+        # there is no cross-image overlap to hide the band DMAs).
+        ca0, cb0 = band_copies(0, 0)
+        ca0.start()
+        cb0.start()
+
+        def band_body(j, acc):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_bands)
+            def _prefetch():
+                cn_a, cn_b = band_copies(j + 1, 1 - slot)
+                cn_a.start()
+                cn_b.start()
+
+            ca, cb = band_copies(j, slot)
             ca.wait()
             cb.wait()
-            a = sa[:]
-            b = sb[:]
+            a = sa[slot]
+            b = sb[slot]
             stats = []
             for m in (a, b, a * a, b * b, a * b):
                 t = wsum(m, axis=1, out_len=ow)
@@ -82,7 +102,8 @@ def _make_kernel(oh_real: int, ow_real: int, w: int, n_bands: int):
             vals = num / den
             # Mask window positions past the real image (H was padded so
             # every band is full height; W to the 128-lane tiling).
-            rows = jax.lax.broadcasted_iota(jnp.int32, (BAND, ow), 0) + row0
+            rows = (jax.lax.broadcasted_iota(jnp.int32, (BAND, ow), 0)
+                    + j * BAND)
             vals = jnp.where(rows < oh_real, vals, 0.0)
             if ow_real < ow:
                 cols = jax.lax.broadcasted_iota(jnp.int32, (BAND, ow), 1)
@@ -137,10 +158,10 @@ def batched_ssim_pallas(lum_a: jax.Array, lum_b: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BAND + WINDOW_SIZE, w_pad), jnp.float32),
-            pltpu.VMEM((BAND + WINDOW_SIZE, w_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, BAND + WINDOW_SIZE, w_pad), jnp.float32),
+            pltpu.VMEM((2, BAND + WINDOW_SIZE, w_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(lum_a, lum_b)

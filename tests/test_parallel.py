@@ -202,3 +202,55 @@ class TestSpatialShardedSearch:
         img = make_noise_image(32, 40, seed=1).astype(np.float32)
         with pytest.raises(ValueError):
             quality_search_spatial_sharded(mesh, img, 0.92)
+
+
+class TestSpatialShardedAtScale:
+    """VERDICT r2 #7: the sharded paths past toy shapes — value parity
+    at the sizes that motivate spatial sharding (multi-K-pixel images
+    where one chip's HBM budget / latency matters)."""
+
+    def _photo(self, h, w, seed=7):
+        # Photographic content (smooth gradients + blocky noise), not
+        # white noise — quality searches on noise saturate at Q=100 and
+        # prove nothing about probe parity.
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        base = np.stack([x * 255 / w, y * 255 / h,
+                         (x + y) * 255 / (w + h)], axis=-1)
+        noise = rng.normal(0, 12, (h // 8 + 1, w // 8 + 1, 3))
+        noise = noise.repeat(8, axis=0).repeat(8, axis=1)[:h, :w]
+        img = np.empty((h, w, 4), np.float32)
+        img[..., :3] = np.clip(base + noise, 0, 255)
+        img[..., 3] = 255.0
+        return img
+
+    @pytest.mark.slow
+    def test_search_parity_2048px(self):
+        """Spatially-sharded full quality search on a 2048x2048 photo:
+        identical winner vs the unsharded program (ssim.go:47's 4K-class
+        use case)."""
+        from fennec_tpu.engine.compress import quality_search_device
+        from fennec_tpu.parallel import quality_search_spatial_sharded
+
+        mesh = data_spatial_mesh(8, spatial=4)  # 512 rows per shard
+        img = self._photo(2048, 2048)
+        q, s, f, _coefs = quality_search_spatial_sharded(mesh, img, 0.92)
+        q1, s1, f1 = quality_search_device(jnp.asarray(img),
+                                           jnp.float32(0.92))
+        assert int(q) == int(q1)
+        assert bool(f) == bool(f1)
+        assert float(s) == pytest.approx(float(s1), abs=1e-5)
+
+    @pytest.mark.slow
+    def test_sharded_ssim_parity_4k(self):
+        """dpxsp windowed SSIM at 4K (3840x2160): sharded vs unsharded
+        scores agree to fp32 tolerance."""
+        mesh = data_spatial_mesh(8, spatial=2)
+        a = np.stack([self._photo(2160, 3840, seed=3),
+                      self._photo(2160, 3840, seed=4)])
+        b = np.clip(a + 6.0, 0, 255)
+        sharded = batched_ssim_sharded(mesh, jnp.asarray(a),
+                                       jnp.asarray(b), spatial=True)
+        unsharded = batched_ssim(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(sharded),
+                                   np.asarray(unsharded), atol=1e-5)
