@@ -234,6 +234,14 @@ def main():
             "avg_bytes": avg_bytes,
         },
     }
+    if ok < batch_n:
+        # A partially-failed batch is a DEGRADED run, not a slow one —
+        # say so outright instead of letting a 0-success pass masquerade
+        # as a throughput number (the round-3 bench did exactly that).
+        result["note"] = (
+            f"DEGRADED: only {ok}/{batch_n} files succeeded — the "
+            f"throughput value measures a failing run; see stderr "
+            f"warnings and BENCH_NOTES.md")
     print(json.dumps(result))
 
 

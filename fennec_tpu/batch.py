@@ -294,6 +294,22 @@ def _compress_batch_fused(ctx: Optional[Context], items: List[BatchItem],
         except Exception as e:
             import warnings
 
+            if getattr(e, "wedged", False):
+                # The device/tunnel stopped responding mid-batch
+                # (FusedChunkError.wedged): retrying through the device
+                # would hang per item.  Fail the unfinished items
+                # honestly — the reference's pool reports per-item
+                # errors the same way when workers die (batch.go:108).
+                unfinished = [i for i in range(n)
+                              if not written[i] and not skipped[i]
+                              and results[i].err is None]
+                warnings.warn(
+                    f"fennec: device unresponsive mid-batch ({e!r}); "
+                    f"failing {len(unfinished)} unfinished item(s) "
+                    f"without device retry", RuntimeWarning)
+                for i in unfinished:
+                    results[i].err = e
+                return results
             warnings.warn(
                 f"fennec: fused batch path failed ({e!r}); falling back "
                 f"to the per-file pool (set FENNEC_DEBUG_BATCH=1 for a "

@@ -54,8 +54,61 @@ PREFETCH = max(2, int(os.environ.get("FENNEC_BATCH_PREFETCH", "2")))
 # Fused optimal-Huffman: search → histograms → DEVICE K.2 table build →
 # custom-table emission in ONE dispatch with ONE pull (ops/huffbuild.py),
 # vs the two-stage hist-pull → host-tables → emit-dispatch → words-pull.
-# FENNEC_FUSED_OPT=0 restores the two-stage path (A/B, CPU debugging).
-FUSED_OPT = os.environ.get("FENNEC_FUSED_OPT", "1") != "0"
+#
+# DEFAULT OFF (round 4): measured on the real TPU, the fused-opt
+# emission programs are both slower (in-memory 8 img/s vs 27 two-stage;
+# file batch 65 vs 145 img/s) and destabilizing — their worst-case-
+# sized emission buffers (n_blocks*53 words) compile into programs so
+# large that loading the file-path variant after the pixel-path variant
+# fails with INVALID_ARGUMENT on the backend, which is exactly the
+# round-3 0/512 bench collapse (BENCH_NOTES.md round-4 A/B).  The
+# two-stage path sizes its emission buffer from the chunk's exact
+# standard-table bit counts instead.  FENNEC_FUSED_OPT=1 opts in.
+FUSED_OPT = os.environ.get("FENNEC_FUSED_OPT", "0") == "1"
+# COO coefficient uploads (round 3): ~2.5x smaller uploads on photo
+# content; FENNEC_COO=0 forces the dense zigzag-truncated layout (A/B).
+COO_UPLOADS = os.environ.get("FENNEC_COO", "1") != "0"
+# Per-chunk watchdog: if a chunk's upload/pull blocks longer than this
+# the device (or the tunnel to it) is treated as wedged — the engine
+# stops dispatching and fails the remaining items instead of hanging
+# the caller forever (the round-3 bench hung >10 min on one chunk).
+# 0 disables.  Cold compiles over the hosted-TPU tunnel have been
+# measured up to ~7 min when the link is degraded, so the default
+# leaves margin above that; tighten it for latency-sensitive callers.
+CHUNK_TIMEOUT = float(os.environ.get("FENNEC_CHUNK_TIMEOUT", "900"))
+
+
+def _is_device_error(e: BaseException) -> bool:
+    """True for failures of the device or its transport (XLA runtime
+    errors, hung-pull timeouts) — the class of error the batch engines
+    isolate per chunk and retry, as opposed to host-code bugs, which
+    propagate.  The reference's worker pool has the same split: a
+    worker's per-item error is captured, a panic propagates
+    (batch.go:108-113)."""
+    if isinstance(e, TimeoutError):
+        return True
+    for klass in type(e).__mro__:
+        if klass.__name__ in ("XlaRuntimeError", "JaxRuntimeError"):
+            return True
+    return False
+
+
+class FusedChunkError(RuntimeError):
+    """Some chunks of a fused batch failed on-device.  Successful chunks
+    were already streamed via on_chunk; `failed_ids` lists the indices
+    (into the call's input list) that did NOT complete.  `wedged` means
+    the device/tunnel stopped responding (a pull timed out) — callers
+    must NOT retry through the device in that case."""
+
+    def __init__(self, failed_ids, cause, wedged: bool = False):
+        self.failed_ids = sorted(failed_ids)
+        self.cause = cause
+        self.wedged = wedged
+        state = "device wedged (pull timeout)" if wedged \
+            else "device error"
+        super().__init__(
+            f"fennec: fused batch: {len(self.failed_ids)} item(s) "
+            f"failed [{state}]: {cause!r}")
 
 
 def _batch_timer():
@@ -90,7 +143,7 @@ def _next_pow2(n: int) -> int:
 
 
 def _make_ledger_flush(ledger: List, results: List, on_chunk,
-                       ctx=None, lock=None):
+                       ctx=None, lock=None, failed=None):
     """FIFO chunk-completion reporter shared by both fused engines:
     flush(force) reports chunks whose host encodes have all finished;
     force waits on stragglers, otherwise only fully-done chunks flush.
@@ -130,7 +183,14 @@ def _make_ledger_flush(ledger: List, results: List, on_chunk,
             with lock:
                 ledger.pop(0)
             if on_chunk is not None:
-                on_chunk([(i, results[i]) for i in ids])
+                # Items that failed on-device (per-item overflow redo
+                # hitting a device error) must not be reported as
+                # successes — the caller retries exactly the items it
+                # never saw stream.
+                live_ids = [i for i in ids
+                            if failed is None or i not in failed]
+                if live_ids:
+                    on_chunk([(i, results[i]) for i in live_ids])
 
     flush.lock = lock  # appenders use the same lock
     return flush
@@ -168,7 +228,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                                 opts: Options,
                                 on_chunk=None,
                                 qualify_key=None,
-                                workers: int = 0) -> Optional[List[Result]]:
+                                workers: int = 0,
+                                chunk_size: int = 0) -> \
+        Optional[List[Result]]:
     """All-on-device JPEG→JPEG batch: host entropy-decodes inputs to
     coefficients, ships coefficients up, the device reconstructs pixels,
     runs the SSIM-guided search, and re-quantizes — pixels never cross the
@@ -188,6 +250,19 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     qualify_key: the shared (w, h, in_subsample) qualification key when
     the caller already ran qualify_jpeg_bytes per input and grouped by
     it (batch.py does) — skips a second header parse per file.
+
+    chunk_size overrides FENNEC_BATCH_CHUNK (0 = default) — the
+    device-fault backoff retries failed items at a smaller chunk.
+
+    Fault isolation: a device error (XLA runtime error, pull timeout)
+    in one chunk fails only that chunk's items; other chunks still
+    stream via on_chunk.  Failed items are retried once internally at
+    chunk 16; whatever still fails raises FusedChunkError AFTER all
+    work finishes, so callers retry exactly the unstreamed items (the
+    reference's pool never loses items on one worker's error,
+    batch.go:58-128).  Two consecutive chunk failures or any pull
+    timeout mark the device wedged: dispatching stops immediately and
+    FusedChunkError.wedged tells callers not to touch the device again.
     """
     from ..codecs.jpeg import decode_jpeg_to_coefs
     from ..ops.resize import resize_weights, smart_resize_dims
@@ -231,7 +306,44 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     timer = _batch_timer()
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
-    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx)
+
+    # Fault board: per-chunk device-error isolation (shared by the
+    # stage threads).  `failed` uses atomic set ops; `consec`/`errors`
+    # are guarded by `flock`.
+    import threading
+
+    flock = threading.Lock()
+    failed: set = set()
+    fault = {"consec": 0, "wedged": False, "last": None}
+
+    def _chunk_failed(ids, exc) -> None:
+        with flock:
+            failed.update(ids)
+            fault["consec"] += 1
+            fault["last"] = exc
+        if os.environ.get("FENNEC_DEBUG_BATCH"):
+            import sys
+            import traceback
+
+            if sys.exc_info()[0] is not None:
+                traceback.print_exc()
+            else:
+                print(f"fennec: chunk marked failed: {exc!r}",
+                      file=sys.stderr, flush=True)
+
+    def _item_failed(i, exc) -> None:
+        with flock:
+            failed.add(i)
+            fault["last"] = exc
+
+    def _chunk_ok() -> None:
+        with flock:
+            fault["consec"] = 0
+
+    timeout_s = CHUNK_TIMEOUT if CHUNK_TIMEOUT > 0 else None
+
+    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx,
+                                       failed=failed)
 
     # Multi-chip: shard every chunk's batch axis over all local devices
     # (the TPU-native CompressBatch parallelism, batch.go:58-128).
@@ -250,9 +362,23 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     def _overflow_redo(i: int, res: Result) -> None:
         """Word-capacity overflow (pathological content or the Q=100
         fallback inflating past the input size): redo this one image
-        through the per-image engine."""
+        through the per-image engine.  A device error here fails ONLY
+        this item; a wedged device skips the dispatch entirely."""
         from ..api import compress_bytes
-        r = compress_bytes(ctx, datas[i], opts)
+        from ..types import CanceledError
+
+        if fault["wedged"]:
+            _item_failed(i, fault["last"])
+            return
+        try:
+            r = compress_bytes(ctx, datas[i], opts)
+        except CanceledError:
+            raise
+        except Exception as e:
+            if _is_device_error(e):
+                _item_failed(i, e)
+                return
+            raise
         results[i] = r
         results[i].original_dimensions = res.original_dimensions
 
@@ -617,7 +743,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         from ..codecs.jpeg import decode_jpeg_to_coefs_coo
         from ..native import native_available
 
-        if not native_available():
+        if not native_available() or not COO_UPLOADS:
             return _prep_chunk_dense(chunk, padded)
 
         rcap = _COO_RCAP
@@ -712,7 +838,8 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         emit_words = min(_next_pow2(biggest // 4 + 1024),
                          n_blocks * 53 + 64)
 
-    starts = list(range(0, n, BATCH_CHUNK))
+    chunk_sz = chunk_size if chunk_size > 0 else BATCH_CHUNK
+    starts = list(range(0, n, chunk_sz))
 
     if rwh is not None:
         # Resize path: dense int16 stacks, decoded PER CHUNK on the
@@ -720,7 +847,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         # whole-batch up-front decode would hold every input's
         # coefficients in host RAM at once and serialize the decode.
         def _make_chunk_dense(start):
-            chunk = list(range(start, min(start + BATCH_CHUNK, n)))
+            chunk = list(range(start, min(start + chunk_sz, n)))
             b = len(chunk)
             padded = _next_pow2(b)
             parts: List = [None] * b
@@ -836,7 +963,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
     def _make_chunk(start):
         with _tstage(timer, "prep + upload (feeder)"):
-            chunk = list(range(start, min(start + BATCH_CHUNK, n)))
+            chunk = list(range(start, min(start + chunk_sz, n)))
             padded = _next_pow2(len(chunk))
             if mesh is not None:  # shards need equal batch slices
                 padded = -(-padded // mesh.size) * mesh.size
@@ -847,6 +974,140 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                         meta, e)
             return fmt, chunk, padded, jnp.asarray(buf), meta, e
 
+    def _dispatch_chunk(fmt, chunk, padded, dbuf, meta, e):
+        """Fire this chunk's async device dispatches and return the
+        searchq entry.  Synchronous RPC-layer device errors are
+        isolated per chunk by the caller."""
+        with _tstage(timer, "search dispatch"):
+            if use_device_entropy and opts.optimize_huffman:
+                if FUSED_OPT:
+                    # mw stays 0: dispatch 1 doesn't emit, and the
+                    # program cache key must not vary with input
+                    # file sizes.
+                    kind, mw = "optf", 0
+                    flavor = "opt"
+                else:
+                    kind, mw = "opt", 0
+                    flavor = "hist"
+            elif use_device_entropy:
+                kind, mw = "emit", emit_words
+                flavor = "emit"
+            else:
+                kind, mw = "quant", 0
+                flavor = "quant"
+            from ..parallel.batched import (
+                batched_decode_search_emit_i8,
+                batched_decode_search_hist_i8,
+                batched_decode_search_opt_i8,
+                batched_decode_search_quantize_i8,
+                batched_search_coo,
+                unpack_chunk_buf,
+                unpack_chunk_coo,
+            )
+
+            if mesh is not None and fmt == "coo":
+                dc, dpos, dval, dqts, dtg, dej, dei, dev_ = dbuf
+
+                def _coo_fn(dc_, pos_, val_, qts_, t_, ej_, ei_,
+                            ev_):
+                    # Rebase global exception image indices to this
+                    # shard; rows landing outside [0, local_b) are
+                    # dropped by the scatter's mode="drop".
+                    off = (jax.lax.axis_index("data")
+                           * dc_.shape[0]).astype(ej_.dtype)
+                    out = batched_search_coo(
+                        dc_, pos_, val_, ej_ - off, ei_, ev_, qts_,
+                        t_, h, w, in_sub, subsample, flavor, mw)
+                    if flavor == "quant":
+                        q, sv, fv, pk, f8 = out
+                        out = (q, sv, fv, pk,
+                               jnp.broadcast_to(f8, q.shape))
+                    return out
+
+                handles = shard_data_call(
+                    mesh, ("coo", h, w, in_sub, subsample, flavor,
+                           mw),
+                    _coo_fn, dc, dpos, dval, dqts, dtg, dej, dei,
+                    dev_, replicated=3)
+            elif mesh is not None:
+                di8, dqts, dtg, dej, dei, dev_ = dbuf
+
+                def _i8_fn(i8_, qts_, t_, ej_, ei_, ev_):
+                    off = (jax.lax.axis_index("data")
+                           * i8_.shape[0]).astype(ej_.dtype)
+                    ejl = ej_ - off
+                    if kind == "optf":
+                        return batched_decode_search_opt_i8(
+                            i8_, ejl, ei_, ev_, qts_, t_, h, w,
+                            in_sub, subsample)
+                    if kind == "opt":
+                        return batched_decode_search_hist_i8(
+                            i8_, ejl, ei_, ev_, qts_, t_, h, w,
+                            in_sub, subsample)
+                    if kind == "emit":
+                        return batched_decode_search_emit_i8(
+                            i8_, ejl, ei_, ev_, qts_, t_, h, w,
+                            in_sub, subsample, emit_words)
+                    q, sv, fv, pk, f8 = \
+                        batched_decode_search_quantize_i8(
+                            i8_, ejl, ei_, ev_, qts_, t_, h, w,
+                            in_sub, subsample)
+                    return (q, sv, fv, pk,
+                            jnp.broadcast_to(f8, q.shape))
+
+                handles = shard_data_call(
+                    mesh, ("i8", kind, h, w, in_sub, subsample,
+                           mw),
+                    _i8_fn, di8, dqts, dtg, dej, dei, dev_,
+                    replicated=3)
+            elif fmt == "coo":
+                (dc, dpos, dval, dqts, dej, dei, dev_,
+                 targets) = unpack_chunk_coo(dbuf, padded, nt,
+                                             meta, e)
+                handles = batched_search_coo(
+                    dc, dpos, dval, dej, dei, dev_, dqts, targets,
+                    h, w, in_sub, subsample, flavor, mw)
+            else:
+                (di8, dqts, dej, dei, dev_,
+                 targets) = unpack_chunk_buf(dbuf, padded, nt,
+                                             meta, e)
+                if kind == "optf":
+                    handles = batched_decode_search_opt_i8(
+                        di8, dej, dei, dev_, dqts, targets, h, w,
+                        in_sub, subsample)
+                elif kind == "opt":
+                    handles = batched_decode_search_hist_i8(
+                        di8, dej, dei, dev_, dqts, targets, h, w,
+                        in_sub, subsample)
+                elif kind == "emit":
+                    handles = batched_decode_search_emit_i8(
+                        di8, dej, dei, dev_, dqts, targets, h, w,
+                        in_sub, subsample, emit_words)
+                else:
+                    handles = batched_decode_search_quantize_i8(
+                        di8, dej, dei, dev_, dqts, targets, h, w,
+                        in_sub, subsample)
+            if kind == "optf":
+                # Chain the custom-table emission on the RESIDENT
+                # dispatch-1 handles — both dispatches are async, so
+                # the host pays zero round-trips between them (the
+                # single guarded pull happens in _collect_opt_fused).
+                from ..parallel.batched import batched_emit_custom_hdr
+
+                hdr_d, pk_d, tb_d = handles
+                if mesh is not None:
+                    handles = shard_data_call(
+                        mesh, ("emit_hdr", h, w, subsample,
+                               emit_words),
+                        lambda p, tb, hd: batched_emit_custom_hdr(
+                            p, tb, hd, h, w, subsample, emit_words),
+                        pk_d, tb_d, hdr_d)
+                else:
+                    handles = batched_emit_custom_hdr(
+                        pk_d, tb_d, hdr_d, h, w, subsample,
+                        emit_words)
+        return (kind, chunk, handles)
+
     feeder = concurrent.futures.ThreadPoolExecutor(2)
     stage_a_exec = concurrent.futures.ThreadPoolExecutor(1)
     stage_b_exec = concurrent.futures.ThreadPoolExecutor(1)
@@ -855,187 +1116,166 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     bfuts: List = []
 
     def _run_a(kind, chunk, handles):
-        if kind == "opt":
-            with _tstage(timer, "stage A: pull + tables + emit"):
-                state = _stage_a_opt(chunk, handles)
-            return stage_b_exec.submit(_run_b, state)
-        _collect((kind, chunk, handles))
-        return None
+        """Stage-A executor body: device errors fail only this chunk."""
+        try:
+            if kind == "opt":
+                with _tstage(timer, "stage A: pull + tables + emit"):
+                    state = _stage_a_opt(chunk, handles)
+                return stage_b_exec.submit(_run_b, state)
+            _collect((kind, chunk, handles))
+            _chunk_ok()
+            return None
+        except Exception as exc:
+            if _is_device_error(exc):
+                _chunk_failed(chunk, exc)
+                return None
+            raise
 
     def _run_b(state):
-        with _tstage(timer, "stage B: words pull + wrap"):
-            _stage_b_opt(*state)
+        try:
+            with _tstage(timer, "stage B: words pull + wrap"):
+                _stage_b_opt(*state)
+            _chunk_ok()
+        except Exception as exc:
+            if _is_device_error(exc):
+                _chunk_failed(state[0], exc)
+                return
+            raise
+
+    def _wait_stage(entry) -> None:
+        """Wait out one stage-A future (and its chained stage-B future)
+        under the watchdog.  A timeout marks the device wedged — the
+        zombie thread stays stuck on its pull, but the engine stops
+        feeding it and fails the remaining items honestly instead of
+        hanging the caller."""
+        fut, ids = entry
+        try:
+            bf = fut.result(timeout=timeout_s)
+            if bf is not None:
+                bf.result(timeout=timeout_s)
+        except concurrent.futures.TimeoutError:
+            with flock:
+                fault["wedged"] = True
+            _chunk_failed(ids, TimeoutError(
+                f"fennec: chunk pull exceeded FENNEC_CHUNK_TIMEOUT="
+                f"{CHUNK_TIMEOUT:.0f}s — device/tunnel unresponsive"))
 
     try:
         for i in range(len(starts)):
             if ctx is not None:
                 ctx.raise_if_done()
-            fmt, chunk, padded, dbuf, meta, e = futs[i].result()
+            if fault["wedged"] or fault["consec"] >= 2:
+                # Device wedged or failing every chunk: stop feeding it.
+                # Remaining (undispatched) chunks fail with the last
+                # device error; dispatched ones resolve below.
+                for s in starts[i:]:
+                    _chunk_failed(
+                        range(s, min(s + chunk_sz, n)), fault["last"])
+                break
+            try:
+                fmt, chunk, padded, dbuf, meta, e = \
+                    futs[i].result(timeout=timeout_s)
+            except concurrent.futures.TimeoutError:
+                with flock:
+                    fault["wedged"] = True
+                _chunk_failed(
+                    range(starts[i], min(starts[i] + chunk_sz, n)),
+                    TimeoutError(
+                        f"fennec: chunk upload exceeded "
+                        f"FENNEC_CHUNK_TIMEOUT={CHUNK_TIMEOUT:.0f}s"))
+                continue
+            except Exception as exc:
+                if _is_device_error(exc):  # device_put failed
+                    _chunk_failed(
+                        range(starts[i], min(starts[i] + chunk_sz, n)),
+                        exc)
+                    futs[i] = None
+                    if i + PREFETCH < len(starts):
+                        futs.append(feeder.submit(
+                            _make_chunk, starts[i + PREFETCH]))
+                    continue
+                raise
             futs[i] = None
             if i + PREFETCH < len(starts):
                 futs.append(feeder.submit(_make_chunk,
                                           starts[i + PREFETCH]))
-            with _tstage(timer, "search dispatch"):
-                if use_device_entropy and opts.optimize_huffman:
-                    if FUSED_OPT:
-                        # mw stays 0: dispatch 1 doesn't emit, and the
-                        # program cache key must not vary with input
-                        # file sizes.
-                        kind, mw = "optf", 0
-                        flavor = "opt"
-                    else:
-                        kind, mw = "opt", 0
-                        flavor = "hist"
-                elif use_device_entropy:
-                    kind, mw = "emit", emit_words
-                    flavor = "emit"
-                else:
-                    kind, mw = "quant", 0
-                    flavor = "quant"
-                from ..parallel.batched import (
-                    batched_decode_search_emit_i8,
-                    batched_decode_search_hist_i8,
-                    batched_decode_search_opt_i8,
-                    batched_decode_search_quantize_i8,
-                    batched_search_coo,
-                    unpack_chunk_buf,
-                    unpack_chunk_coo,
-                )
-
-                if mesh is not None and fmt == "coo":
-                    dc, dpos, dval, dqts, dtg, dej, dei, dev_ = dbuf
-
-                    def _coo_fn(dc_, pos_, val_, qts_, t_, ej_, ei_,
-                                ev_):
-                        # Rebase global exception image indices to this
-                        # shard; rows landing outside [0, local_b) are
-                        # dropped by the scatter's mode="drop".
-                        off = (jax.lax.axis_index("data")
-                               * dc_.shape[0]).astype(ej_.dtype)
-                        out = batched_search_coo(
-                            dc_, pos_, val_, ej_ - off, ei_, ev_, qts_,
-                            t_, h, w, in_sub, subsample, flavor, mw)
-                        if flavor == "quant":
-                            q, sv, fv, pk, f8 = out
-                            out = (q, sv, fv, pk,
-                                   jnp.broadcast_to(f8, q.shape))
-                        return out
-
-                    handles = shard_data_call(
-                        mesh, ("coo", h, w, in_sub, subsample, flavor,
-                               mw),
-                        _coo_fn, dc, dpos, dval, dqts, dtg, dej, dei,
-                        dev_, replicated=3)
-                elif mesh is not None:
-                    di8, dqts, dtg, dej, dei, dev_ = dbuf
-
-                    def _i8_fn(i8_, qts_, t_, ej_, ei_, ev_):
-                        off = (jax.lax.axis_index("data")
-                               * i8_.shape[0]).astype(ej_.dtype)
-                        ejl = ej_ - off
-                        if kind == "optf":
-                            return batched_decode_search_opt_i8(
-                                i8_, ejl, ei_, ev_, qts_, t_, h, w,
-                                in_sub, subsample)
-                        if kind == "opt":
-                            return batched_decode_search_hist_i8(
-                                i8_, ejl, ei_, ev_, qts_, t_, h, w,
-                                in_sub, subsample)
-                        if kind == "emit":
-                            return batched_decode_search_emit_i8(
-                                i8_, ejl, ei_, ev_, qts_, t_, h, w,
-                                in_sub, subsample, emit_words)
-                        q, sv, fv, pk, f8 = \
-                            batched_decode_search_quantize_i8(
-                                i8_, ejl, ei_, ev_, qts_, t_, h, w,
-                                in_sub, subsample)
-                        return (q, sv, fv, pk,
-                                jnp.broadcast_to(f8, q.shape))
-
-                    handles = shard_data_call(
-                        mesh, ("i8", kind, h, w, in_sub, subsample,
-                               mw),
-                        _i8_fn, di8, dqts, dtg, dej, dei, dev_,
-                        replicated=3)
-                elif fmt == "coo":
-                    (dc, dpos, dval, dqts, dej, dei, dev_,
-                     targets) = unpack_chunk_coo(dbuf, padded, nt,
-                                                 meta, e)
-                    handles = batched_search_coo(
-                        dc, dpos, dval, dej, dei, dev_, dqts, targets,
-                        h, w, in_sub, subsample, flavor, mw)
-                else:
-                    (di8, dqts, dej, dei, dev_,
-                     targets) = unpack_chunk_buf(dbuf, padded, nt,
-                                                 meta, e)
-                    if kind == "optf":
-                        handles = batched_decode_search_opt_i8(
-                            di8, dej, dei, dev_, dqts, targets, h, w,
-                            in_sub, subsample)
-                    elif kind == "opt":
-                        handles = batched_decode_search_hist_i8(
-                            di8, dej, dei, dev_, dqts, targets, h, w,
-                            in_sub, subsample)
-                    elif kind == "emit":
-                        handles = batched_decode_search_emit_i8(
-                            di8, dej, dei, dev_, dqts, targets, h, w,
-                            in_sub, subsample, emit_words)
-                    else:
-                        handles = batched_decode_search_quantize_i8(
-                            di8, dej, dei, dev_, dqts, targets, h, w,
-                            in_sub, subsample)
-                if kind == "optf":
-                    # Chain the custom-table emission on the RESIDENT
-                    # dispatch-1 handles — both dispatches are async, so
-                    # the host pays zero round-trips between them (the
-                    # single guarded pull happens in _collect_opt_fused).
-                    from ..parallel.batched import batched_emit_custom_hdr
-
-                    hdr_d, pk_d, tb_d = handles
-                    if mesh is not None:
-                        handles = shard_data_call(
-                            mesh, ("emit_hdr", h, w, subsample,
-                                   emit_words),
-                            lambda p, tb, hd: batched_emit_custom_hdr(
-                                p, tb, hd, h, w, subsample, emit_words),
-                            pk_d, tb_d, hdr_d)
-                    else:
-                        handles = batched_emit_custom_hdr(
-                            pk_d, tb_d, hdr_d, h, w, subsample,
-                            emit_words)
-                searchq.append((kind, chunk, handles))
+            try:
+                searchq.append(_dispatch_chunk(fmt, chunk, padded,
+                                               dbuf, meta, e))
+            except Exception as exc:
+                if not _is_device_error(exc):
+                    raise
+                _chunk_failed(chunk, exc)
 
             if len(searchq) >= 2:
                 e2 = searchq.pop(0)
-                bfuts.append(stage_a_exec.submit(_run_a, *e2))
+                bfuts.append((stage_a_exec.submit(_run_a, *e2), e2[1]))
             # Backpressure: an error in stage A/B must surface promptly,
             # and unbounded racing would pin every chunk's resident
             # coefficients in HBM at once.
             while len(bfuts) > 3:
-                bf = bfuts.pop(0).result()
-                if bf is not None:
-                    bf.result()
+                _wait_stage(bfuts.pop(0))
             _flush_ledger(False)
 
         while searchq:
-            bfuts.append(stage_a_exec.submit(_run_a, *searchq.pop(0)))
-        for af in bfuts:
-            bf = af.result()
-            if bf is not None:
-                bf.result()
+            e2 = searchq.pop(0)
+            if fault["wedged"]:
+                _chunk_failed(e2[1], fault["last"])
+                continue
+            bfuts.append((stage_a_exec.submit(_run_a, *e2), e2[1]))
+        for entry in bfuts:
+            _wait_stage(entry)
         for fut in pending:
             fut.result()
         _flush_ledger(True)
         _treport(timer, "coef-fastpath")
+
+        if failed and not fault["wedged"] and chunk_sz > 16 \
+                and len(datas) > 1:
+            # Chunk-size backoff: the failure may be specific to this
+            # chunk shape's compiled program (the round-3 InvalidArgument
+            # was); one retry at chunk 16 recovers at batch rates before
+            # callers pay per-file dispatch costs.  The remap writes
+            # retried successes straight into results AND forwards them
+            # to on_chunk, so a subsequent raise loses nothing.
+            retry_ids = sorted(failed)
+
+            def _remap(pairs):
+                for j, r in pairs:
+                    results[retry_ids[j]] = r
+                    failed.discard(retry_ids[j])
+                if on_chunk is not None:
+                    on_chunk([(retry_ids[j], r) for j, r in pairs])
+
+            try:
+                sub = compress_jpeg_bytes_batched(
+                    ctx, [datas[i] for i in retry_ids], opts,
+                    on_chunk=_remap, qualify_key=qualify_key,
+                    workers=workers, chunk_size=16)
+                for j, i2 in enumerate(retry_ids):
+                    results[i2] = sub[j]
+                failed.clear()
+            except FusedChunkError as fe:
+                fault["wedged"] = fault["wedged"] or fe.wedged
+                fault["last"] = fe.cause
+                # _remap already cleared the items that made it.
+
+        if failed:
+            raise FusedChunkError(failed, fault["last"],
+                                  wedged=fault["wedged"])
     finally:
         # Feeder first (its chunk prep uses `pool` internally), then the
         # stage executors (their work writes results/pending), then the
         # emit pool: cancel queued encodes, wait out in-flight ones so no
-        # worker writes results after an exception has propagated.
-        feeder.shutdown(wait=True, cancel_futures=True)
-        stage_a_exec.shutdown(wait=True, cancel_futures=True)
-        stage_b_exec.shutdown(wait=True, cancel_futures=True)
-        pool.shutdown(wait=True, cancel_futures=True)
+        # worker writes results after an exception has propagated.  A
+        # wedged device means threads stuck on dead pulls — don't join
+        # them (they are abandoned; nothing downstream reads their
+        # chunks' results).
+        wait = not fault["wedged"]
+        feeder.shutdown(wait=wait, cancel_futures=True)
+        stage_a_exec.shutdown(wait=wait, cancel_futures=True)
+        stage_b_exec.shutdown(wait=wait, cancel_futures=True)
+        pool.shutdown(wait=wait, cancel_futures=True)
     return results
 
 
@@ -1096,7 +1336,8 @@ def compress_images_batched(ctx: Optional[Context],
                             images: List[np.ndarray],
                             opts: Options,
                             workers: int = 0,
-                            on_chunk=None) -> List[Result]:
+                            on_chunk=None,
+                            chunk_size: int = 0) -> List[Result]:
     """Standard-mode compression of many decoded images with shared
     options, device-batched.  Returns Results in input order.
 
@@ -1104,6 +1345,12 @@ def compress_images_batched(ctx: Optional[Context],
     images] when opts.target_size == 0; target-size mode falls back to the
     per-image engine.  on_chunk, when given, streams [(index, Result)]
     groups as they become final (see compress_jpeg_bytes_batched).
+
+    Fault isolation matches compress_jpeg_bytes_batched: a device error
+    fails only its chunk, failed items retry once at chunk 16, and
+    whatever remains raises FusedChunkError after all other work
+    finishes (wedged=True when a pull timed out — do not retry through
+    the device then).
     """
     opts.validate()
     n = len(images)
@@ -1160,7 +1407,44 @@ def compress_images_batched(ctx: Optional[Context],
     subsample = bool(opts.subsample)
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
-    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx)
+    chunk_sz = chunk_size if chunk_size > 0 else BATCH_CHUNK
+
+    # Fault board — same per-chunk device-error isolation as the
+    # coefficient fast path (see compress_jpeg_bytes_batched).
+    import threading
+
+    flock = threading.Lock()
+    failed: set = set()
+    fault = {"consec": 0, "wedged": False, "last": None}
+
+    def _chunk_failed(ids, exc) -> None:
+        with flock:
+            failed.update(ids)
+            fault["consec"] += 1
+            fault["last"] = exc
+        if os.environ.get("FENNEC_DEBUG_BATCH"):
+            import sys
+            import traceback
+
+            if sys.exc_info()[0] is not None:
+                traceback.print_exc()
+            else:
+                print(f"fennec: chunk marked failed: {exc!r}",
+                      file=sys.stderr, flush=True)
+
+    def _item_failed(i, exc) -> None:
+        with flock:
+            failed.add(i)
+            fault["last"] = exc
+
+    def _chunk_ok() -> None:
+        with flock:
+            fault["consec"] = 0
+
+    timeout_s = CHUNK_TIMEOUT if CHUNK_TIMEOUT > 0 else None
+
+    _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx,
+                                       failed=failed)
 
     # Multi-chip: shard every chunk's batch axis over all local devices
     # (the TPU-native CompressBatch parallelism, batch.go:58-128).
@@ -1254,8 +1538,21 @@ def compress_images_batched(ctx: Optional[Context],
         def emit_one(i: int, j: int) -> None:
             if bool(ovf[j]):
                 from ..api import compress_image
+                from ..types import CanceledError
+
+                if fault["wedged"]:
+                    _item_failed(i, fault["last"])
+                    return
                 od = results[i].original_dimensions
-                results[i] = compress_image(ctx, prepped[i], opts)
+                try:
+                    results[i] = compress_image(ctx, prepped[i], opts)
+                except CanceledError:
+                    raise
+                except Exception as exc:
+                    if _is_device_error(exc):
+                        _item_failed(i, exc)
+                        return
+                    raise
                 results[i].original_dimensions = od
                 return
             quality = int(q_host[j])
@@ -1354,8 +1651,8 @@ def compress_images_batched(ctx: Optional[Context],
 
     jobs = []  # (h, w, chunk)
     for (h, w), idxs in jpeg_buckets.items():
-        for start in range(0, len(idxs), BATCH_CHUNK):
-            jobs.append((h, w, idxs[start:start + BATCH_CHUNK]))
+        for start in range(0, len(idxs), chunk_sz):
+            jobs.append((h, w, idxs[start:start + chunk_sz]))
 
     timer = _batch_timer()
 
@@ -1395,6 +1692,84 @@ def compress_images_batched(ctx: Optional[Context],
     # them inline through round 2 — the measured in-memory regression —
     # so it now uses the same executor scheme.  Single-thread executors
     # preserve chunk order (the ledger FIFO invariant).
+    def _dispatch_px(h, w, chunk, padded, stack_dev, targets):
+        """Fire this pixel chunk's async device dispatches and return
+        the searchq entry; device errors isolate per chunk in the
+        caller."""
+        with _tstage(timer, "search dispatch"):
+            # Fused single-dispatch optimal path: word capacity is
+            # the hard 53-words/block bound (no input file to size
+            # from), so gate on the padded device buffer staying
+            # reasonable — large stills fall back to the two-stage
+            # exact-sized path.
+            mult_ = 16 if subsample else 8
+            ph_ = h + (-h) % mult_
+            pw_ = w + (-w) % mult_
+            nb_ = ((ph_ // 8) * (pw_ // 8)
+                   + 2 * ((ph_ // 16) * (pw_ // 16) if subsample
+                          else (ph_ // 8) * (pw_ // 8)))
+            opt_mw = nb_ * 53 + 64
+            fused = (use_device_entropy and opts.optimize_huffman
+                     and FUSED_OPT
+                     and (opt_mw + 209) * 4 * padded <= (256 << 20))
+            if fused:
+                from ..parallel.batched import (
+                    batched_emit_custom_hdr,
+                    batched_search_opt,
+                )
+
+                # Two chained async dispatches, zero host pulls in
+                # between: search+hist+K.2-build returns RESIDENT
+                # handles, the custom-table emission consumes them.
+                # (A single fused program measured 2.7× slower —
+                # XLA pessimizes the one-hot code lookups when the
+                # tables are intermediates instead of inputs.)
+                if mesh is not None:
+                    hdr_d, pk_d, tb_d = shard_data_call(
+                        mesh, ("search_opt", subsample),
+                        lambda im, t: batched_search_opt(
+                            im, t, subsample),
+                        stack_dev, targets)
+                    handles = shard_data_call(
+                        mesh, ("emit_hdr", h, w, subsample, opt_mw),
+                        lambda p, tb, hd: batched_emit_custom_hdr(
+                            p, tb, hd, h, w, subsample, opt_mw),
+                        pk_d, tb_d, hdr_d)
+                else:
+                    hdr_d, pk_d, tb_d = batched_search_opt(
+                        stack_dev, targets, subsample)
+                    handles = batched_emit_custom_hdr(
+                        pk_d, tb_d, hdr_d, h, w, subsample, opt_mw)
+                return ("optf", chunk, (h, w, opt_mw), handles)
+            elif use_device_entropy:
+                from ..parallel.batched import batched_search_hist
+
+                if mesh is not None:
+                    handles = shard_data_call(
+                        mesh, ("search_hist", subsample),
+                        lambda im, t: batched_search_hist(
+                            im, t, subsample),
+                        stack_dev, targets)
+                else:
+                    handles = batched_search_hist(stack_dev, targets,
+                                                  subsample)
+                return ("dev", chunk, (h, w), handles)
+            else:
+                if mesh is not None:
+                    def _quant_fn(im, t):
+                        q, s, f, pk, f8 = batched_search_and_quantize(
+                            im, t, subsample)
+                        return (q, s, f, pk,
+                                jnp.broadcast_to(f8, q.shape))
+
+                    handles = shard_data_call(
+                        mesh, ("search_quant", subsample),
+                        _quant_fn, stack_dev, targets)
+                else:
+                    handles = batched_search_and_quantize(
+                        stack_dev, targets, subsample)
+                return ("quant", chunk, (h, w), handles)
+
     feeder = concurrent.futures.ThreadPoolExecutor(2)
     stage_a_exec = concurrent.futures.ThreadPoolExecutor(1)
     stage_b_exec = concurrent.futures.ThreadPoolExecutor(1)
@@ -1403,130 +1778,147 @@ def compress_images_batched(ctx: Optional[Context],
     bfuts: List = []
 
     def _run_a(kind, chunk_ids, hw, handles):
-        if kind == "dev":
-            with _tstage(timer, "stage A: pull + tables + emit"):
-                state = _stage_a_dev(chunk_ids, *hw, handles,
-                                     bool(opts.optimize_huffman))
-            return stage_b_exec.submit(_run_b, state)
-        if kind == "optf":
-            with _tstage(timer, "opt: packed pull + wrap"):
-                _collect_opt_px(chunk_ids, *hw, handles)
+        """Stage-A executor body: device errors fail only this chunk."""
+        try:
+            if kind == "dev":
+                with _tstage(timer, "stage A: pull + tables + emit"):
+                    state = _stage_a_dev(chunk_ids, *hw, handles,
+                                         bool(opts.optimize_huffman))
+                return stage_b_exec.submit(_run_b, state)
+            if kind == "optf":
+                with _tstage(timer, "opt: packed pull + wrap"):
+                    _collect_opt_px(chunk_ids, *hw, handles)
+            else:
+                with _tstage(timer, "pull + host encode queue"):
+                    _collect_quant(chunk_ids, *hw, handles)
+            _chunk_ok()
             return None
-        with _tstage(timer, "pull + host encode queue"):
-            _collect_quant(chunk_ids, *hw, handles)
-        return None
+        except Exception as exc:
+            if _is_device_error(exc):
+                _chunk_failed(chunk_ids, exc)
+                return None
+            raise
 
     def _run_b(state):
-        with _tstage(timer, "stage B: words pull + wrap"):
-            _stage_b_dev(*state)
+        try:
+            with _tstage(timer, "stage B: words pull + wrap"):
+                _stage_b_dev(*state)
+            _chunk_ok()
+        except Exception as exc:
+            if _is_device_error(exc):
+                _chunk_failed(state[0], exc)
+                return
+            raise
+
+    def _wait_stage(entry) -> None:
+        """Wait out one stage future pair under the watchdog (see the
+        coefficient fast path's _wait_stage)."""
+        fut, ids = entry
+        try:
+            bf = fut.result(timeout=timeout_s)
+            if bf is not None:
+                bf.result(timeout=timeout_s)
+        except concurrent.futures.TimeoutError:
+            with flock:
+                fault["wedged"] = True
+            _chunk_failed(ids, TimeoutError(
+                f"fennec: chunk pull exceeded FENNEC_CHUNK_TIMEOUT="
+                f"{CHUNK_TIMEOUT:.0f}s — device/tunnel unresponsive"))
 
     try:
         for k in range(len(jobs)):
             if ctx is not None:
                 ctx.raise_if_done()
-            h, w, chunk, padded, stack_dev, targets = futs[k].result()
+            if fault["wedged"] or fault["consec"] >= 2:
+                for (_h2, _w2, ids2) in jobs[k:]:
+                    _chunk_failed(ids2, fault["last"])
+                break
+            try:
+                h, w, chunk, padded, stack_dev, targets = \
+                    futs[k].result(timeout=timeout_s)
+            except concurrent.futures.TimeoutError:
+                with flock:
+                    fault["wedged"] = True
+                _chunk_failed(jobs[k][2], TimeoutError(
+                    f"fennec: chunk upload exceeded "
+                    f"FENNEC_CHUNK_TIMEOUT={CHUNK_TIMEOUT:.0f}s"))
+                continue
+            except Exception as exc:
+                if _is_device_error(exc):  # device_put failed
+                    _chunk_failed(jobs[k][2], exc)
+                    futs[k] = None
+                    if k + PREFETCH < len(jobs):
+                        futs.append(feeder.submit(_make_stack,
+                                                  jobs[k + PREFETCH]))
+                    continue
+                raise
             futs[k] = None
             if k + PREFETCH < len(jobs):
                 futs.append(feeder.submit(_make_stack,
                                           jobs[k + PREFETCH]))
-            with _tstage(timer, "search dispatch"):
-                # Fused single-dispatch optimal path: word capacity is
-                # the hard 53-words/block bound (no input file to size
-                # from), so gate on the padded device buffer staying
-                # reasonable — large stills fall back to the two-stage
-                # exact-sized path.
-                mult_ = 16 if subsample else 8
-                ph_ = h + (-h) % mult_
-                pw_ = w + (-w) % mult_
-                nb_ = ((ph_ // 8) * (pw_ // 8)
-                       + 2 * ((ph_ // 16) * (pw_ // 16) if subsample
-                              else (ph_ // 8) * (pw_ // 8)))
-                opt_mw = nb_ * 53 + 64
-                fused = (use_device_entropy and opts.optimize_huffman
-                         and FUSED_OPT
-                         and (opt_mw + 209) * 4 * padded <= (256 << 20))
-                if fused:
-                    from ..parallel.batched import (
-                        batched_emit_custom_hdr,
-                        batched_search_opt,
-                    )
-
-                    # Two chained async dispatches, zero host pulls in
-                    # between: search+hist+K.2-build returns RESIDENT
-                    # handles, the custom-table emission consumes them.
-                    # (A single fused program measured 2.7× slower —
-                    # XLA pessimizes the one-hot code lookups when the
-                    # tables are intermediates instead of inputs.)
-                    if mesh is not None:
-                        hdr_d, pk_d, tb_d = shard_data_call(
-                            mesh, ("search_opt", subsample),
-                            lambda im, t: batched_search_opt(
-                                im, t, subsample),
-                            stack_dev, targets)
-                        handles = shard_data_call(
-                            mesh, ("emit_hdr", h, w, subsample, opt_mw),
-                            lambda p, tb, hd: batched_emit_custom_hdr(
-                                p, tb, hd, h, w, subsample, opt_mw),
-                            pk_d, tb_d, hdr_d)
-                    else:
-                        hdr_d, pk_d, tb_d = batched_search_opt(
-                            stack_dev, targets, subsample)
-                        handles = batched_emit_custom_hdr(
-                            pk_d, tb_d, hdr_d, h, w, subsample, opt_mw)
-                    searchq.append(("optf", chunk, (h, w, opt_mw),
-                                    handles))
-                elif use_device_entropy:
-                    from ..parallel.batched import batched_search_hist
-
-                    if mesh is not None:
-                        handles = shard_data_call(
-                            mesh, ("search_hist", subsample),
-                            lambda im, t: batched_search_hist(
-                                im, t, subsample),
-                            stack_dev, targets)
-                    else:
-                        handles = batched_search_hist(stack_dev, targets,
-                                                      subsample)
-                    searchq.append(("dev", chunk, (h, w), handles))
-                else:
-                    if mesh is not None:
-                        def _quant_fn(im, t):
-                            q, s, f, pk, f8 = batched_search_and_quantize(
-                                im, t, subsample)
-                            return (q, s, f, pk,
-                                    jnp.broadcast_to(f8, q.shape))
-
-                        handles = shard_data_call(
-                            mesh, ("search_quant", subsample),
-                            _quant_fn, stack_dev, targets)
-                    else:
-                        handles = batched_search_and_quantize(
-                            stack_dev, targets, subsample)
-                    searchq.append(("quant", chunk, (h, w), handles))
+            try:
+                searchq.append(_dispatch_px(h, w, chunk, padded,
+                                            stack_dev, targets))
+            except Exception as exc:
+                if not _is_device_error(exc):
+                    raise
+                _chunk_failed(chunk, exc)
             if len(searchq) >= 2:
-                bfuts.append(stage_a_exec.submit(_run_a,
-                                                 *searchq.pop(0)))
+                e2 = searchq.pop(0)
+                bfuts.append((stage_a_exec.submit(_run_a, *e2), e2[1]))
             # Backpressure: surface stage A/B errors promptly and bound
             # the number of chunks' coefficients resident in HBM.
             while len(bfuts) > 3:
-                bf = bfuts.pop(0).result()
-                if bf is not None:
-                    bf.result()
+                _wait_stage(bfuts.pop(0))
             _flush_ledger(False)
 
         while searchq:
-            bfuts.append(stage_a_exec.submit(_run_a, *searchq.pop(0)))
-        for af in bfuts:
-            bf = af.result()
-            if bf is not None:
-                bf.result()
+            e2 = searchq.pop(0)
+            if fault["wedged"]:
+                _chunk_failed(e2[1], fault["last"])
+                continue
+            bfuts.append((stage_a_exec.submit(_run_a, *e2), e2[1]))
+        for entry in bfuts:
+            _wait_stage(entry)
         for fut in pending:
             fut.result()
         _flush_ledger(True)
         _treport(timer, "pixel-path")
+
+        if failed and not fault["wedged"] and chunk_sz > 16 and n > 1:
+            # Chunk-size backoff, as in the coefficient fast path: the
+            # failure may be specific to this chunk shape's program;
+            # one retry at chunk 16 recovers at batch rates.
+            retry_ids = sorted(failed)
+
+            def _remap(pairs):
+                for j, r in pairs:
+                    results[retry_ids[j]] = r
+                    failed.discard(retry_ids[j])
+                if on_chunk is not None:
+                    on_chunk([(retry_ids[j], r) for j, r in pairs])
+
+            try:
+                sub = compress_images_batched(
+                    ctx, [images[i] for i in retry_ids], opts,
+                    workers=workers, on_chunk=_remap, chunk_size=16)
+                for j, i2 in enumerate(retry_ids):
+                    results[i2] = sub[j]
+                failed.clear()
+            except FusedChunkError as fe:
+                fault["wedged"] = fault["wedged"] or fe.wedged
+                fault["last"] = fe.cause
+                # _remap already cleared the items that made it.
+
+        if failed:
+            raise FusedChunkError(failed, fault["last"],
+                                  wedged=fault["wedged"])
     finally:
-        feeder.shutdown(wait=True, cancel_futures=True)
-        stage_a_exec.shutdown(wait=True, cancel_futures=True)
-        stage_b_exec.shutdown(wait=True, cancel_futures=True)
-        pool.shutdown(wait=True, cancel_futures=True)
+        # A wedged device means threads stuck on dead pulls — don't
+        # join them (see the coefficient fast path's finally).
+        wait = not fault["wedged"]
+        feeder.shutdown(wait=wait, cancel_futures=True)
+        stage_a_exec.shutdown(wait=wait, cancel_futures=True)
+        stage_b_exec.shutdown(wait=wait, cancel_futures=True)
+        pool.shutdown(wait=wait, cancel_futures=True)
     return results  # type: ignore[return-value]

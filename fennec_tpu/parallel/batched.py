@@ -1141,8 +1141,21 @@ def batched_ssim_sharded(mesh: Mesh, imgs_a, imgs_b,
     out_sh = NamedSharding(mesh, P("data"))
     fn = jax.jit(batched_ssim_xla, in_shardings=(img_sh, img_sh),
                  out_shardings=out_sh)
-    return fn(jax.device_put(imgs_a, img_sh),
-              jax.device_put(imgs_b, img_sh))
+    # Pad the batch to a 'data'-axis multiple: device_put of an
+    # unpadded batch over data:k raises for B % k != 0 (same padding
+    # the batch engine applies to its chunks, engine/batched.py).
+    a = jnp.asarray(imgs_a)
+    b = jnp.asarray(imgs_b)
+    n = int(a.shape[0])
+    k = int(mesh.shape["data"])
+    pad = (-n) % k
+    if pad:
+        reps = [1] * a.ndim
+        reps[0] = pad
+        a = jnp.concatenate([a, jnp.tile(a[:1], reps)], axis=0)
+        b = jnp.concatenate([b, jnp.tile(b[:1], reps)], axis=0)
+    out = fn(jax.device_put(a, img_sh), jax.device_put(b, img_sh))
+    return out[:n] if pad else out
 
 
 def quality_search_spatial_sharded(mesh: Mesh, img, target: float,

@@ -276,3 +276,140 @@ class TestFusedProgressContract:
         finished = [r for r in res if r.err is None and r.result is not None]
         assert canceled, "cancellation did not mark any pending item"
         assert len(canceled) + len(finished) == n
+
+
+class TestDeviceFaultIsolation:
+    """Injected device faults (the round-3 bench failure mode: an
+    InvalidArgument out of the fused chunk program) must never lose
+    items — the engine isolates the chunk, retries at a smaller chunk
+    size, and batch.py's pool fallback covers whatever remains
+    (reference contract: the worker pool never returns 0/N on decodable
+    inputs, batch.go:58-128)."""
+
+    def _jpeg_items(self, tmp_path, n, tag=""):
+        from fennec_tpu.codecs.jpeg import encode_jpeg
+
+        items = []
+        for i in range(n):
+            p = tmp_path / f"f{tag}{i}.jpg"
+            p.write_bytes(encode_jpeg(photo(48, 48, i), 92))
+            items.append(fennec.BatchItem(
+                src=str(p), dst=str(tmp_path / f"of{tag}{i}.jpg")))
+        return items
+
+    def _patch_search_raise(self, monkeypatch, exc_factory):
+        """Make every fused-chunk search dispatch raise (both upload
+        formats, so the test holds whichever the chunk prep picks)."""
+        import fennec_tpu.parallel.batched as pb
+
+        def boom(*a, **k):
+            raise exc_factory()
+
+        monkeypatch.setattr(pb, "batched_search_coo", boom)
+        monkeypatch.setattr(pb, "batched_decode_search_quantize_i8", boom)
+        monkeypatch.setattr(pb, "batched_decode_search_opt_i8", boom)
+        monkeypatch.setattr(pb, "batched_decode_search_hist_i8", boom)
+        monkeypatch.setattr(pb, "batched_decode_search_emit_i8", boom)
+
+    def test_persistent_device_fault_recovers_via_pool(
+            self, tmp_path, monkeypatch):
+        """Every fused dispatch raises InvalidArgument → all items must
+        still complete through the per-file pool fallback."""
+        import warnings
+
+        import jax
+
+        self._patch_search_raise(
+            monkeypatch,
+            lambda: jax.errors.JaxRuntimeError(
+                "INVALID_ARGUMENT: injected TPU backend error"))
+        items = self._jpeg_items(tmp_path, 6)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            res = fennec.compress_batch(
+                None, items,
+                fennec.BatchOptions(fused=True, default_opts=fennec.Options(
+                    format=fennec.JPEG)))
+        assert all(r.err is None for r in res), \
+            [str(r.err)[:80] for r in res if r.err]
+        import os
+        assert all(os.path.exists(it.dst) for it in items)
+        assert any("fused batch path failed" in str(x.message) for x in w)
+
+    def test_transient_fault_recovers_in_engine(self, tmp_path,
+                                                monkeypatch):
+        """Only the FIRST chunk dispatch raises → the engine's own
+        chunk-size backoff retry must land every item with NO fallback
+        warning and no per-file pool."""
+        import warnings
+
+        import jax
+        import fennec_tpu.parallel.batched as pb
+
+        calls = {"n": 0}
+        real_coo = pb.batched_search_coo
+        real_i8 = pb.batched_decode_search_quantize_i8
+
+        def flaky(real):
+            def fn(*a, **k):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise jax.errors.JaxRuntimeError(
+                        "INVALID_ARGUMENT: injected transient")
+                return real(*a, **k)
+            return fn
+
+        monkeypatch.setattr(pb, "batched_search_coo", flaky(real_coo))
+        monkeypatch.setattr(pb, "batched_decode_search_quantize_i8",
+                            flaky(real_i8))
+        items = self._jpeg_items(tmp_path, 6, tag="t")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            res = fennec.compress_batch(
+                None, items,
+                fennec.BatchOptions(fused=True, default_opts=fennec.Options(
+                    format=fennec.JPEG)))
+        assert calls["n"] >= 2, "backoff retry never re-dispatched"
+        assert all(r.err is None for r in res)
+
+    def test_wedged_device_fails_fast_without_retry(self, tmp_path,
+                                                    monkeypatch):
+        """A chunk pull that hangs past FENNEC_CHUNK_TIMEOUT marks the
+        device wedged: the batch returns promptly with per-item errors
+        (no per-file device retries that would hang one by one, no
+        0-success run misreported as progress)."""
+        import time as _time
+        import warnings
+
+        from fennec_tpu.engine import batched as batched_mod
+        import fennec_tpu.parallel.batched as pb
+
+        monkeypatch.setattr(batched_mod, "BATCH_CHUNK", 2)
+        monkeypatch.setattr(batched_mod, "CHUNK_TIMEOUT", 0.5)
+        real_split = pb.split_packed
+        state = {"hung": False}
+
+        def hanging_split(*a, **k):
+            if not state["hung"]:
+                state["hung"] = True
+                _time.sleep(4.0)
+            return real_split(*a, **k)
+
+        monkeypatch.setattr(pb, "split_packed", hanging_split)
+        items = self._jpeg_items(tmp_path, 8, tag="w")
+        t0 = _time.perf_counter()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            res = fennec.compress_batch(
+                None, items,
+                fennec.BatchOptions(fused=True, default_opts=fennec.Options(
+                    format=fennec.JPEG)))
+        elapsed = _time.perf_counter() - t0
+        assert any("unresponsive" in str(x.message) for x in w)
+        failed = [r for r in res if r.err is not None]
+        done = [r for r in res if r.err is None]
+        # The hung chunk and everything after it error out; chunks that
+        # completed before the hang may have streamed.
+        assert failed, "no item carries the wedged-device error"
+        assert len(failed) + len(done) == len(items)
+        assert elapsed < 30.0
