@@ -106,14 +106,20 @@ def _qd_plane(cp: jax.Array, q88: jax.Array) -> jax.Array:
 
 
 def _idct_precision():
-    """Probe-loop IDCT matmul precision.  HIGHEST (default) is bf16x6
-    pass-equivalent on the MXU; FENNEC_IDCT_PRECISION=high selects bf16x3
-    (~2x the MXU rate) — A/B-gated by the <1e-4 SSIM oracle bound, since
-    coefficient magnitudes (≤~2040) leave bf16x3 with ~2^-16 relative
-    error, well inside the probe scorer's tolerance."""
+    """Probe-loop IDCT matmul precision.  HIGH (default) is bf16x3 on
+    the MXU (~2x the rate of HIGHEST's bf16x6); FENNEC_IDCT_PRECISION=
+    highest restores the f32-equivalent passes.
+
+    Measured on the real chip (BENCH_NOTES round 4): HIGH lifts the
+    512-file batch 201 -> 231 img/s, with ZERO chosen-quality changes
+    and max |SSIM diff| 1.95e-5 over a 512-image corpus (photographic +
+    flat/noise/checker edge cases at targets 0.90-0.99) — 5x inside the
+    <1e-4 reference-parity bound.  Coefficient magnitudes (≤~2040)
+    leave bf16x3 with ~2^-16 relative error, inside the probe scorer's
+    tolerance."""
     import os
 
-    name = os.environ.get("FENNEC_IDCT_PRECISION", "highest").upper()
+    name = os.environ.get("FENNEC_IDCT_PRECISION", "high").upper()
     return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGHEST)
 
 
