@@ -519,30 +519,39 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 dcf.astype(np.int64), acf.astype(np.int64))
 
         with _tstage(timer, "A: emit dispatch"):
+            from ..ops import jpeg_emit as _je
+
+            lw = _je.EMIT_LWORDS
             tables = np.concatenate([dc_tabs, ac_tabs], axis=2)
             if mesh is not None:
                 wb = shard_data_call(
-                    mesh, ("emit_custom", h, w, subsample, opt_words),
+                    mesh, ("emit_custom", h, w, subsample, opt_words,
+                           lw),
                     lambda p, tb: batched_emit_custom(
-                        p, tb, h, w, subsample, opt_words),
+                        p, tb, h, w, subsample, opt_words, lw),
                     packed, tables)
             else:
                 wb = batched_emit_custom(packed, jnp.asarray(tables),
-                                         h, w, subsample, opt_words)
+                                         h, w, subsample, opt_words, lw)
         return (chunk_ids, (q_host, s_host, f_host, specs, wb,
                             opt_words))
 
     def _stage_b_opt(chunk_ids, state):
-        """Stage B: pull the emitted words and wrap containers."""
+        """Stage B: pull the emitted words and wrap containers.  Images
+        whose blocks outgrew the optimistic per-block emit buffer
+        (blk_ovf — exact flag, rare on real content) redo through the
+        per-image engine like word-capacity overflows."""
         from ..codecs.jpeg import _dht_segment_custom
         from ..ops.jpeg_emit import finalize_scan_host
         from ..parallel.batched import pull_emit_words
 
         q_host, s_host, f_host, specs, wb, opt_words = state
-        words_h, bits_h = pull_emit_words(wb, opt_words)
+        words_h, bits_h, bovf = pull_emit_words(wb, opt_words)
 
         def emit_one(i: int, j: int) -> None:
             res = results[i]
+            if bool(bovf[j]):
+                return _overflow_redo(i, res)
             quality = int(q_host[j])
             ssim_val = float(s_host[j])
             if not bool(f_host[j]):
@@ -1592,6 +1601,9 @@ def compress_images_batched(ctx: Optional[Context],
         emit_words = emit_words_for_bits(int(bstd_h.max()))
 
         specs: List = [None] * len(q_host)
+        from ..ops import jpeg_emit as _je
+
+        lw = _je.EMIT_LWORDS
         if use_opt:
             specs, dc_tabs, ac_tabs = specs_and_tables_batch(
                 dcf.astype(np.int64), acf.astype(np.int64))
@@ -1599,21 +1611,24 @@ def compress_images_batched(ctx: Optional[Context],
             tables = np.concatenate([dc_tabs, ac_tabs], axis=2)
             if mesh is not None:
                 wb = shard_data_call(
-                    mesh, ("emit_custom", h, w, subsample, emit_words),
+                    mesh, ("emit_custom", h, w, subsample, emit_words,
+                           lw),
                     lambda p, tb: batched_emit_custom(
-                        p, tb, h, w, subsample, emit_words),
+                        p, tb, h, w, subsample, emit_words, lw),
                     packed, tables)
             else:
                 wb = batched_emit_custom(packed, jnp.asarray(tables),
-                                         h, w, subsample, emit_words)
+                                         h, w, subsample, emit_words,
+                                         lw)
         elif mesh is not None:
             wb = shard_data_call(
-                mesh, ("emit_std", h, w, subsample, emit_words),
+                mesh, ("emit_std", h, w, subsample, emit_words, lw),
                 lambda p: batched_emit_std(p, h, w, subsample,
-                                           emit_words),
+                                           emit_words, lw),
                 packed)
         else:
-            wb = batched_emit_std(packed, h, w, subsample, emit_words)
+            wb = batched_emit_std(packed, h, w, subsample, emit_words,
+                                  lw)
         return (chunk_ids, h, w, (q_host, s_host, f_host, specs, wb,
                                   emit_words, use_opt))
 
@@ -1624,9 +1639,31 @@ def compress_images_batched(ctx: Optional[Context],
 
         (q_host, s_host, f_host, specs, wb, emit_words,
          use_opt) = state
-        words_h, bits_h = pull_emit_words(wb, emit_words)
+        words_h, bits_h, bovf = pull_emit_words(wb, emit_words)
 
         def emit_one(i: int, j: int) -> None:
+            if bool(bovf[j]):
+                # A block outgrew the optimistic emit buffer (exact
+                # flag): redo this image on the per-image path, same as
+                # the fused path's K.2-overflow branch.
+                from ..api import compress_image
+                from ..types import CanceledError
+
+                if fault["wedged"]:
+                    _item_failed(i, fault["last"])
+                    return
+                od = results[i].original_dimensions
+                try:
+                    results[i] = compress_image(ctx, prepped[i], opts)
+                except CanceledError:
+                    raise
+                except Exception as exc:
+                    if _is_device_error(exc):
+                        _item_failed(i, exc)
+                        return
+                    raise
+                results[i].original_dimensions = od
+                return
             quality = int(q_host[j])
             if not bool(f_host[j]):
                 quality = 100

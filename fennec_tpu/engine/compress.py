@@ -610,6 +610,8 @@ def _encode_from_coefs_device(coefs, w: int, h: int, quality: int,
         pull_emit_words,
     )
 
+    from ..ops import jpeg_emit as _je
+
     qt = jnp.asarray(dct_ops.all_quality_tables()[quality],
                      dtype=jnp.float32)
     qy, qcb, qcr = quantize_coefs_device(coefs, qt, subsample)
@@ -619,18 +621,29 @@ def _encode_from_coefs_device(coefs, w: int, h: int, quality: int,
     nbits = int(hb[0, 0])
     max_words = emit_words_for_bits(nbits)
     dht = None
+    tabs_dev = None
     if optimize:
         specs, dc_tabs, ac_tabs = specs_and_tables_batch(
             hb[:, 1:33].reshape(-1, 2, 16).astype(np.int64),
             hb[:, 33:545].reshape(-1, 2, 256).astype(np.int64))
-        wb = batched_emit_custom(
-            packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs],
-                                               axis=2)),
-            h, w, subsample, max_words)
+        tabs_dev = jnp.asarray(np.concatenate([dc_tabs, ac_tabs],
+                                              axis=2))
+        wb = batched_emit_custom(packed, tabs_dev, h, w, subsample,
+                                 max_words, _je.EMIT_LWORDS)
         dht = _dht_segment_custom(*specs[0])
     else:
-        wb = batched_emit_std(packed, h, w, subsample, max_words)
-    words_h, bits_h = pull_emit_words(wb, max_words)
+        wb = batched_emit_std(packed, h, w, subsample, max_words,
+                              _je.EMIT_LWORDS)
+    words_h, bits_h, bovf = pull_emit_words(wb, max_words)
+    if bool(bovf[0]):
+        # A block outgrew the optimistic emit buffer (exact flag, rare):
+        # re-emit at the safe LWORDS width — byte-identical semantics.
+        if optimize:
+            wb = batched_emit_custom(packed, tabs_dev, h, w, subsample,
+                                     max_words, 0)
+        else:
+            wb = batched_emit_std(packed, h, w, subsample, max_words, 0)
+        words_h, bits_h, _ = pull_emit_words(wb, max_words)
     scan = finalize_scan_host(words_h[0], int(bits_h[0]))
     return assemble_jpeg(w, h, dct_ops.all_quality_tables()[quality],
                          scan, subsample, dht=dht)

@@ -334,6 +334,8 @@ def _encode_two_stage(pool, coefs: jax.Array, qvec: np.ndarray,
     from ..ops.jpeg_emit import finalize_scan_host
     from ..parallel.batched import batched_emit_custom, pull_emit_words
 
+    from ..ops import jpeg_emit as _je
+
     b = len(qvec)
     packed, small = _quantize_hist_jit(
         coefs, jnp.asarray(qvec, dtype=jnp.int32), h, w)
@@ -345,16 +347,29 @@ def _encode_two_stage(pool, coefs: jax.Array, qvec: np.ndarray,
     # Optimal tables never exceed the standard-table bit count they are
     # built against, so the exact counts size the word buffer safely.
     max_words = _next_pow2(int(sm[:, 0].max()) // 32 + 64)
-    wb = batched_emit_custom(
-        packed, jnp.asarray(np.concatenate([dc_tabs, ac_tabs], axis=2)),
-        h, w, True, max_words)
-    words_h, bits_h = pull_emit_words(wb, max_words)
+    tabs_dev = jnp.asarray(np.concatenate([dc_tabs, ac_tabs], axis=2))
+    wb = batched_emit_custom(packed, tabs_dev, h, w, True, max_words,
+                             _je.EMIT_LWORDS)
+    words_h, bits_h, bovf = pull_emit_words(wb, max_words)
+    redo: Dict[int, Tuple[np.ndarray, int]] = {}
+    if bovf.any():
+        # Some image's blocks outgrew the optimistic emit buffer (exact
+        # flag): one safe-width re-emit of the whole batch covers the
+        # flagged lanes (rare; a second dispatch beats per-lane jits).
+        wb2 = batched_emit_custom(packed, tabs_dev, h, w, True,
+                                  max_words, 0)
+        words2, bits2, _ = pull_emit_words(wb2, max_words)
+        for j in np.nonzero(bovf)[0]:
+            redo[int(j)] = (words2[j], int(bits2[j]))
 
     out: List[Optional[bytes]] = [None] * b
     qtabs = dct_ops.all_quality_tables()
 
     def emit(j: int) -> None:
-        scan = finalize_scan_host(words_h[j], int(bits_h[j]))
+        words_j, bits_j = redo.get(j, (None, None))
+        if words_j is None:
+            words_j, bits_j = words_h[j], int(bits_h[j])
+        scan = finalize_scan_host(words_j, bits_j)
         dht = _dht_segment_custom(*specs[j])
         out[j] = assemble_jpeg(w, h, qtabs[int(qvec[j])], scan, True,
                                dht=dht)

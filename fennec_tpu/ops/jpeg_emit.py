@@ -34,6 +34,7 @@ equality with the C++ encoder is asserted in tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -327,6 +328,19 @@ def scan_symbol_hist_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
 # absent coefficients), so 64 gives slack for any legal Huffman spec.
 LWORDS = 64
 
+# Optimistic per-block buffer width for the production batch paths.  The
+# deposit's masked reductions and the assembly's row windows both scale
+# LINEARLY in the buffer width, and real content sits far below the
+# legal worst case (a 500² photographic batch at the Balanced target
+# measures mean 15 / p99.9 32 / max 44 bits per block — 2 words; 16
+# words = 512 bits covers every plausible block).  Callers that pass
+# lwords > 0 to emit_scan_device get back an EXACT per-image overflow
+# flag (computed from the true block_bits before assembly) and must
+# redo flagged images at the safe LWORDS width — so a pathological
+# block can never corrupt an output silently.
+EMIT_LWORDS = max(2, min(LWORDS, int(os.environ.get(
+    "FENNEC_EMIT_LWORDS", "16"))))
+
 
 def _deposit_local(buf: jax.Array, val, ln, off) -> jax.Array:
     """Deposit big-endian bit fields into per-block local buffers.
@@ -353,7 +367,11 @@ def _deposit_local(buf: jax.Array, val, ln, off) -> jax.Array:
     hi = jnp.where(shift >= 0, v << ushift, v >> dshift)
     lo = v << jnp.clip(32 + shift, 0, 31).astype(jnp.uint32)
     live = ln > 0
-    iota = jnp.arange(LWORDS, dtype=jnp.int32)
+    # Buffer width comes from the buffer itself (LWORDS or the caller's
+    # optimistic width); fields past the last word find no matching iota
+    # and drop harmlessly — emit_scan_device's exact block-bits overflow
+    # flag catches the affected image.
+    iota = jnp.arange(buf.shape[1], dtype=jnp.int32)
     m1 = (word[:, :, None] == iota) & live[:, :, None]
     m2 = ((word + 1)[:, :, None] == iota) \
         & (live & (shift < 0))[:, :, None]
@@ -362,11 +380,11 @@ def _deposit_local(buf: jax.Array, val, ln, off) -> jax.Array:
     return buf
 
 
-def _pack_blocks_local(fields) -> jax.Array:
-    """Pack every block's symbol fields into its own (LWORDS,) big-endian
+def _pack_blocks_local(fields, lwords: int = LWORDS) -> jax.Array:
+    """Pack every block's symbol fields into its own (lwords,) big-endian
     bit buffer — all blocks and all 64 zigzag positions at once."""
     n = fields["dc_code"].shape[0]
-    buf = jnp.zeros((n, LWORDS), dtype=jnp.uint32)
+    buf = jnp.zeros((n, lwords), dtype=jnp.uint32)
 
     # DC: Huffman code and magnitude bits merged into one ≤27-bit field.
     dc_len = fields["dc_clen"] + fields["s_dc"]
@@ -560,12 +578,13 @@ def _slot_permutation(padded_h: int, padded_w: int, subsample: bool):
 def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
                      padded_h: int, padded_w: int, subsample: bool,
                      max_words: int, dc_tables=None, ac_tables=None,
-                     batch_hint: int = 1):
+                     batch_hint: int = 1, lwords: int = 0):
     """Assemble the entropy-coded scan on device.
 
     Inputs: (N, 64) quantized blocks per component (natural order raster,
     any numeric dtype).  Returns (words uint32 (max_words,), total_bits
-    int32).  Caller must size max_words generously (bits never exceed
+    int32) — plus a per-image overflow bool when lwords > 0 (below).
+    Caller must size max_words generously (bits never exceed
     26 per coefficient plus per-block overhead; scan_bits_device gives the
     exact count if needed).
 
@@ -576,6 +595,16 @@ def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
     batch_hint: number of images this trace is vmapped over.  The
     matmul-assembly one-hot materializes with the vmap batch factor, so
     the HBM gate must see B·T·max_words, not T·max_words.
+
+    lwords: optimistic per-block buffer width in words (0 → the safe
+    LWORDS=64).  When > 0, returns (words, total_bits, ovf) where ovf
+    is an EXACT bool — True iff some block's bits exceed lwords·32, in
+    which case that image's words are invalid (bits silently dropped)
+    and the caller must redo it at the safe width.  block_bits is
+    computed from the symbol stream before packing, so the flag never
+    misses an overflow.  Real content sits far below the legal
+    worst case (see EMIT_LWORDS), making the redo rare while the
+    deposit masks and assembly windows shrink by LWORDS/lwords.
     """
     layout, total = _scan_layout(padded_h, padded_w, subsample)
     if dc_tables is None:
@@ -588,6 +617,7 @@ def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
                   (dc_tables[1], ac_tables[1]))
         k_window = 17  # optimal tables: blocks can be as short as 2 bits
 
+    lw = lwords if lwords > 0 else LWORDS
     bufs = []
     bits = []
     for blocks, (order, inv, raster_slot), (dct, act) in (
@@ -595,17 +625,25 @@ def emit_scan_device(qy: jax.Array, qcb: jax.Array, qcr: jax.Array,
             (qcb, layout[1], tables[1]),
             (qcr, layout[2], tables[2])):
         fields = _component_fields(blocks, order, inv, dct, act)
-        bufs.append(_pack_blocks_local(fields))
+        bufs.append(_pack_blocks_local(fields, lw))
         bits.append(fields["block_bits"])
 
     perm = jnp.asarray(_slot_permutation(padded_h, padded_w, subsample))
+    bits_cat = jnp.concatenate(bits)
     bufs_slot = jnp.concatenate(bufs, axis=0)[perm]
-    bits_slot = jnp.concatenate(bits)[perm]
+    bits_slot = bits_cat[perm]
     if (total * max_words <= _MATMUL_ASSEMBLE_LIMIT
             and max(1, batch_hint) * total * max_words
             <= _MATMUL_ASSEMBLE_HBM_CAP):
-        return _assemble_global_matmul(bufs_slot, bits_slot, max_words)
-    return _assemble_global(bufs_slot, bits_slot, max_words, k_window)
+        words, total_bits = _assemble_global_matmul(bufs_slot, bits_slot,
+                                                    max_words)
+    else:
+        words, total_bits = _assemble_global(bufs_slot, bits_slot,
+                                             max_words, k_window)
+    if lwords > 0:
+        ovf = jnp.max(bits_cat) > lw * 32
+        return words, total_bits, ovf
+    return words, total_bits
 
 
 def finalize_scan_host(words: np.ndarray, total_bits: int) -> bytes:

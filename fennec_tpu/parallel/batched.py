@@ -382,13 +382,16 @@ def batched_decode_search_opt_i8(packed_i8: jax.Array,
     return _search_build_tail(q, s, f, packed, ph, pw, out_subsample)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def batched_emit_std(packed: jax.Array, h: int, w: int,
-                     out_subsample: bool, max_words: int):
+                     out_subsample: bool, max_words: int,
+                     lwords: int = 0):
     """Stage 2 with the standard Annex-K tables: emit resident quantized
     coefficients.  Returns (B, max_words+1) uint32 — column 0 is the
     total bit count, columns 1: the big-endian scan words — one array so
-    the host pays ONE tunnel round-trip (decode with pull_emit_words)."""
+    the host pays ONE tunnel round-trip (decode with pull_emit_words).
+    lwords: optimistic per-block width, overflow flag in col-0 bit 31
+    (see batched_emit_custom)."""
     from ..ops.jpeg_emit import emit_scan_device
 
     mult = 16 if out_subsample else 8
@@ -397,9 +400,14 @@ def batched_emit_std(packed: jax.Array, h: int, w: int,
     nc = (ph // 16) * (pw // 16) if out_subsample else ny
 
     def one(p):
-        return emit_scan_device(
+        out = emit_scan_device(
             p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
-            max_words, batch_hint=packed.shape[0])
+            max_words, batch_hint=packed.shape[0], lwords=lwords)
+        if lwords > 0:
+            words, bits, ovf = out
+            return words, (bits.astype(jnp.uint32)
+                           | (ovf.astype(jnp.uint32) << 31))
+        return out
 
     words, bits = jax.vmap(one)(packed)
     return jnp.concatenate(
@@ -855,25 +863,33 @@ def pull_emit_words(wb, max_words: int,
                     full_limit_bytes: int = 8 << 20):
     """Pull a batched_emit_* result with minimal tunnel round-trips.
 
-    wb: device (B, max_words+1) uint32 (col 0 = bits).  Small buffers
-    come down in ONE pull; above full_limit_bytes the bit counts come
-    first and the word pull is sliced to the batch's actual extent
-    (large-input chunks size max_words from the input files, which can
-    far exceed the re-encoded output).  Returns (words (B, ≤max_words)
-    uint32, bits (B,) int64)."""
+    wb: device (B, max_words+1) uint32 (col 0 = bits, with the
+    block-overflow flag in bit 31 when the emit ran at an optimistic
+    lwords width).  Small buffers come down in ONE pull; above
+    full_limit_bytes the bit counts come first and the word pull is
+    sliced to the batch's actual extent (large-input chunks size
+    max_words from the input files, which can far exceed the re-encoded
+    output).  Returns (words (B, ≤max_words) uint32, bits (B,) int64,
+    blk_ovf (B,) bool) — blk_ovf[j] means image j's words are INVALID
+    (a block outgrew the optimistic buffer) and it must be re-emitted
+    at the safe width."""
     b = wb.shape[0]
     if (max_words + 1) * b * 4 <= full_limit_bytes:
         wb_h = np.asarray(wb)
-        return wb_h[:, 1:], wb_h[:, 0].astype(np.int64)
-    bits = np.asarray(wb[:, 0]).astype(np.int64)
+        raw = wb_h[:, 0].astype(np.int64)
+        return wb_h[:, 1:], raw & 0x7FFFFFFF, (raw >> 31) != 0
+    raw = np.asarray(wb[:, 0]).astype(np.int64)
+    bits = raw & 0x7FFFFFFF
+    ovf = (raw >> 31) != 0
     used = min(int(bits.max()) // 32 + 2, max_words)
-    return np.asarray(wb[:, 1:1 + used]), bits
+    return np.asarray(wb[:, 1:1 + used]), bits, ovf
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def batched_emit_custom(packed: jax.Array, tables: jax.Array,
                         h: int, w: int,
-                        out_subsample: bool, max_words: int):
+                        out_subsample: bool, max_words: int,
+                        lwords: int = 0):
     """Stage 2: Huffman-emit resident quantized coefficients with
     per-image code tables.  packed: (B, Ny+2Nc, 64); tables: ONE
     (B, 2, 272) int32 upload per class [luma, chroma] — dc (…, :16) and
@@ -882,7 +898,13 @@ def batched_emit_custom(packed: jax.Array, tables: jax.Array,
     round-trip and 4× less upload than separate code/length planes.
     Returns (B, max_words+1) uint32 — column 0 is the total bit count,
     columns 1: the scan words (one array → one round-trip; decode with
-    pull_emit_words)."""
+    pull_emit_words).
+
+    lwords > 0 selects the optimistic per-block buffer width
+    (ops/jpeg_emit.EMIT_LWORDS rationale); the per-image block-overflow
+    flag rides in bit 31 of column 0 (bit counts are far below 2^31),
+    and pull_emit_words strips + returns it.  Overflowed images must be
+    redone at lwords=0."""
     from ..ops.jpeg_emit import emit_scan_device
 
     mult = 16 if out_subsample else 8
@@ -894,10 +916,15 @@ def batched_emit_custom(packed: jax.Array, tables: jax.Array,
         dcp, acp = tabp[:, :16], tabp[:, 16:]
         dct = jnp.stack([dcp >> 5, dcp & 31], axis=1)  # (2, 2, 16)
         act = jnp.stack([acp >> 5, acp & 31], axis=1)  # (2, 2, 256)
-        return emit_scan_device(
+        out = emit_scan_device(
             p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
             max_words, dc_tables=dct, ac_tables=act,
-            batch_hint=packed.shape[0])
+            batch_hint=packed.shape[0], lwords=lwords)
+        if lwords > 0:
+            words, bits, ovf = out
+            return words, (bits.astype(jnp.uint32)
+                           | (ovf.astype(jnp.uint32) << 31))
+        return out
 
     words, bits = jax.vmap(one)(packed, tables)
     return jnp.concatenate(

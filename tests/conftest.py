@@ -32,6 +32,15 @@ jax.config.update("jax_platforms", "cpu")
 # shape-specialized programs), and very large in-process LLVM JIT volume
 # has been observed to segfault XLA CPU in long custom test orderings —
 # cached executables sidestep both.  FENNEC_TEST_NO_CACHE=1 disables.
+#
+# STALE-CACHE HAZARD (observed 2026-08-20): entries AOT-compiled under a
+# different XLA_FLAGS/target-feature set load with
+# "cpu_aot_loader ... machine feature ... not supported" errors and can
+# ABORT the process mid-execution (a worker died inside a device->host
+# transfer in test_parallel.py's 4K test; rerunning alone passed).  If
+# the suite starts crashing workers while those loader errors appear,
+# delete ~/.cache/fennec_jax_cache_tests — after a purge the same
+# ordering passed 100/100.
 if not os.environ.get("FENNEC_TEST_NO_CACHE"):
     try:
         jax.config.update(

@@ -158,3 +158,102 @@ class TestAdversarialCoefficients:
         np.testing.assert_array_equal(np.asarray(coefs[0], np.int32), qy)
         np.testing.assert_array_equal(np.asarray(coefs[1], np.int32), qcb)
         np.testing.assert_array_equal(np.asarray(coefs[2], np.int32), qcr)
+
+
+class TestOptimisticLwords:
+    """Optimistic per-block emit buffers (lwords < LWORDS) with the
+    exact overflow flag: normal content is byte-identical at the small
+    width, worst-case content trips the flag instead of corrupting."""
+
+    def _geom(self, blocks_w=4, blocks_h=4):
+        ph, pw = blocks_h * 16, blocks_w * 16
+        ny = (ph // 8) * (pw // 8)
+        nc = (ph // 16) * (pw // 16)
+        return ph, pw, ny, nc
+
+    def test_small_width_matches_default_on_normal_content(self):
+        img = make_noise_image(64, 48, seed=9)
+        (qy, qcb, qcr), ph, pw = quantized(img, 75)
+        max_words = (qy.shape[0] + 2 * qcb.shape[0]) * 64 + 64
+        w0, b0 = emit_scan_device(
+            jnp.asarray(qy), jnp.asarray(qcb), jnp.asarray(qcr),
+            ph, pw, True, max_words)
+        w1, b1, ovf = emit_scan_device(
+            jnp.asarray(qy), jnp.asarray(qcb), jnp.asarray(qcr),
+            ph, pw, True, max_words, lwords=16)
+        assert not bool(ovf)
+        assert int(b0) == int(b1)
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
+    def test_overflow_flag_exact_on_maximal_blocks(self):
+        """Densest legal blocks (~1650 bits) overflow any small width;
+        the flag must fire, and the safe width must still match the
+        host encoder byte for byte."""
+        ph, pw, ny, nc = self._geom()
+        rng = np.random.default_rng(0)
+        sign = lambda shape: rng.choice([-1, 1], size=shape)
+        qy = (sign((ny, 64)) * 1023).astype(np.int32)
+        qy[:, 0] = rng.integers(-2047, 2048, ny)
+        qcb = (sign((nc, 64)) * 255).astype(np.int32)
+        qcr = (sign((nc, 64)) * 511).astype(np.int32)
+        max_words = (ny + 2 * nc) * 64 + 64
+        _w, _b, ovf = emit_scan_device(
+            jnp.asarray(qy), jnp.asarray(qcb), jnp.asarray(qcr),
+            ph, pw, True, max_words, lwords=16)
+        assert bool(ovf)
+        # lwords=53 covers the legal worst case (1680 bits): no flag,
+        # exact bytes.
+        w2, b2, ovf2 = emit_scan_device(
+            jnp.asarray(qy), jnp.asarray(qcb), jnp.asarray(qcr),
+            ph, pw, True, max_words, lwords=53)
+        assert not bool(ovf2)
+        want = encode_scan_from_quantized(qy, qcb, qcr, ph, pw, True)
+        assert finalize_scan_host(np.asarray(w2), int(b2)) == want
+
+    def test_batched_wrapper_flag_in_header(self):
+        """batched_emit_std at a small width: the per-image flag rides
+        bit 31 of column 0 and pull_emit_words strips it."""
+        from fennec_tpu.parallel.batched import (
+            batched_emit_std,
+            pull_emit_words,
+        )
+
+        ph, pw, ny, nc = self._geom(blocks_w=2, blocks_h=2)
+        rng = np.random.default_rng(3)
+        normal = (rng.integers(-40, 40, (ny + 2 * nc, 64))
+                  * (rng.random((ny + 2 * nc, 64)) < 0.05)).astype(
+                      np.int16)
+        dense = np.where(rng.random((ny + 2 * nc, 64)) < 0.5, 900,
+                         -900).astype(np.int16)
+        packed = jnp.asarray(np.stack([normal, dense]))
+        max_words = 8192
+        wb = batched_emit_std(packed, ph, pw, True, max_words, 8)
+        words, bits, ovf = pull_emit_words(wb, max_words)
+        assert not bool(ovf[0]) and bool(ovf[1])
+        # The safe width agrees with the host encoder on BOTH lanes.
+        wb0 = batched_emit_std(packed, ph, pw, True, max_words)
+        words0, bits0, ovf0 = pull_emit_words(wb0, max_words)
+        assert not ovf0.any()
+        got = finalize_scan_host(words0[0], int(bits0[0]))
+        want = encode_scan_from_quantized(
+            normal[:ny].astype(np.int32),
+            normal[ny:ny + nc].astype(np.int32),
+            normal[ny + nc:].astype(np.int32), ph, pw, True)
+        assert got == want
+        # And the optimistic lane 0 (no overflow) matches the safe lane.
+        assert int(bits[0]) == int(bits0[0])
+
+    def test_engine_redo_under_tiny_width(self, monkeypatch):
+        """EMIT_LWORDS=2 forces the overflow redo on real content: the
+        single-image engine must still produce the identical file."""
+        import fennec_tpu.ops.jpeg_emit as je
+        from fennec_tpu.engine.compress import compress_jpeg_optimal
+        from fennec_tpu.types import Options
+
+        img = make_noise_image(48, 48, seed=11)
+        opts = Options()
+        opts.device_entropy = True
+        q0, s0, d0 = compress_jpeg_optimal(img, 0.94, opts)
+        monkeypatch.setattr(je, "EMIT_LWORDS", 2)
+        q1, s1, d1 = compress_jpeg_optimal(img, 0.94, opts)
+        assert (q0, d0) == (q1, d1)

@@ -95,7 +95,7 @@ class TestBatchedSearch:
         small, packed = batched_search_hist(imgs, targets, True)
         q1, _s1, _f1, _bits, _dcf, _acf = split_search_small(
             np.asarray(small))
-        w1, b1 = pull_emit_words(
+        w1, b1, _ovf1 = pull_emit_words(
             batched_emit_std(packed, 32, 48, True, max_words), max_words)
         q2, s2, f2, w2, b2 = batched_search_emit_sharded(
             mesh, imgs, targets, True, max_words)
