@@ -51,6 +51,22 @@ BATCH_CHUNK = int(os.environ.get("FENNEC_BATCH_CHUNK", "64"))
 # of the latency-critical small pulls: 64-img chunks at 500² measured
 # 219-233 img/s at depth 2, 203-216 at 3, 148-163 at 4).
 PREFETCH = max(2, int(os.environ.get("FENNEC_BATCH_PREFETCH", "2")))
+# Width of the stage-A/stage-B executors.  Each chunk's stage A blocks
+# ~0.15-0.3 s on the small-pull tunnel round-trip; at width 1 those
+# waits serialize into the longest chain of the pipeline (8 chunks ×
+# ~0.2 s ≈ the whole 512-file pass).  Width 2 overlaps chunk k+1's pull
+# with chunk k's host table build + dispatch.  Ledger entries carry
+# their own (ids, futures) pairs, so completion order across chunks is
+# free to interleave — on_chunk streaming order is by-completion, the
+# documented contract.
+STAGE_WORKERS = max(1, int(os.environ.get("FENNEC_STAGE_WORKERS", "2")))
+# The pixel path keeps width 1 by default: its feeder ships ~48 MB of
+# pixels per 64-chunk, and concurrent stage pulls compete with those
+# uploads for the serialized tunnel (measured 45.8 vs 52.2 img/s at
+# width 2 vs 1 on the in-memory bench; the coefficient path, whose
+# uploads are ~50x smaller, measured 245 vs 231 the other way).
+STAGE_WORKERS_PX = max(1, int(os.environ.get(
+    "FENNEC_STAGE_WORKERS_PX", "1")))
 # Fused optimal-Huffman: search → histograms → DEVICE K.2 table build →
 # custom-table emission in ONE dispatch with ONE pull (ops/huffbuild.py),
 # vs the two-stage hist-pull → host-tables → emit-dispatch → words-pull.
@@ -150,10 +166,11 @@ def _make_ledger_flush(ledger: List, results: List, on_chunk,
 
     Ledger entries are appended from the stage-A/stage-B executor
     threads while the dispatch thread flushes; `lock` guards the list
-    mutations.  FIFO ORDER additionally relies on stage A and stage B
-    each being SINGLE-thread executors (see their definitions) — a
-    wider executor would reorder appends and corrupt on_chunk's index
-    mapping even with the lock held.
+    mutations.  Entries are SELF-CONTAINED (each carries its own ids +
+    futures pair), so a wider stage executor (STAGE_WORKERS > 1) only
+    changes the order chunks complete in — flush still reports each
+    chunk's own ids against its own futures, and on_chunk's contract is
+    by-completion streaming, not input order.
 
     Cancellation is honored BETWEEN chunk reports: an on_item callback
     that calls ctx.cancel() deterministically stops every later chunk
@@ -1118,8 +1135,8 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         return (kind, chunk, handles)
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
-    stage_a_exec = concurrent.futures.ThreadPoolExecutor(1)
-    stage_b_exec = concurrent.futures.ThreadPoolExecutor(1)
+    stage_a_exec = concurrent.futures.ThreadPoolExecutor(STAGE_WORKERS)
+    stage_b_exec = concurrent.futures.ThreadPoolExecutor(STAGE_WORKERS)
     futs = [feeder.submit(_make_chunk, s) for s in starts[:PREFETCH]]
     searchq: List = []
     bfuts: List = []
@@ -1808,8 +1825,8 @@ def compress_images_batched(ctx: Optional[Context],
                 return ("quant", chunk, (h, w), handles)
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
-    stage_a_exec = concurrent.futures.ThreadPoolExecutor(1)
-    stage_b_exec = concurrent.futures.ThreadPoolExecutor(1)
+    stage_a_exec = concurrent.futures.ThreadPoolExecutor(STAGE_WORKERS_PX)
+    stage_b_exec = concurrent.futures.ThreadPoolExecutor(STAGE_WORKERS_PX)
     futs = [feeder.submit(_make_stack, j) for j in jobs[:PREFETCH]]
     searchq: List = []
     bfuts: List = []
