@@ -752,6 +752,55 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
     _COO_RCAP = 16
 
+    def _prep_chunk_csr(chunk, padded, dcp, posp, valp, qts, exc_parts):
+        """Variable-length (CSR) upload: per-block counts + the exact
+        (position, value) pair streams, ordered by (image, block, scan
+        order).  ~2× fewer bytes than the best fixed-R COO layout on
+        photographic content; the device re-expands to slots with one
+        sorted window-gather (parallel.batched._csr_to_slots).
+
+        Byte layout: [dc (B·NT) | counts (B·NT) | spos (M) | sval (M) |
+        pad] + int32 [qts | base (B) | ej | ei | ev | targets]."""
+        rcap = posp.shape[2]
+        occ = posp != 0  # filled slots are a prefix per block
+        counts = occ.sum(axis=2, dtype=np.int32)  # (padded, nt)
+        per_img = counts.sum(axis=1)
+        base = (np.cumsum(per_img) - per_img).astype(np.int32)
+        total = int(per_img.sum())
+        m = _next_pow2(max(total, 1))
+        flat = occ.reshape(-1, rcap)
+        spos = np.zeros(m, np.int8)
+        sval = np.zeros(m, np.int8)
+        spos[:total] = posp.reshape(-1, rcap)[flat].view(np.int8)
+        sval[:total] = valp.reshape(-1, rcap)[flat]
+        # r_active: pow2-bucketed max per-block occupancy — the static
+        # slot width the device expansion re-creates (≤ rcap).
+        r_active = _next_pow2(max(int(counts.max()), 1))
+
+        ej, ei, ev = _pack_exceptions(exc_parts, padded)
+        e = int(ej.size)
+        nb = 2 * padded * nt + 2 * m
+        w0 = (nb + 3) // 4
+        buf = np.zeros(w0 + padded * 128 + padded + 3 * e + padded,
+                       np.int32)
+        bview = buf[:w0].view(np.int8)
+        bview[:padded * nt] = dcp.reshape(-1)
+        bview[padded * nt:2 * padded * nt] = \
+            counts.astype(np.int8).reshape(-1)
+        bview[2 * padded * nt:2 * padded * nt + m] = spos
+        bview[2 * padded * nt + m:nb] = sval
+        o = w0
+        buf[o:o + padded * 128] = qts.reshape(-1)
+        o += padded * 128
+        buf[o:o + padded] = base
+        o += padded
+        buf[o:o + e] = ej
+        buf[o + e:o + 2 * e] = ei
+        buf[o + 2 * e:o + 3 * e] = ev.astype(np.int32)
+        o += 3 * e
+        buf[o:] = np.full(padded, target, np.float32).view(np.int32)
+        return "csr", buf, (r_active, m), e
+
     def _prep_chunk_i8(chunk, padded):
         """Decode a chunk's files into the smaller of two single-buffer
         upload formats (the ~42 MB/s axon tunnel makes upload bytes the
@@ -820,8 +869,24 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             bytes_ = padded * nt * (1 + 2 * r_) + 12 * over
             if best_bytes is None or bytes_ < best_bytes:
                 best_r, best_bytes = r_, bytes_
-        if best_bytes >= 0.85 * padded * nt * kk:
+        # CSR (FENNEC_UPLOAD=csr, OPT-IN): each block ships its exact
+        # pairs (+1 count byte) instead of fixed R slots — ~2× fewer
+        # upload bytes on photographic content (mean ≈ 3 nonzeros/block
+        # vs best fixed R ≈ 6).  Measured end to end on the hosted
+        # tunnel it still LOSES to COO (189 vs 272 img/s, BENCH_NOTES
+        # round 4): chunk uploads already overlap device compute in the
+        # 3-stage pipeline, so the saved bytes buy little wall time,
+        # while the device-side slot expansion (35 ms/chunk even in its
+        # grouped row-gather + one-hot-dot form; a naive per-block
+        # window gather was 900 ms) adds straight to the serial device
+        # path.  Kept as an option for genuinely upload-starved links.
+        force = os.environ.get("FENNEC_UPLOAD", "")
+        if force == "dense" or (not force
+                                and best_bytes >= 0.85 * padded * nt * kk):
             return _prep_chunk_dense(chunk, padded)
+        if force == "csr":
+            return _prep_chunk_csr(chunk, padded, dcp, posp, valp, qts,
+                                   exc_parts)
         r = best_r
 
         extra = None
@@ -957,7 +1022,22 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
         dsh = NamedSharding(mesh, _P("data"))
         rsh = NamedSharding(mesh, _P())
-        if fmt == "coo":
+        repl = ()
+        if fmt == "csr":
+            r_active, m = meta
+            nb = 2 * padded * nt + 2 * m
+            w0 = (nb + 3) // 4
+            by = buf[:w0].view(np.int8)
+            lead = (by[:padded * nt].reshape(padded, nt),
+                    by[padded * nt:2 * padded * nt]
+                    .reshape(padded, nt))
+            # The pair streams are variable-length per image and carry
+            # GLOBAL offsets (base) — replicate them; each shard reads
+            # only its images' windows.
+            repl = (by[2 * padded * nt:2 * padded * nt + m],
+                    by[2 * padded * nt + m:nb])
+            o = w0
+        elif fmt == "coo":
             r = meta
             nb = padded * nt * (1 + 2 * r)
             w0 = (nb + 3) // 4
@@ -974,6 +1054,10 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             o = n0
         qts = buf[o:o + padded * 128].reshape(padded, 2, 64)
         o += padded * 128
+        base = None
+        if fmt == "csr":
+            base = buf[o:o + padded]
+            o += padded
         ej = buf[o:o + e]
         ei = buf[o + e:o + 2 * e]
         ev = buf[o + 2 * e:o + 3 * e]
@@ -981,6 +1065,10 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         tgt = buf[o:o + padded].view(np.float32)
         parts = [jax.device_put(np.ascontiguousarray(a), dsh)
                  for a in lead]
+        if base is not None:
+            parts.append(jax.device_put(np.ascontiguousarray(base), dsh))
+        parts.extend(jax.device_put(np.ascontiguousarray(x), rsh)
+                     for x in repl)
         parts.append(jax.device_put(np.ascontiguousarray(qts), dsh))
         parts.append(jax.device_put(np.ascontiguousarray(tgt), dsh))
         parts.extend(jax.device_put(np.ascontiguousarray(x), rsh)
@@ -1027,11 +1115,37 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 batched_decode_search_opt_i8,
                 batched_decode_search_quantize_i8,
                 batched_search_coo,
+                batched_search_csr,
                 unpack_chunk_buf,
                 unpack_chunk_coo,
+                unpack_chunk_csr,
             )
 
-            if mesh is not None and fmt == "coo":
+            if mesh is not None and fmt == "csr":
+                (dc, dcnt, dbase, dspos, dsval, dqts, dtg, dej, dei,
+                 dev_) = dbuf
+                r_active = meta[0]
+
+                def _csr_fn(dc_, cnt_, base_, qts_, t_, spos_, sval_,
+                            ej_, ei_, ev_):
+                    off = (jax.lax.axis_index("data")
+                           * dc_.shape[0]).astype(ej_.dtype)
+                    out = batched_search_csr(
+                        dc_, cnt_, base_, spos_, sval_, ej_ - off,
+                        ei_, ev_, qts_, t_, h, w, in_sub, subsample,
+                        flavor, mw, r_active)
+                    if flavor == "quant":
+                        q, sv, fv, pk, f8 = out
+                        out = (q, sv, fv, pk,
+                               jnp.broadcast_to(f8, q.shape))
+                    return out
+
+                handles = shard_data_call(
+                    mesh, ("csr", h, w, in_sub, subsample, flavor,
+                           mw, r_active),
+                    _csr_fn, dc, dcnt, dbase, dqts, dtg, dspos,
+                    dsval, dej, dei, dev_, replicated=5)
+            elif mesh is not None and fmt == "coo":
                 dc, dpos, dval, dqts, dtg, dej, dei, dev_ = dbuf
 
                 def _coo_fn(dc_, pos_, val_, qts_, t_, ej_, ei_,
@@ -1086,6 +1200,14 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                            mw),
                     _i8_fn, di8, dqts, dtg, dej, dei, dev_,
                     replicated=3)
+            elif fmt == "csr":
+                (dc, dcnt, dbase, dspos, dsval, dqts, dej, dei,
+                 dev_, targets) = unpack_chunk_csr(dbuf, padded, nt,
+                                                   meta[1], e)
+                handles = batched_search_csr(
+                    dc, dcnt, dbase, dspos, dsval, dej, dei, dev_,
+                    dqts, targets, h, w, in_sub, subsample, flavor,
+                    mw, meta[0])
             elif fmt == "coo":
                 (dc, dpos, dval, dqts, dej, dei, dev_,
                  targets) = unpack_chunk_coo(dbuf, padded, nt,

@@ -420,7 +420,10 @@ class TestUploadFormats:
     content); both must produce identical Results."""
 
     def test_photo_content_picks_coo_and_matches(self, monkeypatch):
-        # Smooth gradients quantize to very sparse coefficients → COO.
+        # Smooth gradients quantize to very sparse coefficients → the
+        # sparse COO layout beats dense (CSR stays opt-in: it ships
+        # fewer bytes but measured slower end to end — see
+        # _prep_chunk_i8).
         img = np.zeros((64, 64, 4), np.uint8)
         yy, xx = np.mgrid[0:64, 0:64]
         img[..., 0] = (xx * 2).astype(np.uint8)
@@ -433,8 +436,12 @@ class TestUploadFormats:
         fmts = []
         from fennec_tpu.parallel import batched as pb
 
+        orig_csr = pb.unpack_chunk_csr
         orig_coo = pb.unpack_chunk_coo
         orig_i8 = pb.unpack_chunk_buf
+        monkeypatch.setattr(
+            pb, "unpack_chunk_csr",
+            lambda *a, **k: (fmts.append("csr"), orig_csr(*a, **k))[1])
         monkeypatch.setattr(
             pb, "unpack_chunk_coo",
             lambda *a, **k: (fmts.append("coo"), orig_coo(*a, **k))[1])
@@ -447,6 +454,70 @@ class TestUploadFormats:
         for g, w_ in zip(got, want):
             assert g.jpeg_quality == w_.jpeg_quality
             assert g.ssim == pytest.approx(w_.ssim, abs=2e-5)
+
+    def test_forced_csr_matches(self, monkeypatch):
+        # FENNEC_UPLOAD=csr pins the variable-length layout; results
+        # must be identical to the per-image engine.
+        monkeypatch.setenv("FENNEC_UPLOAD", "csr")
+        img = np.zeros((64, 64, 4), np.uint8)
+        yy, xx = np.mgrid[0:64, 0:64]
+        img[..., 0] = (xx * 2).astype(np.uint8)
+        img[..., 1] = 128
+        img[..., 2] = (yy * 2).astype(np.uint8)
+        img[..., 3] = 255
+        datas = [encode_jpeg(img, 90) for _ in range(3)]
+        opts = fennec.Options(format=fennec.JPEG)
+
+        fmts = []
+        from fennec_tpu.parallel import batched as pb
+
+        orig_csr = pb.unpack_chunk_csr
+        monkeypatch.setattr(
+            pb, "unpack_chunk_csr",
+            lambda *a, **k: (fmts.append("csr"), orig_csr(*a, **k))[1])
+        got = compress_jpeg_bytes_batched(None, datas, opts)
+        assert fmts == ["csr"]
+        want = [fennec.compress_bytes(None, d, opts) for d in datas]
+        for g, w_ in zip(got, want):
+            assert g.jpeg_quality == w_.jpeg_quality
+            assert g.ssim == pytest.approx(w_.ssim, abs=2e-5)
+
+    def test_csr_slot_expansion_exact(self):
+        # _csr_to_slots must reproduce the fixed-slot arrays exactly.
+        import jax.numpy as jnp
+
+        from fennec_tpu.parallel.batched import _csr_to_slots
+
+        rng = np.random.default_rng(5)
+        b, nt, rcap = 3, 40, 16
+        counts = rng.integers(0, rcap + 1, (b, nt)).astype(np.int32)
+        total = int(counts.sum())
+        spos = rng.integers(1, 64, total).astype(np.int8)
+        sval = rng.integers(-127, 128, total).astype(np.int8)
+        m = 1
+        while m < total:
+            m *= 2
+        spos_p = np.zeros(m, np.int8)
+        sval_p = np.zeros(m, np.int8)
+        spos_p[:total] = spos
+        sval_p[:total] = sval
+        per_img = counts.sum(axis=1)
+        base = (np.cumsum(per_img) - per_img).astype(np.int32)
+        pos, val = _csr_to_slots(jnp.asarray(counts), jnp.asarray(base),
+                                 jnp.asarray(spos_p),
+                                 jnp.asarray(sval_p), rcap)
+        # Manual expansion.
+        want_pos = np.zeros((b, nt, rcap), np.int8)
+        want_val = np.zeros((b, nt, rcap), np.int8)
+        k = 0
+        for i in range(b):
+            for n_ in range(nt):
+                c = counts[i, n_]
+                want_pos[i, n_, :c] = spos[k:k + c]
+                want_val[i, n_, :c] = sval[k:k + c]
+                k += c
+        np.testing.assert_array_equal(np.asarray(pos), want_pos)
+        np.testing.assert_array_equal(np.asarray(val), want_val)
 
     def test_noise_content_picks_dense_and_matches(self, monkeypatch):
         # High-frequency noise fills every zigzag slot → dense int8 wins.
