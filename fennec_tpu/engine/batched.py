@@ -159,7 +159,8 @@ def _next_pow2(n: int) -> int:
 
 
 def _make_ledger_flush(ledger: List, results: List, on_chunk,
-                       ctx=None, lock=None, failed=None):
+                       ctx=None, lock=None, failed=None, fault=None,
+                       timeout_s=None):
     """FIFO chunk-completion reporter shared by both fused engines:
     flush(force) reports chunks whose host encodes have all finished;
     force waits on stragglers, otherwise only fully-done chunks flush.
@@ -196,7 +197,28 @@ def _make_ledger_flush(ledger: List, results: List, on_chunk,
             if not force and not all(f.done() for f in futs):
                 return
             for f in futs:
-                f.result()
+                if timeout_s is None:
+                    f.result()
+                    continue
+                # The force drain runs under the same watchdog as the
+                # stage waits: an item redo wedged on a dead device
+                # must not hang the caller (and once the device is
+                # known-wedged, stop burning a full timeout per
+                # future — their pulls share the same dead tunnel).
+                t = 2.0 if (fault is not None
+                            and fault.get("wedged")) else timeout_s
+                try:
+                    f.result(timeout=t)
+                except concurrent.futures.TimeoutError:
+                    if fault is not None:
+                        fault["wedged"] = True
+                        if fault.get("last") is None:
+                            fault["last"] = TimeoutError(
+                                "fennec: item finalize exceeded "
+                                "FENNEC_CHUNK_TIMEOUT — device/tunnel "
+                                "unresponsive")
+                    if failed is not None:
+                        failed.update(ids)
             with lock:
                 ledger.pop(0)
             if on_chunk is not None:
@@ -360,7 +382,8 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     timeout_s = CHUNK_TIMEOUT if CHUNK_TIMEOUT > 0 else None
 
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx,
-                                       failed=failed)
+                                       failed=failed, fault=fault,
+                                       timeout_s=timeout_s)
 
     # Multi-chip: shard every chunk's batch axis over all local devices
     # (the TPU-native CompressBatch parallelism, batch.go:58-128).
@@ -983,7 +1006,17 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             while inflight:
                 _collect(inflight.pop(0))
             for fut in pending:
-                fut.result()
+                try:
+                    fut.result(timeout=(2.0 if fault["wedged"]
+                                        else timeout_s))
+                except concurrent.futures.TimeoutError:
+                    with flock:
+                        fault["wedged"] = True
+                        if fault["last"] is None:
+                            fault["last"] = TimeoutError(
+                                "fennec: item redo exceeded "
+                                "FENNEC_CHUNK_TIMEOUT — device/tunnel "
+                                "unresponsive")
             _flush_ledger(True)
         finally:
             # Cancellation/exception must not leak feeder decodes or
@@ -1297,10 +1330,17 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         feeding it and fails the remaining items honestly instead of
         hanging the caller."""
         fut, ids = entry
+        # Once the device is known-wedged, drain fast: the remaining
+        # entries' pulls share the same dead tunnel, so waiting a full
+        # FENNEC_CHUNK_TIMEOUT per entry would multiply the configured
+        # bound by the queue depth before the caller gets its error.
+        def _t():
+            with flock:
+                return 2.0 if fault["wedged"] else timeout_s
         try:
-            bf = fut.result(timeout=timeout_s)
+            bf = fut.result(timeout=_t())
             if bf is not None:
-                bf.result(timeout=timeout_s)
+                bf.result(timeout=_t())
         except concurrent.futures.TimeoutError:
             with flock:
                 fault["wedged"] = True
@@ -1374,7 +1414,20 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         for entry in bfuts:
             _wait_stage(entry)
         for fut in pending:
-            fut.result()
+            try:
+                fut.result(timeout=(2.0 if fault["wedged"]
+                                    else timeout_s))
+            except concurrent.futures.TimeoutError:
+                # A per-item redo wedged on the device: stop waiting
+                # (the zombie thread is abandoned); the ledger flush
+                # below marks its chunk's items failed.
+                with flock:
+                    fault["wedged"] = True
+                    if fault["last"] is None:
+                        fault["last"] = TimeoutError(
+                            "fennec: item redo exceeded "
+                            "FENNEC_CHUNK_TIMEOUT — device/tunnel "
+                            "unresponsive")
         _flush_ledger(True)
         _treport(timer, "coef-fastpath")
 
@@ -1592,7 +1645,8 @@ def compress_images_batched(ctx: Optional[Context],
     timeout_s = CHUNK_TIMEOUT if CHUNK_TIMEOUT > 0 else None
 
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx,
-                                       failed=failed)
+                                       failed=failed, fault=fault,
+                                       timeout_s=timeout_s)
 
     # Multi-chip: shard every chunk's batch axis over all local devices
     # (the TPU-native CompressBatch parallelism, batch.go:58-128).
@@ -1990,10 +2044,17 @@ def compress_images_batched(ctx: Optional[Context],
         """Wait out one stage future pair under the watchdog (see the
         coefficient fast path's _wait_stage)."""
         fut, ids = entry
+        # Once the device is known-wedged, drain fast: the remaining
+        # entries' pulls share the same dead tunnel, so waiting a full
+        # FENNEC_CHUNK_TIMEOUT per entry would multiply the configured
+        # bound by the queue depth before the caller gets its error.
+        def _t():
+            with flock:
+                return 2.0 if fault["wedged"] else timeout_s
         try:
-            bf = fut.result(timeout=timeout_s)
+            bf = fut.result(timeout=_t())
             if bf is not None:
-                bf.result(timeout=timeout_s)
+                bf.result(timeout=_t())
         except concurrent.futures.TimeoutError:
             with flock:
                 fault["wedged"] = True
@@ -2057,7 +2118,20 @@ def compress_images_batched(ctx: Optional[Context],
         for entry in bfuts:
             _wait_stage(entry)
         for fut in pending:
-            fut.result()
+            try:
+                fut.result(timeout=(2.0 if fault["wedged"]
+                                    else timeout_s))
+            except concurrent.futures.TimeoutError:
+                # A per-item redo wedged on the device: stop waiting
+                # (the zombie thread is abandoned); the ledger flush
+                # below marks its chunk's items failed.
+                with flock:
+                    fault["wedged"] = True
+                    if fault["last"] is None:
+                        fault["last"] = TimeoutError(
+                            "fennec: item redo exceeded "
+                            "FENNEC_CHUNK_TIMEOUT — device/tunnel "
+                            "unresponsive")
         _flush_ledger(True)
         _treport(timer, "pixel-path")
 

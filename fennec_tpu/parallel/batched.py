@@ -682,15 +682,10 @@ def _csr_to_slots(counts: jax.Array, base: jax.Array, spos: jax.Array,
     off_g = base.astype(jnp.int32)[:, None] + within
     gstart = off_g[:, ::_CSR_GROUP]                   # (B, g)
     wwidth = _CSR_GROUP * rcap
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
 
     def windows(stream):
         s32 = jnp.pad(stream.astype(jnp.int32), (0, wwidth))
-        return jax.lax.gather(
-            s32, gstart.reshape(-1, 1), dnums, (wwidth,),
-            indices_are_sorted=True,
-            mode=jax.lax.GatherScatterMode.CLIP)      # (B·g, wwidth)
+        return _stream_windows(s32, gstart.reshape(-1), wwidth)
 
     wp = windows(spos)
     wv = windows(sval)
