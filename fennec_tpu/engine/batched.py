@@ -235,6 +235,70 @@ def _make_ledger_flush(ledger: List, results: List, on_chunk,
     return flush
 
 
+def _make_fault_board(timeout_s):
+    """Per-chunk device-error isolation shared by both fused engines.
+
+    Returns (flock, failed, fault, chunk_failed, item_failed, chunk_ok,
+    wait_stage).  `failed` uses atomic set ops; `consec`/`last` are
+    guarded by `flock`.  wait_stage waits out one (stage-A future, ids)
+    pair — and its chained stage-B future — under the watchdog: a
+    timeout marks the device wedged (the zombie thread stays stuck on
+    its pull, but the engine stops feeding it and fails the remaining
+    items honestly instead of hanging the caller), and once wedged the
+    remaining waits drop to a 2-second fast path so a deep queue cannot
+    multiply the configured bound."""
+    import threading
+
+    flock = threading.Lock()
+    failed: set = set()
+    fault = {"consec": 0, "wedged": False, "last": None}
+
+    def chunk_failed(ids, exc) -> None:
+        with flock:
+            failed.update(ids)
+            fault["consec"] += 1
+            fault["last"] = exc
+        if os.environ.get("FENNEC_DEBUG_BATCH"):
+            import sys
+            import traceback
+
+            if sys.exc_info()[0] is not None:
+                traceback.print_exc()
+            else:
+                print(f"fennec: chunk marked failed: {exc!r}",
+                      file=sys.stderr, flush=True)
+
+    def item_failed(i, exc) -> None:
+        with flock:
+            failed.add(i)
+            fault["last"] = exc
+
+    def chunk_ok() -> None:
+        with flock:
+            fault["consec"] = 0
+
+    def wait_stage(entry) -> None:
+        fut, ids = entry
+
+        def _t():
+            with flock:
+                return 2.0 if fault["wedged"] else timeout_s
+
+        try:
+            bf = fut.result(timeout=_t())
+            if bf is not None:
+                bf.result(timeout=_t())
+        except concurrent.futures.TimeoutError:
+            with flock:
+                fault["wedged"] = True
+            chunk_failed(ids, TimeoutError(
+                f"fennec: chunk pull exceeded FENNEC_CHUNK_TIMEOUT="
+                f"{CHUNK_TIMEOUT:.0f}s — device/tunnel unresponsive"))
+
+    return (flock, failed, fault, chunk_failed, item_failed, chunk_ok,
+            wait_stage)
+
+
 def qualify_jpeg_bytes(data: bytes):
     """Fast-path qualification key for one JPEG: (w, h, in_subsample), or
     None when the coefficient path can't handle it (non-JPEG, progressive,
@@ -346,40 +410,9 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     pending = []
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
 
-    # Fault board: per-chunk device-error isolation (shared by the
-    # stage threads).  `failed` uses atomic set ops; `consec`/`errors`
-    # are guarded by `flock`.
-    import threading
-
-    flock = threading.Lock()
-    failed: set = set()
-    fault = {"consec": 0, "wedged": False, "last": None}
-
-    def _chunk_failed(ids, exc) -> None:
-        with flock:
-            failed.update(ids)
-            fault["consec"] += 1
-            fault["last"] = exc
-        if os.environ.get("FENNEC_DEBUG_BATCH"):
-            import sys
-            import traceback
-
-            if sys.exc_info()[0] is not None:
-                traceback.print_exc()
-            else:
-                print(f"fennec: chunk marked failed: {exc!r}",
-                      file=sys.stderr, flush=True)
-
-    def _item_failed(i, exc) -> None:
-        with flock:
-            failed.add(i)
-            fault["last"] = exc
-
-    def _chunk_ok() -> None:
-        with flock:
-            fault["consec"] = 0
-
     timeout_s = CHUNK_TIMEOUT if CHUNK_TIMEOUT > 0 else None
+    (flock, failed, fault, _chunk_failed, _item_failed, _chunk_ok,
+     _wait_stage) = _make_fault_board(timeout_s)
 
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx,
                                        failed=failed, fault=fault,
@@ -1323,31 +1356,6 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 return
             raise
 
-    def _wait_stage(entry) -> None:
-        """Wait out one stage-A future (and its chained stage-B future)
-        under the watchdog.  A timeout marks the device wedged — the
-        zombie thread stays stuck on its pull, but the engine stops
-        feeding it and fails the remaining items honestly instead of
-        hanging the caller."""
-        fut, ids = entry
-        # Once the device is known-wedged, drain fast: the remaining
-        # entries' pulls share the same dead tunnel, so waiting a full
-        # FENNEC_CHUNK_TIMEOUT per entry would multiply the configured
-        # bound by the queue depth before the caller gets its error.
-        def _t():
-            with flock:
-                return 2.0 if fault["wedged"] else timeout_s
-        try:
-            bf = fut.result(timeout=_t())
-            if bf is not None:
-                bf.result(timeout=_t())
-        except concurrent.futures.TimeoutError:
-            with flock:
-                fault["wedged"] = True
-            _chunk_failed(ids, TimeoutError(
-                f"fennec: chunk pull exceeded FENNEC_CHUNK_TIMEOUT="
-                f"{CHUNK_TIMEOUT:.0f}s — device/tunnel unresponsive"))
-
     try:
         for i in range(len(starts)):
             if ctx is not None:
@@ -1610,39 +1618,9 @@ def compress_images_batched(ctx: Optional[Context],
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
     chunk_sz = chunk_size if chunk_size > 0 else BATCH_CHUNK
 
-    # Fault board — same per-chunk device-error isolation as the
-    # coefficient fast path (see compress_jpeg_bytes_batched).
-    import threading
-
-    flock = threading.Lock()
-    failed: set = set()
-    fault = {"consec": 0, "wedged": False, "last": None}
-
-    def _chunk_failed(ids, exc) -> None:
-        with flock:
-            failed.update(ids)
-            fault["consec"] += 1
-            fault["last"] = exc
-        if os.environ.get("FENNEC_DEBUG_BATCH"):
-            import sys
-            import traceback
-
-            if sys.exc_info()[0] is not None:
-                traceback.print_exc()
-            else:
-                print(f"fennec: chunk marked failed: {exc!r}",
-                      file=sys.stderr, flush=True)
-
-    def _item_failed(i, exc) -> None:
-        with flock:
-            failed.add(i)
-            fault["last"] = exc
-
-    def _chunk_ok() -> None:
-        with flock:
-            fault["consec"] = 0
-
     timeout_s = CHUNK_TIMEOUT if CHUNK_TIMEOUT > 0 else None
+    (flock, failed, fault, _chunk_failed, _item_failed, _chunk_ok,
+     _wait_stage) = _make_fault_board(timeout_s)
 
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx,
                                        failed=failed, fault=fault,
@@ -2039,28 +2017,6 @@ def compress_images_batched(ctx: Optional[Context],
                 _chunk_failed(state[0], exc)
                 return
             raise
-
-    def _wait_stage(entry) -> None:
-        """Wait out one stage future pair under the watchdog (see the
-        coefficient fast path's _wait_stage)."""
-        fut, ids = entry
-        # Once the device is known-wedged, drain fast: the remaining
-        # entries' pulls share the same dead tunnel, so waiting a full
-        # FENNEC_CHUNK_TIMEOUT per entry would multiply the configured
-        # bound by the queue depth before the caller gets its error.
-        def _t():
-            with flock:
-                return 2.0 if fault["wedged"] else timeout_s
-        try:
-            bf = fut.result(timeout=_t())
-            if bf is not None:
-                bf.result(timeout=_t())
-        except concurrent.futures.TimeoutError:
-            with flock:
-                fault["wedged"] = True
-            _chunk_failed(ids, TimeoutError(
-                f"fennec: chunk pull exceeded FENNEC_CHUNK_TIMEOUT="
-                f"{CHUNK_TIMEOUT:.0f}s — device/tunnel unresponsive"))
 
     try:
         for k in range(len(jobs)):
