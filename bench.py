@@ -68,10 +68,12 @@ def write_jpeg_fixtures(tmp, n_files, w=500, h=500, quality=92):
     from fennec_tpu.ops.dct import all_quality_tables, quantize_blocks
 
     qtabs = all_quality_tables()[quality]
-    qt_dev = jnp.asarray(qtabs, dtype=jnp.float32)
 
+    # qt rides as an ARGUMENT, not a closure: tracing a captured axon
+    # device array hangs in MLIR constant embedding (the lowering pulls
+    # the constant over the tunnel), observed 2026-08-20.
     @jax.jit
-    def encode_batch(imgs):
+    def encode_batch(imgs, qt_dev):
         def one(im):
             cy, ccb, ccr = forward_dct_device(im.astype(jnp.float32), True)
             return jnp.concatenate([
@@ -91,7 +93,8 @@ def write_jpeg_fixtures(tmp, n_files, w=500, h=500, quality=92):
         if count < chunk:
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[:1], chunk - count, axis=0)])
-        packed = np.asarray(encode_batch(jnp.asarray(imgs)))
+        packed = np.asarray(encode_batch(
+            jnp.asarray(imgs), jnp.asarray(qtabs, dtype=jnp.float32)))
         for j in range(count):
             i = start + j
             qy = packed[j, :ny].astype(np.int32)

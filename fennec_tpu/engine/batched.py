@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import os
+import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -54,12 +55,14 @@ PREFETCH = max(2, int(os.environ.get("FENNEC_BATCH_PREFETCH", "2")))
 # Width of the stage-A/stage-B executors.  Each chunk's stage A blocks
 # ~0.15-0.3 s on the small-pull tunnel round-trip; at width 1 those
 # waits serialize into the longest chain of the pipeline (8 chunks ×
-# ~0.2 s ≈ the whole 512-file pass).  Width 2 overlaps chunk k+1's pull
-# with chunk k's host table build + dispatch.  Ledger entries carry
-# their own (ids, futures) pairs, so completion order across chunks is
-# free to interleave — on_chunk streaming order is by-completion, the
-# documented contract.
-STAGE_WORKERS = max(1, int(os.environ.get("FENNEC_STAGE_WORKERS", "2")))
+# ~0.2 s ≈ the whole 512-file pass).  Widths 2-3 overlap chunk k+1's
+# pull with chunk k's host table build + dispatch.  Round-5 order-
+# controlled A/B (512 files, both arm orders): width 3 ≈ +8% over 2
+# and +10% over 1 (BENCH_NOTES round 5) → default 3.  Ledger entries
+# carry their own (ids, futures) pairs, so completion order across
+# chunks is free to interleave — on_chunk streaming order is
+# by-completion, the documented contract.
+STAGE_WORKERS = max(1, int(os.environ.get("FENNEC_STAGE_WORKERS", "3")))
 # The pixel path keeps width 1 by default: its feeder ships ~48 MB of
 # pixels per 64-chunk, and concurrent stage pulls compete with those
 # uploads for the serialized tunnel (measured 45.8 vs 52.2 img/s at
@@ -81,27 +84,51 @@ STAGE_WORKERS_PX = max(1, int(os.environ.get(
 # two-stage path sizes its emission buffer from the chunk's exact
 # standard-table bit counts instead.  FENNEC_FUSED_OPT=1 opts in.
 FUSED_OPT = os.environ.get("FENNEC_FUSED_OPT", "0") == "1"
+# In-memory pixel wire format: "rgb" ships (B, H, W, 3|4) uint8 and the
+# device does the color convert; "yuv420" ships host-converted YCbCr
+# 4:2:0 planes at HALF the bytes (opaque 4:2:0 device-entropy chunks
+# only).  The in-memory path is upload-bound on hosted links (59 img/s
+# ≈ the 45 MB/s tunnel ceiling at 750 KB/img, BENCH_NOTES round 4), so
+# halving the wire is the lever; the uint8 plane rounding deviates from
+# the RGB wire by ≤0.5 per DCT input sample (quality choices and SSIM
+# reported to ~1e-5 — measured on chip, BENCH_NOTES round 5).
+PIXEL_WIRE = os.environ.get("FENNEC_PIXEL_WIRE", "rgb")
 # COO coefficient uploads (round 3): ~2.5x smaller uploads on photo
 # content; FENNEC_COO=0 forces the dense zigzag-truncated layout (A/B).
 COO_UPLOADS = os.environ.get("FENNEC_COO", "1") != "0"
-# Per-chunk watchdog: if a chunk's upload/pull blocks longer than this
-# the device (or the tunnel to it) is treated as wedged — the engine
-# stops dispatching and fails the remaining items instead of hanging
-# the caller forever (the round-3 bench hung >10 min on one chunk).
-# 0 disables.  Cold compiles over the hosted-TPU tunnel have been
-# measured up to ~7 min when the link is degraded, so the default
-# leaves margin above that; tighten it for latency-sensitive callers.
+# Per-chunk watchdog CEILING: if a chunk's upload/pull blocks longer
+# than this the device (or the tunnel to it) is treated as wedged — the
+# engine stops dispatching and fails the remaining items instead of
+# hanging the caller forever (the round-3 bench hung >10 min on one
+# chunk).  0 disables.  Cold compiles over the hosted-TPU tunnel have
+# been measured up to ~7 min when the link is degraded, so the ceiling
+# leaves margin above that — but once the pipeline is WARM (no compile
+# in flight, completed chunk walls on record) the effective bound drops
+# to max(FLOOR, K × p95 of recent chunk walls), so a wedge after warmup
+# is detected in tens of seconds, not 15 minutes (_FaultBoard).
 CHUNK_TIMEOUT = float(os.environ.get("FENNEC_CHUNK_TIMEOUT", "900"))
+# Adaptive-watchdog floor and multiplier (see _FaultBoard.current_timeout).
+WATCHDOG_FLOOR = float(os.environ.get("FENNEC_WATCHDOG_FLOOR", "20"))
+WATCHDOG_K = float(os.environ.get("FENNEC_WATCHDOG_K", "10"))
+
+
+class DeviceTimeoutError(TimeoutError):
+    """Raised (or recorded) by the chunk watchdog when a device
+    upload/pull exceeds the adaptive bound.  A DEDICATED subclass so
+    `_is_device_error` never misclassifies a host-side TimeoutError
+    raised inside a per-item redo (a host bug must propagate, not be
+    silently downgraded to a failed item)."""
 
 
 def _is_device_error(e: BaseException) -> bool:
     """True for failures of the device or its transport (XLA runtime
-    errors, hung-pull timeouts) — the class of error the batch engines
+    errors, watchdog timeouts) — the class of error the batch engines
     isolate per chunk and retry, as opposed to host-code bugs, which
     propagate.  The reference's worker pool has the same split: a
     worker's per-item error is captured, a panic propagates
-    (batch.go:108-113)."""
-    if isinstance(e, TimeoutError):
+    (batch.go:108-113).  Only the engine's own DeviceTimeoutError
+    counts — a builtin TimeoutError out of host code is a host bug."""
+    if isinstance(e, DeviceTimeoutError):
         return True
     for klass in type(e).__mro__:
         if klass.__name__ in ("XlaRuntimeError", "JaxRuntimeError"):
@@ -158,9 +185,36 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _yuv420_wire_host(stack: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(B, H, W, 3) uint8 RGB → flat (B, ph·pw + 2·(ph/2)·(pw/2)) uint8
+    YCbCr 4:2:0 wire buffer, mirroring forward_dct_device's convert +
+    edge pad + 2×2 mean chroma exactly (ops/color.rgb_to_ycbcr,
+    ops/dct.pad_to_multiple/downsample_420); device side:
+    parallel.batched._split_yuv420_wire."""
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    rgb = stack.astype(np.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    if (ph, pw) != (h, w):
+        pads = ((0, 0), (0, ph - h), (0, pw - w))
+        y = np.pad(y, pads, mode="edge")
+        cb = np.pad(cb, pads, mode="edge")
+        cr = np.pad(cr, pads, mode="edge")
+    bsz = stack.shape[0]
+    cb = cb.reshape(bsz, ph // 2, 2, pw // 2, 2).mean(axis=(2, 4))
+    cr = cr.reshape(bsz, ph // 2, 2, pw // 2, 2).mean(axis=(2, 4))
+    ny, nc = ph * pw, (ph // 2) * (pw // 2)
+    buf = np.empty((bsz, ny + 2 * nc), np.uint8)
+    buf[:, :ny] = np.clip(np.rint(y), 0, 255).reshape(bsz, -1)
+    buf[:, ny:ny + nc] = np.clip(np.rint(cb), 0, 255).reshape(bsz, -1)
+    buf[:, ny + nc:] = np.clip(np.rint(cr), 0, 255).reshape(bsz, -1)
+    return buf
+
+
 def _make_ledger_flush(ledger: List, results: List, on_chunk,
-                       ctx=None, lock=None, failed=None, fault=None,
-                       timeout_s=None):
+                       ctx=None, lock=None, board=None):
     """FIFO chunk-completion reporter shared by both fused engines:
     flush(force) reports chunks whose host encodes have all finished;
     force waits on stragglers, otherwise only fully-done chunks flush.
@@ -183,6 +237,7 @@ def _make_ledger_flush(ledger: List, results: List, on_chunk,
 
     if lock is None:
         lock = threading.Lock()
+    failed = board.failed if board is not None else None
 
     def flush(force: bool) -> None:
         while True:
@@ -196,29 +251,20 @@ def _make_ledger_flush(ledger: List, results: List, on_chunk,
             # same pools that append new entries).
             if not force and not all(f.done() for f in futs):
                 return
-            for f in futs:
-                if timeout_s is None:
+            if board is None:
+                for f in futs:
                     f.result()
-                    continue
-                # The force drain runs under the same watchdog as the
-                # stage waits: an item redo wedged on a dead device
-                # must not hang the caller (and once the device is
-                # known-wedged, stop burning a full timeout per
-                # future — their pulls share the same dead tunnel).
-                t = 2.0 if (fault is not None
-                            and fault.get("wedged")) else timeout_s
-                try:
-                    f.result(timeout=t)
-                except concurrent.futures.TimeoutError:
-                    if fault is not None:
-                        fault["wedged"] = True
-                        if fault.get("last") is None:
-                            fault["last"] = TimeoutError(
-                                "fennec: item finalize exceeded "
-                                "FENNEC_CHUNK_TIMEOUT — device/tunnel "
-                                "unresponsive")
-                    if failed is not None:
-                        failed.update(ids)
+            else:
+                # One concurrent wait over the chunk's futures against
+                # one adaptive deadline (not a serial per-future wait —
+                # a late wedge in a deep queue must cost ONE bound, not
+                # len(futs) × bound).  Done futures re-raise host bugs.
+                not_done = board.drain(futs, "item finalize")
+                for f in futs:
+                    if f not in not_done:
+                        f.result()
+                if not_done:
+                    failed.update(ids)
             with lock:
                 ledger.pop(0)
             if on_chunk is not None:
@@ -235,29 +281,145 @@ def _make_ledger_flush(ledger: List, results: List, on_chunk,
     return flush
 
 
-def _make_fault_board(timeout_s):
-    """Per-chunk device-error isolation shared by both fused engines.
+class _FaultBoard:
+    """Per-chunk device-error isolation + adaptive watchdog, shared by
+    both fused engines.
 
-    Returns (flock, failed, fault, chunk_failed, item_failed, chunk_ok,
-    wait_stage).  `failed` uses atomic set ops; `consec`/`last` are
-    guarded by `flock`.  wait_stage waits out one (stage-A future, ids)
-    pair — and its chained stage-B future — under the watchdog: a
-    timeout marks the device wedged (the zombie thread stays stuck on
-    its pull, but the engine stops feeding it and fails the remaining
-    items honestly instead of hanging the caller), and once wedged the
-    remaining waits drop to a 2-second fast path so a deep queue cannot
-    multiply the configured bound."""
-    import threading
+    `failed` uses atomic set ops; `fault` fields are guarded by `lock`.
+    wait_stage waits out one (stage-A future, ids) pair — and its
+    chained stage-B future — under the watchdog: a timeout marks the
+    device wedged (the zombie thread stays stuck on its pull, but the
+    engine stops feeding it and fails the remaining items honestly
+    instead of hanging the caller), and once wedged the remaining waits
+    drop to a 2-second fast path so a deep queue cannot multiply the
+    configured bound.
 
-    flock = threading.Lock()
-    failed: set = set()
-    fault = {"consec": 0, "wedged": False, "last": None}
+    The watchdog bound ADAPTS: while any first-time program dispatch is
+    in flight (cold compile — up to ~7 min over a degraded hosted-TPU
+    tunnel) or no chunk has completed yet, the full FENNEC_CHUNK_TIMEOUT
+    ceiling applies; once warm, the bound drops to
+    max(WATCHDOG_FLOOR, WATCHDOG_K × p95 of recent stage walls), so a
+    wedge after warmup is detected in tens of seconds instead of 15
+    minutes, with zero false positives on cold compiles (they hold the
+    ceiling via cold_guard)."""
 
-    def chunk_failed(ids, exc) -> None:
-        with flock:
-            failed.update(ids)
-            fault["consec"] += 1
-            fault["last"] = exc
+    def __init__(self, timeout_s):
+        import threading
+
+        self.lock = threading.Lock()
+        self.failed: set = set()
+        self.fault = {"consec": 0, "wedged": False, "last": None}
+        self.timeout_s = timeout_s
+        self._walls: List[float] = []
+        self._seen: set = set()
+        self._cold = 0
+
+    # ── adaptive timeout ──
+
+    def note_wall(self, dt: float) -> None:
+        """Record one completed stage/chunk wall time (warm evidence)."""
+        with self.lock:
+            self._walls.append(dt)
+            if len(self._walls) > 32:
+                self._walls.pop(0)
+
+    def cold_guard(self, key):
+        """Context manager: marks a first-time program dispatch (likely
+        XLA compile) in flight, holding the watchdog at the full
+        ceiling; repeat keys are free."""
+        import contextlib
+
+        with self.lock:
+            warm = key in self._seen
+            self._seen.add(key)
+            if not warm:
+                self._cold += 1
+
+        @contextlib.contextmanager
+        def guard():
+            try:
+                yield
+            finally:
+                if not warm:
+                    with self.lock:
+                        self._cold -= 1
+
+        return guard()
+
+    def current_timeout(self):
+        if self.timeout_s is None:
+            return None
+        with self.lock:
+            if self.fault["wedged"]:
+                return 2.0
+            if self._cold > 0 or not self._walls:
+                return self.timeout_s
+            walls = sorted(self._walls)
+            p95 = walls[min(len(walls) - 1,
+                            int(0.95 * len(walls)))]
+            return min(self.timeout_s,
+                       max(WATCHDOG_FLOOR, WATCHDOG_K * p95))
+
+    def wait_future(self, fut, what: str):
+        """future.result() under the adaptive watchdog, re-evaluating
+        the bound every few seconds (a cold compile finishing or a
+        wedge flag raised mid-wait takes effect immediately).  Raises
+        DeviceTimeoutError on expiry."""
+        import time as _time
+
+        start = _time.monotonic()
+        while True:
+            t = self.current_timeout()
+            if t is None:
+                return fut.result()
+            rem = t - (_time.monotonic() - start)
+            if rem <= 0:
+                raise DeviceTimeoutError(
+                    f"fennec: {what} exceeded the chunk watchdog "
+                    f"({t:.0f}s bound, ceiling FENNEC_CHUNK_TIMEOUT="
+                    f"{self.timeout_s:.0f}s) — device/tunnel "
+                    f"unresponsive")
+            try:
+                return fut.result(timeout=min(rem, 5.0))
+            except concurrent.futures.TimeoutError:
+                continue
+
+    def drain(self, futs, what: str):
+        """Concurrently wait out a batch of futures against ONE
+        adaptive deadline; returns the set of futures that did NOT
+        finish (marking the device wedged if any).  Replaces serial
+        per-future timed waits (a late wedge in a large batch would
+        pay len(futs) × bound sequentially)."""
+        import time as _time
+
+        pending_set = {f for f in futs if not f.done()}
+        start = _time.monotonic()
+        while pending_set:
+            t = self.current_timeout()
+            if t is None:
+                concurrent.futures.wait(pending_set)
+                return set()
+            rem = t - (_time.monotonic() - start)
+            if rem <= 0:
+                break
+            done, pending_set = concurrent.futures.wait(
+                pending_set, timeout=min(rem, 5.0))
+        if pending_set:
+            with self.lock:
+                self.fault["wedged"] = True
+                if self.fault["last"] is None:
+                    self.fault["last"] = DeviceTimeoutError(
+                        f"fennec: {what} exceeded the chunk watchdog "
+                        f"— device/tunnel unresponsive")
+        return pending_set
+
+    # ── chunk bookkeeping ──
+
+    def chunk_failed(self, ids, exc) -> None:
+        with self.lock:
+            self.failed.update(ids)
+            self.fault["consec"] += 1
+            self.fault["last"] = exc
         if os.environ.get("FENNEC_DEBUG_BATCH"):
             import sys
             import traceback
@@ -268,35 +430,29 @@ def _make_fault_board(timeout_s):
                 print(f"fennec: chunk marked failed: {exc!r}",
                       file=sys.stderr, flush=True)
 
-    def item_failed(i, exc) -> None:
-        with flock:
-            failed.add(i)
-            fault["last"] = exc
+    def item_failed(self, i, exc) -> None:
+        with self.lock:
+            self.failed.add(i)
+            self.fault["last"] = exc
 
-    def chunk_ok() -> None:
-        with flock:
-            fault["consec"] = 0
+    def chunk_ok(self) -> None:
+        with self.lock:
+            self.fault["consec"] = 0
 
-    def wait_stage(entry) -> None:
+    def wait_stage(self, entry) -> None:
         fut, ids = entry
-
-        def _t():
-            with flock:
-                return 2.0 if fault["wedged"] else timeout_s
-
         try:
-            bf = fut.result(timeout=_t())
+            bf = self.wait_future(fut, "chunk pull")
             if bf is not None:
-                bf.result(timeout=_t())
-        except concurrent.futures.TimeoutError:
-            with flock:
-                fault["wedged"] = True
-            chunk_failed(ids, TimeoutError(
-                f"fennec: chunk pull exceeded FENNEC_CHUNK_TIMEOUT="
-                f"{CHUNK_TIMEOUT:.0f}s — device/tunnel unresponsive"))
+                self.wait_future(bf, "chunk pull")
+        except DeviceTimeoutError as exc:
+            with self.lock:
+                self.fault["wedged"] = True
+            self.chunk_failed(ids, exc)
 
-    return (flock, failed, fault, chunk_failed, item_failed, chunk_ok,
-            wait_stage)
+
+def _make_fault_board(timeout_s) -> _FaultBoard:
+    return _FaultBoard(timeout_s)
 
 
 def qualify_jpeg_bytes(data: bytes):
@@ -411,12 +567,13 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     ledger: List = []  # (chunk_ids, futures) per dispatched chunk
 
     timeout_s = CHUNK_TIMEOUT if CHUNK_TIMEOUT > 0 else None
-    (flock, failed, fault, _chunk_failed, _item_failed, _chunk_ok,
-     _wait_stage) = _make_fault_board(timeout_s)
+    board = _make_fault_board(timeout_s)
+    flock, failed, fault = board.lock, board.failed, board.fault
+    _chunk_failed, _item_failed = board.chunk_failed, board.item_failed
+    _chunk_ok, _wait_stage = board.chunk_ok, board.wait_stage
 
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx,
-                                       failed=failed, fault=fault,
-                                       timeout_s=timeout_s)
+                                       board=board)
 
     # Multi-chip: shard every chunk's batch axis over all local devices
     # (the TPU-native CompressBatch parallelism, batch.go:58-128).
@@ -444,7 +601,10 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             _item_failed(i, fault["last"])
             return
         try:
-            r = compress_bytes(ctx, datas[i], opts)
+            # The first redo compiles the per-image programs — hold
+            # the watchdog at its cold ceiling while it does.
+            with board.cold_guard(("item-redo",)):
+                r = compress_bytes(ctx, datas[i], opts)
         except CanceledError:
             raise
         except Exception as e:
@@ -596,16 +756,23 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
 
             lw = _je.EMIT_LWORDS
             tables = np.concatenate([dc_tabs, ac_tabs], axis=2)
-            if mesh is not None:
-                wb = shard_data_call(
-                    mesh, ("emit_custom", h, w, subsample, opt_words,
-                           lw),
-                    lambda p, tb: batched_emit_custom(
-                        p, tb, h, w, subsample, opt_words, lw),
-                    packed, tables)
-            else:
-                wb = batched_emit_custom(packed, jnp.asarray(tables),
-                                         h, w, subsample, opt_words, lw)
+            # First dispatch of a new emission width compiles — hold
+            # the watchdog at its cold ceiling for its duration.
+            key = ("emitc", tuple(getattr(packed, "shape", ())),
+                   opt_words, lw)
+            with board.cold_guard(key):
+                if mesh is not None:
+                    wb = shard_data_call(
+                        mesh, ("emit_custom", h, w, subsample,
+                               opt_words, lw),
+                        lambda p, tb: batched_emit_custom(
+                            p, tb, h, w, subsample, opt_words, lw),
+                        packed, tables)
+                else:
+                    wb = batched_emit_custom(packed,
+                                             jnp.asarray(tables),
+                                             h, w, subsample,
+                                             opt_words, lw)
         return (chunk_ids, (q_host, s_host, f_host, specs, wb,
                             opt_words))
 
@@ -857,6 +1024,98 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         buf[o:] = np.full(padded, target, np.float32).view(np.int32)
         return "csr", buf, (r_active, m), e
 
+    # Sticky COO geometry across chunks: once the first chunk's census
+    # picks the byte-optimal slot width R (and sizes the exception
+    # tail), later chunks allocate the FINAL int32 upload buffer up
+    # front and the C++ decoder writes the COO body straight into it at
+    # stride R — no slot demotion, no narrowing copies, no 6 MB
+    # assembly memcpys.  The feeder's decode+pack was the measured
+    # critical-path term on the 1-core host (≈330 ms of a 450 ms/chunk
+    # feeder, BENCH_NOTES round 5); this removes its numpy half.
+    # Guarded by `slock`: two feeder threads prep chunks concurrently.
+    sticky = {"r": 0, "ecap": 0}
+    import threading as _threading
+
+    slock = _threading.Lock()
+
+    def _prep_chunk_coo_sticky(chunk, padded, r, ecap):
+        """Fast COO prep at a known slot width: decode directly into
+        the upload buffer.  Returns None when a file rejects the COO
+        decoder or the exception tail overflows ecap — caller falls
+        back to the census path."""
+        from ..codecs.jpeg import decode_jpeg_to_coefs_coo
+
+        nb = padded * nt * (1 + 2 * r)
+        w0 = (nb + 3) // 4
+        buf = np.zeros(w0 + padded * 128 + 3 * ecap + padded, np.int32)
+        bview = buf[:w0].view(np.int8)
+        dcp = bview[:padded * nt].reshape(padded, nt)
+        posp = bview[padded * nt:padded * nt * (1 + r)] \
+            .view(np.uint8).reshape(padded, nt, r)
+        valp = bview[padded * nt * (1 + r):nb].reshape(padded, nt, r)
+        qts = np.zeros((padded, 2, 64), np.int32)
+        exc_parts: List = [None] * len(chunk)
+        hists = np.zeros((len(chunk), 65), np.int64)
+        failed_f = [False]
+
+        def one(j: int) -> None:
+            rr = decode_jpeg_to_coefs_coo(datas[chunk[j]], dcp[j],
+                                          posp[j], valp[j], r)
+            if rr is None:
+                failed_f[0] = True
+                return
+            hdr, ei, ev, hist, _mk = rr
+            qts[j] = np.stack(
+                [hdr.qtables[hdr.comps[0]["tq"]],
+                 hdr.qtables[hdr.comps[1]["tq"]]]).astype(np.int32)
+            exc_parts[j] = (ei, ev)
+            hists[j] = hist
+
+        list(pool.map(one, range(len(chunk))))
+        if failed_f[0]:
+            return None
+        total_e = sum(int(p[0].size) for p in exc_parts)
+        if total_e > ecap:
+            with slock:
+                sticky["ecap"] = _next_pow2(2 * total_e)
+            return None  # rare: rebuild via the census path this once
+        o = w0
+        buf[o:o + padded * 128] = qts.reshape(-1)
+        o += padded * 128
+        # Exception tail at fixed capacity; unused rows carry
+        # img == padded → dropped by the device scatter's mode="drop".
+        buf[o:o + ecap] = padded
+        pos = 0
+        for j, (ei, ev) in enumerate(exc_parts):
+            k = int(ei.size)
+            buf[o + pos:o + pos + k] = j
+            buf[o + ecap + pos:o + ecap + pos + k] = ei
+            buf[o + 2 * ecap + pos:o + 2 * ecap + pos + k] = ev
+            pos += k
+        o += 3 * ecap
+        buf[o:] = np.full(padded, target, np.float32).view(np.int32)
+        # Keep R tracking content drift: re-pick from this chunk's
+        # census for the NEXT chunk (this chunk's exceptions already
+        # absorbed any mismatch exactly).
+        with slock:
+            sticky["r"] = _best_coo_r(hists.sum(axis=0))
+        return "coo", buf, r, ecap
+
+    def _best_coo_r(hist):
+        """Byte-optimal fixed slot width for a chunk census (hist[k] =
+        blocks with k slot-eligible AC nonzeros)."""
+        ks = np.arange(65)
+        best_r, best_bytes = _COO_RCAP, None
+        for r_ in (2, 4, 6, 8, 12, 16):
+            over = int((ks - r_).clip(0).dot(hist))
+            bytes_ = padded_hint[0] * nt * (1 + 2 * r_) + 12 * over
+            if best_bytes is None or bytes_ < best_bytes:
+                best_r, best_bytes = r_, bytes_
+        return best_r
+
+    padded_hint = [_next_pow2(min(chunk_size if chunk_size > 0
+                                  else BATCH_CHUNK, max(n, 1)))]
+
     def _prep_chunk_i8(chunk, padded):
         """Decode a chunk's files into the smaller of two single-buffer
         upload formats (the ~42 MB/s axon tunnel makes upload bytes the
@@ -870,12 +1129,26 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         - "i8": the dense zigzag-truncated layout (_prep_chunk_dense),
           kept for noisy/dense content where COO would not pay and as
           the fallback when any file rejects the COO decoder.
+
+        After the first chunk, same-geometry chunks take the sticky
+        zero-copy path above (same output layout, bytes differ only in
+        slot width / exception padding — both device-dropped).
         """
         from ..codecs.jpeg import decode_jpeg_to_coefs_coo
         from ..native import native_available
 
         if not native_available() or not COO_UPLOADS:
             return _prep_chunk_dense(chunk, padded)
+
+        padded_hint[0] = padded
+        with slock:
+            r_sticky, ecap_sticky = sticky["r"], sticky["ecap"]
+        if (r_sticky > 0 and not os.environ.get("FENNEC_UPLOAD")
+                and mesh is None):
+            out = _prep_chunk_coo_sticky(chunk, padded, r_sticky,
+                                         ecap_sticky)
+            if out is not None:
+                return out
 
         rcap = _COO_RCAP
         dcp = np.zeros((padded, nt), np.int8)
@@ -968,6 +1241,14 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
         bview[padded * nt:padded * nt * (1 + r)] = posp.reshape(-1)
         bview[padded * nt * (1 + r):nb] = valp.reshape(-1)
         _pack_tail(buf, w0, padded, qts, ej, ei, ev)
+        # Arm the sticky zero-copy path for the following chunks: this
+        # chunk's census R, an exception tail with 2× headroom (floor
+        # 2048 rows; a pinned capacity also pins the compiled program's
+        # shape across chunks).
+        with slock:
+            sticky["r"] = r
+            if sticky["ecap"] == 0:
+                sticky["ecap"] = max(_next_pow2(2 * e), 2048)
         return "coo", buf, r, e
 
     if use_device_entropy:
@@ -982,8 +1263,13 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     + 2 * ((ph // 16) * (pw // 16)
                            if subsample else (ph // 8) * (pw // 8)))
         biggest = max(len(d) for d in datas)
+        # Cap: bit counts ride int32 with bit 31 reserved for the
+        # optimistic-lwords overflow flag (pull_emit_words), so the
+        # word buffer must stay under 2^31 bits.  Images whose scans
+        # genuinely exceed the cap (a >256 MB entropy stream) redo per
+        # image via the exact bits check.
         emit_words = min(_next_pow2(biggest // 4 + 1024),
-                         n_blocks * 53 + 64)
+                         n_blocks * 53 + 64, (1 << 26) - 64)
 
     chunk_sz = chunk_size if chunk_size > 0 else BATCH_CHUNK
     starts = list(range(0, n, chunk_sz))
@@ -1038,18 +1324,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 _flush_ledger(False)
             while inflight:
                 _collect(inflight.pop(0))
-            for fut in pending:
-                try:
-                    fut.result(timeout=(2.0 if fault["wedged"]
-                                        else timeout_s))
-                except concurrent.futures.TimeoutError:
-                    with flock:
-                        fault["wedged"] = True
-                        if fault["last"] is None:
-                            fault["last"] = TimeoutError(
-                                "fennec: item redo exceeded "
-                                "FENNEC_CHUNK_TIMEOUT — device/tunnel "
-                                "unresponsive")
+            board.drain(pending, "item redo")
             _flush_ledger(True)
         finally:
             # Cancellation/exception must not leak feeder decodes or
@@ -1147,12 +1422,17 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             padded = _next_pow2(len(chunk))
             if mesh is not None:  # shards need equal batch slices
                 padded = -(-padded // mesh.size) * mesh.size
-            fmt, buf, meta, e = _prep_chunk_i8(chunk, padded)
+            with _tstage(timer, "feeder: decode+pack"):
+                fmt, buf, meta, e = _prep_chunk_i8(chunk, padded)
             if mesh is not None:
                 return (fmt, chunk, padded,
                         _upload_sharded(fmt, buf, meta, e, padded),
                         meta, e)
-            return fmt, chunk, padded, jnp.asarray(buf), meta, e
+            with _tstage(timer, "feeder: upload"):
+                dbuf = jnp.asarray(buf)
+                if timer is not None:
+                    jax.block_until_ready(dbuf)
+            return fmt, chunk, padded, dbuf, meta, e
 
     def _dispatch_chunk(fmt, chunk, padded, dbuf, meta, e):
         """Fire this chunk's async device dispatches and return the
@@ -1306,20 +1586,27 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 # dispatch-1 handles — both dispatches are async, so
                 # the host pays zero round-trips between them (the
                 # single guarded pull happens in _collect_opt_fused).
+                # The emit runs at the optimistic EMIT_LWORDS width —
+                # the worst-case-width programs this chain used to
+                # compile are what poisoned the round-3 backend; the
+                # exact overflow flag rides the header's redo column.
+                from ..ops import jpeg_emit as _je
                 from ..parallel.batched import batched_emit_custom_hdr
 
+                lw = _je.EMIT_LWORDS
                 hdr_d, pk_d, tb_d = handles
                 if mesh is not None:
                     handles = shard_data_call(
                         mesh, ("emit_hdr", h, w, subsample,
-                               emit_words),
+                               emit_words, lw),
                         lambda p, tb, hd: batched_emit_custom_hdr(
-                            p, tb, hd, h, w, subsample, emit_words),
+                            p, tb, hd, h, w, subsample, emit_words,
+                            lw),
                         pk_d, tb_d, hdr_d)
                 else:
                     handles = batched_emit_custom_hdr(
                         pk_d, tb_d, hdr_d, h, w, subsample,
-                        emit_words)
+                        emit_words, lw)
         return (kind, chunk, handles)
 
     feeder = concurrent.futures.ThreadPoolExecutor(2)
@@ -1330,13 +1617,17 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
     bfuts: List = []
 
     def _run_a(kind, chunk, handles):
-        """Stage-A executor body: device errors fail only this chunk."""
+        """Stage-A executor body: device errors fail only this chunk.
+        Successful stage walls feed the adaptive watchdog."""
+        t0 = time.perf_counter()
         try:
             if kind == "opt":
                 with _tstage(timer, "stage A: pull + tables + emit"):
                     state = _stage_a_opt(chunk, handles)
+                board.note_wall(time.perf_counter() - t0)
                 return stage_b_exec.submit(_run_b, state)
             _collect((kind, chunk, handles))
+            board.note_wall(time.perf_counter() - t0)
             _chunk_ok()
             return None
         except Exception as exc:
@@ -1346,9 +1637,11 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             raise
 
     def _run_b(state):
+        t0 = time.perf_counter()
         try:
             with _tstage(timer, "stage B: words pull + wrap"):
                 _stage_b_opt(*state)
+            board.note_wall(time.perf_counter() - t0)
             _chunk_ok()
         except Exception as exc:
             if _is_device_error(exc):
@@ -1370,15 +1663,13 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                 break
             try:
                 fmt, chunk, padded, dbuf, meta, e = \
-                    futs[i].result(timeout=timeout_s)
-            except concurrent.futures.TimeoutError:
+                    board.wait_future(futs[i], "chunk upload")
+            except DeviceTimeoutError as exc:
                 with flock:
                     fault["wedged"] = True
                 _chunk_failed(
                     range(starts[i], min(starts[i] + chunk_sz, n)),
-                    TimeoutError(
-                        f"fennec: chunk upload exceeded "
-                        f"FENNEC_CHUNK_TIMEOUT={CHUNK_TIMEOUT:.0f}s"))
+                    exc)
                 continue
             except Exception as exc:
                 if _is_device_error(exc):  # device_put failed
@@ -1421,21 +1712,11 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
             bfuts.append((stage_a_exec.submit(_run_a, *e2), e2[1]))
         for entry in bfuts:
             _wait_stage(entry)
-        for fut in pending:
-            try:
-                fut.result(timeout=(2.0 if fault["wedged"]
-                                    else timeout_s))
-            except concurrent.futures.TimeoutError:
-                # A per-item redo wedged on the device: stop waiting
-                # (the zombie thread is abandoned); the ledger flush
-                # below marks its chunk's items failed.
-                with flock:
-                    fault["wedged"] = True
-                    if fault["last"] is None:
-                        fault["last"] = TimeoutError(
-                            "fennec: item redo exceeded "
-                            "FENNEC_CHUNK_TIMEOUT — device/tunnel "
-                            "unresponsive")
+        # One concurrent drain of every queued host encode/redo — a
+        # per-item redo wedged on the device marks the board wedged
+        # (the zombie thread is abandoned); the ledger flush below
+        # marks its chunk's items failed.
+        board.drain(pending, "item redo")
         _flush_ledger(True)
         _treport(timer, "coef-fastpath")
 
@@ -1619,12 +1900,13 @@ def compress_images_batched(ctx: Optional[Context],
     chunk_sz = chunk_size if chunk_size > 0 else BATCH_CHUNK
 
     timeout_s = CHUNK_TIMEOUT if CHUNK_TIMEOUT > 0 else None
-    (flock, failed, fault, _chunk_failed, _item_failed, _chunk_ok,
-     _wait_stage) = _make_fault_board(timeout_s)
+    board = _make_fault_board(timeout_s)
+    flock, failed, fault = board.lock, board.failed, board.fault
+    _chunk_failed, _item_failed = board.chunk_failed, board.item_failed
+    _chunk_ok, _wait_stage = board.chunk_ok, board.wait_stage
 
     _flush_ledger = _make_ledger_flush(ledger, results, on_chunk, ctx,
-                                       failed=failed, fault=fault,
-                                       timeout_s=timeout_s)
+                                       board=board)
 
     # Multi-chip: shard every chunk's batch axis over all local devices
     # (the TPU-native CompressBatch parallelism, batch.go:58-128).
@@ -1691,10 +1973,10 @@ def compress_images_batched(ctx: Optional[Context],
     def _collect_opt_px(chunk_ids, h, w, mw, handles):
         """Fused optimal-Huffman pixel chunk: ONE guarded pull carries
         q/ssim/found/bits, the device-built DHT specs, and the scan
-        words.  mw is the hard per-block bound (53 words/block), so
-        word overflow is impossible; the K.2 >32-bit flag (pathological
-        histograms where the host builder raises) redoes that image on
-        the per-image host path."""
+        words.  Three per-image redo triggers share one branch: the
+        K.2 >32-bit flag, the optimistic-lwords block-overflow flag
+        (both OR'd into the header's redo column on device), and the
+        exact bits check against the optimistic word capacity."""
         from ..codecs.jpeg import _dht_segment_custom
         from ..ops.jpeg_emit import finalize_scan_host
         from ..parallel.batched import (
@@ -1716,7 +1998,7 @@ def compress_images_batched(ctx: Optional[Context],
          vals) = split_opt_header(hdr)
 
         def emit_one(i: int, j: int) -> None:
-            if bool(ovf[j]):
+            if bool(ovf[j]) or int(bits_h[j]) + 64 > mw * 32:
                 from ..api import compress_image
                 from ..types import CanceledError
 
@@ -1725,7 +2007,9 @@ def compress_images_batched(ctx: Optional[Context],
                     return
                 od = results[i].original_dimensions
                 try:
-                    results[i] = compress_image(ctx, prepped[i], opts)
+                    with board.cold_guard(("item-redo",)):
+                        results[i] = compress_image(ctx, prepped[i],
+                                                    opts)
                 except CanceledError:
                     raise
                 except Exception as exc:
@@ -1775,31 +2059,40 @@ def compress_images_batched(ctx: Optional[Context],
         from ..ops import jpeg_emit as _je
 
         lw = _je.EMIT_LWORDS
+        # First dispatch of a new emission width compiles — hold the
+        # watchdog at its cold ceiling for its duration.
+        key = ("emitpx", use_opt, tuple(getattr(packed, "shape", ())),
+               emit_words, lw)
         if use_opt:
             specs, dc_tabs, ac_tabs = specs_and_tables_batch(
                 dcf.astype(np.int64), acf.astype(np.int64))
 
             tables = np.concatenate([dc_tabs, ac_tabs], axis=2)
-            if mesh is not None:
-                wb = shard_data_call(
-                    mesh, ("emit_custom", h, w, subsample, emit_words,
-                           lw),
-                    lambda p, tb: batched_emit_custom(
-                        p, tb, h, w, subsample, emit_words, lw),
-                    packed, tables)
-            else:
-                wb = batched_emit_custom(packed, jnp.asarray(tables),
-                                         h, w, subsample, emit_words,
-                                         lw)
-        elif mesh is not None:
-            wb = shard_data_call(
-                mesh, ("emit_std", h, w, subsample, emit_words, lw),
-                lambda p: batched_emit_std(p, h, w, subsample,
-                                           emit_words, lw),
-                packed)
+            with board.cold_guard(key):
+                if mesh is not None:
+                    wb = shard_data_call(
+                        mesh, ("emit_custom", h, w, subsample,
+                               emit_words, lw),
+                        lambda p, tb: batched_emit_custom(
+                            p, tb, h, w, subsample, emit_words, lw),
+                        packed, tables)
+                else:
+                    wb = batched_emit_custom(packed,
+                                             jnp.asarray(tables),
+                                             h, w, subsample,
+                                             emit_words, lw)
         else:
-            wb = batched_emit_std(packed, h, w, subsample, emit_words,
-                                  lw)
+            with board.cold_guard(key):
+                if mesh is not None:
+                    wb = shard_data_call(
+                        mesh, ("emit_std", h, w, subsample, emit_words,
+                               lw),
+                        lambda p: batched_emit_std(p, h, w, subsample,
+                                                   emit_words, lw),
+                        packed)
+                else:
+                    wb = batched_emit_std(packed, h, w, subsample,
+                                          emit_words, lw)
         return (chunk_ids, h, w, (q_host, s_host, f_host, specs, wb,
                                   emit_words, use_opt))
 
@@ -1825,7 +2118,9 @@ def compress_images_batched(ctx: Optional[Context],
                     return
                 od = results[i].original_dimensions
                 try:
-                    results[i] = compress_image(ctx, prepped[i], opts)
+                    with board.cold_guard(("item-redo",)):
+                        results[i] = compress_image(ctx, prepped[i],
+                                                    opts)
                 except CanceledError:
                     raise
                 except Exception as exc:
@@ -1875,11 +2170,22 @@ def compress_images_batched(ctx: Optional[Context],
             if mesh is not None:  # shards need equal batch slices
                 padded = -(-padded // mesh.size) * mesh.size
             nch = 3 if all(is_opaque(prepped[i]) for i in chunk) else 4
+            # Halved wire: opaque 4:2:0 chunks on the device-entropy
+            # path ship HOST-converted YCbCr planes at 1.5 B/px instead
+            # of 3 B/px RGB — upload bandwidth is the in-memory path's
+            # measured ceiling (BENCH_NOTES round 4/5).  The conversion
+            # mirrors forward_dct_device exactly (rgb_to_ycbcr formula,
+            # edge pad, 2×2 mean chroma); the only deviation is the
+            # uint8 wire rounding (≤0.5 per DCT input sample).
+            wire = (PIXEL_WIRE == "yuv420" and nch == 3 and subsample
+                    and use_device_entropy)
             stack = np.empty((padded, h, w, nch), dtype=np.uint8)
             for j, i in enumerate(chunk):
                 stack[j] = prepped[i][..., :nch]
             for j in range(b, padded):
                 stack[j] = stack[0]
+            if wire:
+                stack = _yuv420_wire_host(stack, h, w)
             tgt = np.full((padded,), target, dtype=np.float32)
             if mesh is not None:
                 from jax.sharding import (
@@ -1887,10 +2193,10 @@ def compress_images_batched(ctx: Optional[Context],
                 )
 
                 dsh = NamedSharding(mesh, _P("data"))
-                return (h, w, chunk, padded,
+                return (h, w, chunk, padded, wire,
                         jax.device_put(stack, dsh),
                         jax.device_put(tgt, dsh))
-            return h, w, chunk, padded, jnp.asarray(stack), \
+            return h, w, chunk, padded, wire, jnp.asarray(stack), \
                 jnp.asarray(tgt)
 
     # Stage A and B each block on one tunnel round-trip per chunk; the
@@ -1900,10 +2206,11 @@ def compress_images_batched(ctx: Optional[Context],
     # them inline through round 2 — the measured in-memory regression —
     # so it now uses the same executor scheme.  Single-thread executors
     # preserve chunk order (the ledger FIFO invariant).
-    def _dispatch_px(h, w, chunk, padded, stack_dev, targets):
+    def _dispatch_px(h, w, chunk, padded, wire, stack_dev, targets):
         """Fire this pixel chunk's async device dispatches and return
         the searchq entry; device errors isolate per chunk in the
-        caller."""
+        caller.  wire=True means stack_dev is the flat YCbCr 4:2:0
+        plane buffer (half the RGB bytes), not an RGB stack."""
         with _tstage(timer, "search dispatch"):
             # Fused single-dispatch optimal path: word capacity is
             # the hard 53-words/block bound (no input file to size
@@ -1916,15 +2223,25 @@ def compress_images_batched(ctx: Optional[Context],
             nb_ = ((ph_ // 8) * (pw_ // 8)
                    + 2 * ((ph_ // 16) * (pw_ // 16) if subsample
                           else (ph_ // 8) * (pw_ // 8)))
-            opt_mw = nb_ * 53 + 64
+            # Optimistic word capacity: ~8 bits/pixel of scan budget
+            # (Balanced outputs measure ~0.4 bpp — 20× headroom) with
+            # the hard per-block bound as ceiling; a rare capacity
+            # overflow is caught by the exact bits check in
+            # _collect_opt_px and redone per image.
+            opt_mw = min(nb_ * 53 + 64,
+                         _next_pow2(max(ph_ * pw_ // 4, 4096)),
+                         (1 << 26) - 64)  # 2^31-bit emission bound
             fused = (use_device_entropy and opts.optimize_huffman
                      and FUSED_OPT
                      and (opt_mw + 209) * 4 * padded <= (256 << 20))
             if fused:
+                from ..ops import jpeg_emit as _je
                 from ..parallel.batched import (
                     batched_emit_custom_hdr,
                     batched_search_opt,
                 )
+
+                lw_ = _je.EMIT_LWORDS
 
                 # Two chained async dispatches, zero host pulls in
                 # between: search+hist+K.2-build returns RESIDENT
@@ -1932,35 +2249,52 @@ def compress_images_batched(ctx: Optional[Context],
                 # (A single fused program measured 2.7× slower —
                 # XLA pessimizes the one-hot code lookups when the
                 # tables are intermediates instead of inputs.)
+                if wire:
+                    from ..parallel.batched import (
+                        batched_search_opt_yuv420,
+                    )
+
+                    def _s1(im, t):
+                        return batched_search_opt_yuv420(im, t, h, w)
+                else:
+                    def _s1(im, t):
+                        return batched_search_opt(im, t, subsample)
+
                 if mesh is not None:
                     hdr_d, pk_d, tb_d = shard_data_call(
-                        mesh, ("search_opt", subsample),
-                        lambda im, t: batched_search_opt(
-                            im, t, subsample),
-                        stack_dev, targets)
+                        mesh, ("search_opt", wire, h, w, subsample),
+                        _s1, stack_dev, targets)
                     handles = shard_data_call(
-                        mesh, ("emit_hdr", h, w, subsample, opt_mw),
+                        mesh, ("emit_hdr", h, w, subsample, opt_mw,
+                               lw_),
                         lambda p, tb, hd: batched_emit_custom_hdr(
-                            p, tb, hd, h, w, subsample, opt_mw),
+                            p, tb, hd, h, w, subsample, opt_mw, lw_),
                         pk_d, tb_d, hdr_d)
                 else:
-                    hdr_d, pk_d, tb_d = batched_search_opt(
-                        stack_dev, targets, subsample)
+                    hdr_d, pk_d, tb_d = _s1(stack_dev, targets)
                     handles = batched_emit_custom_hdr(
-                        pk_d, tb_d, hdr_d, h, w, subsample, opt_mw)
+                        pk_d, tb_d, hdr_d, h, w, subsample, opt_mw,
+                        lw_)
                 return ("optf", chunk, (h, w, opt_mw), handles)
             elif use_device_entropy:
-                from ..parallel.batched import batched_search_hist
+                from ..parallel.batched import (
+                    batched_search_hist,
+                    batched_search_hist_yuv420,
+                )
+
+                if wire:
+                    def _sh(im, t):
+                        return batched_search_hist_yuv420(im, t, h, w)
+                else:
+                    def _sh(im, t):
+                        return batched_search_hist(im, t, subsample)
 
                 if mesh is not None:
                     handles = shard_data_call(
-                        mesh, ("search_hist", subsample),
-                        lambda im, t: batched_search_hist(
-                            im, t, subsample),
-                        stack_dev, targets)
+                        mesh, ("search_hist", wire, h, w, subsample),
+                        _sh, stack_dev, targets)
                 else:
-                    handles = batched_search_hist(stack_dev, targets,
-                                                  subsample)
+                    handles = _sh(stack_dev, targets)
                 return ("dev", chunk, (h, w), handles)
             else:
                 if mesh is not None:
@@ -1986,12 +2320,15 @@ def compress_images_batched(ctx: Optional[Context],
     bfuts: List = []
 
     def _run_a(kind, chunk_ids, hw, handles):
-        """Stage-A executor body: device errors fail only this chunk."""
+        """Stage-A executor body: device errors fail only this chunk.
+        Successful stage walls feed the adaptive watchdog."""
+        t0 = time.perf_counter()
         try:
             if kind == "dev":
                 with _tstage(timer, "stage A: pull + tables + emit"):
                     state = _stage_a_dev(chunk_ids, *hw, handles,
                                          bool(opts.optimize_huffman))
+                board.note_wall(time.perf_counter() - t0)
                 return stage_b_exec.submit(_run_b, state)
             if kind == "optf":
                 with _tstage(timer, "opt: packed pull + wrap"):
@@ -1999,6 +2336,7 @@ def compress_images_batched(ctx: Optional[Context],
             else:
                 with _tstage(timer, "pull + host encode queue"):
                     _collect_quant(chunk_ids, *hw, handles)
+            board.note_wall(time.perf_counter() - t0)
             _chunk_ok()
             return None
         except Exception as exc:
@@ -2008,9 +2346,11 @@ def compress_images_batched(ctx: Optional[Context],
             raise
 
     def _run_b(state):
+        t0 = time.perf_counter()
         try:
             with _tstage(timer, "stage B: words pull + wrap"):
                 _stage_b_dev(*state)
+            board.note_wall(time.perf_counter() - t0)
             _chunk_ok()
         except Exception as exc:
             if _is_device_error(exc):
@@ -2027,14 +2367,12 @@ def compress_images_batched(ctx: Optional[Context],
                     _chunk_failed(ids2, fault["last"])
                 break
             try:
-                h, w, chunk, padded, stack_dev, targets = \
-                    futs[k].result(timeout=timeout_s)
-            except concurrent.futures.TimeoutError:
+                h, w, chunk, padded, wire, stack_dev, targets = \
+                    board.wait_future(futs[k], "chunk upload")
+            except DeviceTimeoutError as exc:
                 with flock:
                     fault["wedged"] = True
-                _chunk_failed(jobs[k][2], TimeoutError(
-                    f"fennec: chunk upload exceeded "
-                    f"FENNEC_CHUNK_TIMEOUT={CHUNK_TIMEOUT:.0f}s"))
+                _chunk_failed(jobs[k][2], exc)
                 continue
             except Exception as exc:
                 if _is_device_error(exc):  # device_put failed
@@ -2050,7 +2388,7 @@ def compress_images_batched(ctx: Optional[Context],
                 futs.append(feeder.submit(_make_stack,
                                           jobs[k + PREFETCH]))
             try:
-                searchq.append(_dispatch_px(h, w, chunk, padded,
+                searchq.append(_dispatch_px(h, w, chunk, padded, wire,
                                             stack_dev, targets))
             except Exception as exc:
                 if not _is_device_error(exc):
@@ -2073,21 +2411,8 @@ def compress_images_batched(ctx: Optional[Context],
             bfuts.append((stage_a_exec.submit(_run_a, *e2), e2[1]))
         for entry in bfuts:
             _wait_stage(entry)
-        for fut in pending:
-            try:
-                fut.result(timeout=(2.0 if fault["wedged"]
-                                    else timeout_s))
-            except concurrent.futures.TimeoutError:
-                # A per-item redo wedged on the device: stop waiting
-                # (the zombie thread is abandoned); the ledger flush
-                # below marks its chunk's items failed.
-                with flock:
-                    fault["wedged"] = True
-                    if fault["last"] is None:
-                        fault["last"] = TimeoutError(
-                            "fennec: item redo exceeded "
-                            "FENNEC_CHUNK_TIMEOUT — device/tunnel "
-                            "unresponsive")
+        # One concurrent drain (see the coefficient fast path).
+        board.drain(pending, "item redo")
         _flush_ledger(True)
         _treport(timer, "pixel-path")
 

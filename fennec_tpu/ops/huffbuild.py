@@ -43,8 +43,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.int32(1 << 30)
+# Plain numpy, NOT jnp: an eager module-level jnp scalar is a committed
+# device array, and tracing a function that captures one hangs the axon
+# tunnel in MLIR constant embedding (the lowering pulls the constant
+# back over the link — observed 2026-08-20).
+_BIG = np.int32(1 << 30)
 
 
 def _merge_codesizes(freq: jax.Array) -> jax.Array:

@@ -121,11 +121,20 @@ def emit_words_for_bits(nbits: int) -> int:
     """uint32 word-buffer size for a scan of `nbits`: next power of two
     of nbits//32 plus 64 slack words, floored at 256.  One shared rule so
     the single-image and batch engines agree on buffer shapes (and jit
-    cache entries) for the same scan."""
+    cache entries) for the same scan.
+
+    Bound: total_bits is carried in int32 AND pull_emit_words reserves
+    bit 31 of the bits column for the optimistic-lwords overflow flag,
+    so a scan must stay under 2^31 bits (= a 256 MB entropy stream,
+    ~77 gigapixel at typical rates — far past any real image, but the
+    invariant is asserted rather than assumed)."""
     n = max(256, nbits // 32 + 64)
     p = 1
     while p < n:
         p *= 2
+    assert p * 32 < 2 ** 31, (
+        f"fennec: scan of {nbits} bits exceeds the 2^31-bit emission "
+        f"bound (int32 bit counts + flag bit 31)")
     return p
 
 

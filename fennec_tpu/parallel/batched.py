@@ -176,6 +176,64 @@ def batched_search_hist(imgs: jax.Array, targets: jax.Array,
     return _pack_search_small(q, s, f, bits_std, dc_freq, ac_freq), packed
 
 
+def _split_yuv420_wire(buf: jax.Array, h: int, w: int):
+    """Unpack the flat uint8 YCbCr 4:2:0 wire (B, ph·pw + 2·(ph/2)·(pw/2))
+    into (y (B, ph, pw), cb, cr (B, ph/2, pw/2)) planes."""
+    b = buf.shape[0]
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    ch, cw = ph // 2, pw // 2
+    ny = ph * pw
+    nc = ch * cw
+    yp = buf[:, :ny].reshape(b, ph, pw)
+    cbp = buf[:, ny:ny + nc].reshape(b, ch, cw)
+    crp = buf[:, ny + nc:].reshape(b, ch, cw)
+    return yp, cbp, crp
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def batched_search_hist_yuv420(buf: jax.Array, targets: jax.Array,
+                               h: int, w: int):
+    """batched_search_hist over the halved YCbCr 4:2:0 pixel wire
+    (engine/batched.py FENNEC_PIXEL_WIRE): the host ships 1.5 bytes/px
+    of already-converted planes instead of 3 bytes/px RGB — the
+    in-memory path's measured binding constraint is upload bandwidth
+    (BENCH_NOTES round 4: 59 img/s ≈ the 45 MB/s tunnel ceiling at
+    750 KB/img).  Output contract identical to batched_search_hist."""
+    from ..engine.compress import batched_quality_search_quantize_yuv420
+    from ..ops.jpeg_emit import scan_symbol_hist_device
+    from ..ops.jpeg_size import bits_std_from_hist
+
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    ny = (ph // 8) * (pw // 8)
+    nc = (ph // 16) * (pw // 16)
+    yp, cbp, crp = _split_yuv420_wire(buf, h, w)
+    q, s, f, packed = batched_quality_search_quantize_yuv420(
+        yp, cbp, crp, targets, h, w)
+
+    def hist_one(p):
+        return scan_symbol_hist_device(p[:ny], p[ny:ny + nc],
+                                       p[ny + nc:], ph, pw, True)
+
+    dc_freq, ac_freq = jax.vmap(hist_one)(packed)
+    bits_std = bits_std_from_hist(dc_freq, ac_freq)
+    return _pack_search_small(q, s, f, bits_std, dc_freq, ac_freq), packed
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def batched_search_opt_yuv420(buf: jax.Array, targets: jax.Array,
+                              h: int, w: int):
+    """batched_search_opt over the YCbCr 4:2:0 wire: dispatch 1 of the
+    chained fused-opt pixel path (header, resident packed, resident
+    device-built K.2 tables)."""
+    from ..engine.compress import batched_quality_search_quantize_yuv420
+
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    yp, cbp, crp = _split_yuv420_wire(buf, h, w)
+    q, s, f, packed = batched_quality_search_quantize_yuv420(
+        yp, cbp, crp, targets, h, w)
+    return _search_build_tail(q, s, f, packed, ph, pw, True)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def packed_hist_bits(packed: jax.Array, h: int, w: int,
                      out_subsample: bool):
@@ -271,15 +329,23 @@ def _search_build_tail(q, s, f, packed, ph: int, pw: int,
     return hdr, packed, tables
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def batched_emit_custom_hdr(packed: jax.Array, tables: jax.Array,
                             hdr: jax.Array, h: int, w: int,
-                            out_subsample: bool, max_words: int):
+                            out_subsample: bool, max_words: int,
+                            lwords: int = 0):
     """Dispatch 2 of the chained optimal path: emit the RESIDENT
     coefficients with the RESIDENT device-built tables, splice the total
     bit count into header col 3, and return the single packed
     (B, OPT_HDR + max_words) output (split_opt_header +
-    pull-guard layout above)."""
+    pull-guard layout above).
+
+    lwords > 0 emits at the optimistic per-block width
+    (ops/jpeg_emit.EMIT_LWORDS rationale — the round-3 fused-path
+    collapse traced to the worst-case 53-words/block programs this
+    function used to compile); the EXACT per-image block-overflow flag
+    is OR'd into header col 4, the same redo column the K.2 >32-bit
+    flag uses, so the existing per-image redo path covers both."""
     from ..ops.jpeg_emit import emit_scan_device
 
     mult = 16 if out_subsample else 8
@@ -291,14 +357,20 @@ def batched_emit_custom_hdr(packed: jax.Array, tables: jax.Array,
         dcp, acp = tabp[:, :16], tabp[:, 16:]
         dct = jnp.stack([dcp >> 5, dcp & 31], axis=1)
         act = jnp.stack([acp >> 5, acp & 31], axis=1)
-        return emit_scan_device(
+        out = emit_scan_device(
             p[:ny], p[ny:ny + nc], p[ny + nc:], ph, pw, out_subsample,
             max_words, dc_tables=dct, ac_tables=act,
-            batch_hint=packed.shape[0])
+            batch_hint=packed.shape[0], lwords=lwords)
+        if lwords > 0:
+            words, bits, ovf = out
+            return words, bits, ovf.astype(jnp.uint32)
+        words, bits = out
+        return words, bits, jnp.zeros((), jnp.uint32)
 
-    words, bits = jax.vmap(one)(packed, tables)
+    words, bits, bovf = jax.vmap(one)(packed, tables)
     return jnp.concatenate([
-        hdr[:, :3], bits.astype(jnp.uint32)[:, None], hdr[:, 4:],
+        hdr[:, :3], bits.astype(jnp.uint32)[:, None],
+        (hdr[:, 4] | bovf)[:, None], hdr[:, 5:],
         words], axis=1)
 
 

@@ -71,3 +71,21 @@ def test_pixel_path_decodes(_toggle):
     got = Image.open(io.BytesIO(rs[0].compressed_data))
     assert got.size == (120, 88)
     assert got.mode == "RGB"
+
+
+def test_sticky_coo_path_byte_identical():
+    """Chunks after the first take the sticky zero-copy COO prep
+    (engine/batched._prep_chunk_coo_sticky); outputs must be
+    byte-identical to the census path (chunk 1) and to a single-chunk
+    run of the same inputs."""
+    datas = [encode_jpeg(make_test_image(80, 96), q)
+             for q in (85, 90, 92, 95) for _ in range(3)]
+    opts = fennec.Options(format=fennec.Format.JPEG,
+                          device_entropy=True, optimize_huffman=True)
+    one_chunk = eb.compress_jpeg_bytes_batched(None, datas, opts,
+                                               chunk_size=16)
+    multi = eb.compress_jpeg_bytes_batched(None, datas, opts,
+                                           chunk_size=4)
+    for a, b in zip(one_chunk, multi):
+        assert a.compressed_data == b.compressed_data
+        assert a.jpeg_quality == b.jpeg_quality
