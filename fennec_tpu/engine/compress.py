@@ -429,6 +429,91 @@ def batched_quality_search_quantize_device(imgs: jax.Array,
     return best_q, best_ssim, found, packed
 
 
+def _batched_search_core_yuv420(yp: jax.Array, cbp: jax.Array,
+                                crp: jax.Array, targets: jax.Array,
+                                h: int, w: int):
+    """Lockstep search from HOST-converted YCbCr 4:2:0 planes — the
+    halved pixel wire (FENNEC_PIXEL_WIRE, engine/batched.py).
+
+    yp: (B, ph, pw); cbp/crp: (B, ph/2, pw/2) — uint8 on the wire,
+    already edge-padded and 2×2-mean subsampled by the feeder with the
+    SAME formulas forward_dct_device applies on device
+    (ops/color.rgb_to_ycbcr, ops/dct.pad_to_multiple/downsample_420).
+    The uint8 quantization bounds the deviation from the RGB wire at
+    ≤0.5 per DCT input sample (parity measured on chip — see
+    BENCH_NOTES round 5).  The a-side luminance is the Y plane: BT.601
+    luminance IS JPEG Y, and box-downsampling Y equals combining the
+    box-downsampled R/G/B planes by linearity, so the reference's
+    SSIMFast semantics (ssim.go:48-70) are preserved.
+
+    Returns (best_q, best_ssim, found, coefs) with coefs the same
+    (y, cb, cr) block triple forward_dct_device yields."""
+    t = jnp.clip(jnp.where(targets >= 1.0, 0.999, targets), 0.0)
+    yp = yp.astype(jnp.float32)
+    cbp = cbp.astype(jnp.float32)
+    crp = crp.astype(jnp.float32)
+    ph, pw = int(yp.shape[1]), int(yp.shape[2])
+
+    def dct_one(y, cb, cr):
+        return (dct_ops.dct2d_blocks(dct_ops.to_blocks(y - 128.0)),
+                dct_ops.dct2d_blocks(dct_ops.to_blocks(cb - 128.0)),
+                dct_ops.dct2d_blocks(dct_ops.to_blocks(cr - 128.0)))
+
+    coefs = jax.vmap(dct_one)(yp, cbp, crp)
+
+    ds_w, ds_h = ssim_fast_dims(w, h)
+    wh, wv = box_resize_weights(w, h, ds_w, ds_h)
+    box_wh = jnp.asarray(wh)
+    box_wv = jnp.asarray(wv)
+
+    def lum_one(y):
+        y = y[:h, :w]
+        if (ds_w, ds_h) != (w, h):
+            return _box_down_plane(y, box_wh, box_wv)
+        return y
+
+    lum_orig = jax.vmap(lum_one)(yp)
+    lo0 = jnp.where(t >= 0.99, 75,
+                    jnp.where(t >= 0.97, 50,
+                              jnp.where(t >= 0.94, 30,
+                                        jnp.where(t >= 0.90, 15,
+                                                  1)))).astype(jnp.int32)
+    ch, cw = ph // 2, pw // 2
+    cplanes = (
+        jax.vmap(lambda c: dct_ops.from_blocks(c, ph, pw))(coefs[0]),
+        jax.vmap(lambda c: dct_ops.from_blocks(c, ch, cw))(coefs[1]),
+        jax.vmap(lambda c: dct_ops.from_blocks(c, ch, cw))(coefs[2]),
+    )
+    best_q, best_ssim, found = _bisect_device_batch(
+        cplanes, lum_orig, box_wh, box_wv, ph, pw, True, h, w,
+        _use_pallas_ssim(), targets=t, lo0=lo0)
+    return best_q, best_ssim, found, coefs
+
+
+def batched_quality_search_quantize_yuv420(yp: jax.Array,
+                                           cbp: jax.Array,
+                                           crp: jax.Array,
+                                           targets: jax.Array,
+                                           h: int, w: int):
+    """batched_quality_search_quantize_device over the YCbCr 4:2:0
+    wire: (q, ssim, found, packed (B, NT, 64) int16)."""
+    best_q, best_ssim, found, coefs = _batched_search_core_yuv420(
+        yp, cbp, crp, targets, h, w)
+    final_q = jnp.where(found, best_q, 100)
+    all_tables = jnp.asarray(dct_ops.all_quality_tables(),
+                             dtype=jnp.float32)
+    qtabs = jnp.take(all_tables, final_q, axis=0)
+
+    def quant_one(cy, ccb, ccr, qtab):
+        qy = dct_ops.quantize_blocks(cy, qtab[0])
+        qcb = dct_ops.quantize_blocks(ccb, qtab[1])
+        qcr = dct_ops.quantize_blocks(ccr, qtab[1])
+        return jnp.concatenate([qy, qcb, qcr], axis=0).astype(jnp.int16)
+
+    packed = jax.vmap(quant_one)(coefs[0], coefs[1], coefs[2], qtabs)
+    return best_q, best_ssim, found, packed
+
+
 def quality_search_device(img: jax.Array, target: jax.Array,
                           subsample: bool = True):
     """Fully traceable single-image SSIM-guided quality search.

@@ -1,0 +1,116 @@
+"""Halved YCbCr 4:2:0 pixel wire (FENNEC_PIXEL_WIRE=yuv420).
+
+The host conversion must mirror forward_dct_device's convert + pad +
+2×2-mean chroma exactly up to the uint8 wire rounding (≤0.5 per DCT
+input sample), and the engine route must produce results equivalent to
+the RGB wire: same chosen qualities on non-knife-edge content, SSIM
+within the rounding bound, decodable output.
+"""
+
+import numpy as np
+import pytest
+
+import fennec_tpu as fennec
+import fennec_tpu.engine.batched as eb
+from conftest import make_test_image
+
+
+def photo(w, h, seed):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.empty((h, w, 4), np.uint8)
+    base = np.stack([x * 255 / w, y * 255 / h,
+                     (x + y) * 255 / (w + h)], axis=-1)
+    img[..., :3] = np.clip(base + rng.normal(0, 8, (h, w, 3)), 0, 255)
+    img[..., 3] = 255
+    return img
+
+
+class TestWireHostConversion:
+    def test_matches_device_convert(self):
+        """Wire planes == device's f32 convert path, rounded to u8."""
+        import jax.numpy as jnp
+
+        from fennec_tpu.ops import dct as dct_ops
+        from fennec_tpu.ops.color import rgb_to_ycbcr
+
+        img = photo(52, 36, 7)  # exercises edge padding (52→64? no: 52+12)
+        h, w = img.shape[:2]
+        buf = eb._yuv420_wire_host(img[None, ..., :3], h, w)
+
+        ycc = np.asarray(rgb_to_ycbcr(
+            jnp.asarray(img[..., :3], jnp.float32)))
+        ph, pw = h + (-h) % 16, w + (-w) % 16
+        y = np.asarray(dct_ops.pad_to_multiple(
+            jnp.asarray(ycc[..., 0]), 16, 16))
+        cb = np.asarray(dct_ops.downsample_420(dct_ops.pad_to_multiple(
+            jnp.asarray(ycc[..., 1]), 16, 16)))
+        cr = np.asarray(dct_ops.downsample_420(dct_ops.pad_to_multiple(
+            jnp.asarray(ycc[..., 2]), 16, 16)))
+        ny, nc = ph * pw, (ph // 2) * (pw // 2)
+        got_y = buf[0, :ny].reshape(ph, pw).astype(np.float32)
+        got_cb = buf[0, ny:ny + nc].reshape(ph // 2,
+                                            pw // 2).astype(np.float32)
+        got_cr = buf[0, ny + nc:].reshape(ph // 2,
+                                          pw // 2).astype(np.float32)
+        # u8 rounding is the only permitted deviation (+ f32-vs-f32
+        # associativity noise far below it).
+        assert np.max(np.abs(got_y - y)) <= 0.501
+        assert np.max(np.abs(got_cb - cb)) <= 0.501
+        assert np.max(np.abs(got_cr - cr)) <= 0.501
+
+
+class TestWireEngineRoute:
+    def _run(self, imgs, wire):
+        opts = fennec.Options(format=fennec.JPEG, device_entropy=True,
+                              optimize_huffman=True)
+        old = eb.PIXEL_WIRE
+        eb.PIXEL_WIRE = wire
+        try:
+            return eb.compress_images_batched(None, imgs, opts)
+        finally:
+            eb.PIXEL_WIRE = old
+
+    def test_equivalent_to_rgb_wire(self):
+        imgs = [photo(64, 48, s) for s in range(4)]
+        rgb = self._run(imgs, "rgb")
+        yuv = self._run(imgs, "yuv420")
+        for a, b in zip(rgb, yuv):
+            assert b.compressed_data  # produced
+            assert a.jpeg_quality == b.jpeg_quality
+            # The wire is lossy by design (u8 plane rounding): the
+            # CHOSEN QUALITY is the contract; reported SSIM may shift
+            # ~1e-3 on tiny noisy images (less at production sizes —
+            # measured ~2e-5 at 500², BENCH_NOTES round 5).
+            assert a.ssim == pytest.approx(b.ssim, abs=2e-3)
+
+    def test_decodes_correctly(self):
+        import io
+
+        from PIL import Image
+
+        img = make_test_image(120, 88)
+        rs = self._run([img], "yuv420")
+        got = Image.open(io.BytesIO(rs[0].compressed_data))
+        assert got.size == (120, 88)
+        # Pixel-level sanity vs the source (JPEG-lossy, not exact).
+        arr = np.asarray(got.convert("RGB"), np.float32)
+        src = img[..., :3].astype(np.float32)
+        assert np.mean(np.abs(arr - src)) < 8.0
+
+    def test_alpha_chunks_stay_rgb(self):
+        # Non-opaque chunks must not take the wire (alpha compositing
+        # needs the alpha plane) — results still correct.
+        img = photo(48, 48, 3)
+        img[..., 3] = 200
+        rs = self._run([img], "yuv420")
+        assert rs[0].compressed_data
+
+    def test_fused_opt_wire(self, monkeypatch):
+        monkeypatch.setattr(eb, "FUSED_OPT", True)
+        imgs = [photo(64, 48, s) for s in range(3)]
+        rgb = self._run(imgs, "rgb")
+        yuv = self._run(imgs, "yuv420")
+        for a, b in zip(rgb, yuv):
+            assert a.jpeg_quality == b.jpeg_quality
+            assert a.ssim == pytest.approx(b.ssim, abs=2e-3)
