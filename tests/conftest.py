@@ -107,3 +107,48 @@ def make_noise_image(w: int, h: int, seed: int = 0) -> np.ndarray:
 @pytest.fixture
 def gradient_image():
     return make_test_image(64, 48)
+
+
+# ── Fast lane (-m "not slow") ───────────────────────────────────────────
+# The measured-slowest tests (full-suite --durations run, round 5; all
+# >40 s on the 1-core host) are centrally marked slow here so
+# `pytest -m "not slow"` gives a <6-minute regression lane without
+# touching every file.  Some files also carry explicit @pytest.mark.slow
+# decorations; both routes compose.
+_SLOW_TESTS = {
+    "test_sharded_ssim_parity_4k",                  # 698s
+    "test_large_photo_targetsize",                  # 194s
+    "test_small_width_matches_default_on_normal_content",  # 179s
+    "test_scale_divergence_lockstep",               # 167s
+    "test_matches_real_histograms",                 # 133s
+    "test_examples_run_clean",                      # 128s
+    "test_end_to_end_files",                        # 124s
+    "test_matches_per_image_auto",                  # 113s
+    "test_solid_image_emission",                    # 113s
+    "test_search_parity_2048px",                    # 101s
+    "test_ssim_fast_parity_with_downsample",        # 95s
+    "test_coef_path_byte_identical",                # 93s
+    "test_device_emission_matches_host_encoder",    # 92s × several
+    "test_matches_per_image_jpeg",                  # 92s
+    "test_under_target_when_achievable",            # 74s
+    "test_matches_scan_bits",                       # 69s
+    "test_mixed_alpha_routing",                     # 65s
+    "test_resize_then_target",                      # 62s
+    "test_all_coefficients_maximal",                # 55s
+    "test_exact_bits_modulo_stuffing",              # 51s
+    "test_target_size",                             # 50s (CLI e2e)
+    "test_quality_flag",                            # 50s (CLI e2e)
+    "test_identical_to_unsharded",                  # 48s
+    "test_routing_and_contracts",                   # 48s
+    "test_impossible_target_fallback",              # 47s
+    "test_fibonacci_long_codes",                    # 46s
+    "test_inputs_generator_deterministic",          # 44s
+    "test_random_sparse",                           # 42s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
