@@ -89,3 +89,47 @@ def test_sticky_coo_path_byte_identical():
     for a, b in zip(one_chunk, multi):
         assert a.compressed_data == b.compressed_data
         assert a.jpeg_quality == b.jpeg_quality
+
+
+def test_sticky_coo_ecap_overflow_falls_back():
+    """A later chunk whose exception count outgrows the pinned tail must
+    rebuild via the census path (correctly) and bump the capacity."""
+    from conftest import make_noise_image
+
+    # Chunk 1: smooth images (few exceptions) arms a small ecap.
+    smooth = [encode_jpeg(make_test_image(80, 96), 90) for _ in range(4)]
+    # Chunk 2: high-quality noise (many |v|>127 exceptions).
+    noisy = [encode_jpeg(make_noise_image(80, 96, seed=s), 97)
+             for s in range(4)]
+    datas = smooth + noisy
+    opts = fennec.Options(format=fennec.Format.JPEG,
+                          device_entropy=True, optimize_huffman=True)
+    multi = eb.compress_jpeg_bytes_batched(None, datas, opts,
+                                           chunk_size=4)
+    single = [eb.compress_jpeg_bytes_batched(None, [d], opts,
+                                             chunk_size=4)[0]
+              for d in datas]
+    for a, b in zip(single, multi):
+        assert a.compressed_data == b.compressed_data
+
+
+def test_sticky_coo_r_drift():
+    """Content whose optimal R drifts between chunks stays byte-exact
+    (the sticky width only moves exceptions, never meaning)."""
+    from conftest import make_noise_image, make_striped_image
+
+    datas = []
+    for s in range(3):   # sparse chunk
+        datas.append(encode_jpeg(make_test_image(80, 96), 85))
+    for s in range(3):   # dense chunk (more AC nonzeros per block)
+        datas.append(encode_jpeg(make_striped_image(80, 96), 95))
+    for s in range(3):
+        datas.append(encode_jpeg(make_noise_image(80, 96, seed=s), 92))
+    opts = fennec.Options(format=fennec.Format.JPEG,
+                          device_entropy=True, optimize_huffman=True)
+    multi = eb.compress_jpeg_bytes_batched(None, datas, opts,
+                                           chunk_size=3)
+    one = eb.compress_jpeg_bytes_batched(None, datas, opts,
+                                         chunk_size=16)
+    for a, b in zip(one, multi):
+        assert a.compressed_data == b.compressed_data
