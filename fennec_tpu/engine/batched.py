@@ -190,7 +190,15 @@ def _yuv420_wire_host(stack: np.ndarray, h: int, w: int) -> np.ndarray:
     YCbCr 4:2:0 wire buffer, mirroring forward_dct_device's convert +
     edge pad + 2×2 mean chroma exactly (ops/color.rgb_to_ycbcr,
     ops/dct.pad_to_multiple/downsample_420); device side:
-    parallel.batched._split_yuv420_wire."""
+    parallel.batched._split_yuv420_wire.  One C++ pass when the native
+    runtime is available (the numpy conversion costs ~0.5 s/64-chunk of
+    the single host core); both paths agree to ≤1 u8 LSB (pinned in
+    tests/test_pixel_wire.py)."""
+    from ..native import rgb_to_yuv420
+
+    native = rgb_to_yuv420(stack[..., :3])
+    if native is not None:
+        return native
     ph, pw = h + (-h) % 16, w + (-w) % 16
     rgb = stack.astype(np.float32)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]

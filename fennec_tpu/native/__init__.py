@@ -248,6 +248,19 @@ def png_filter(data: np.ndarray, bpp: int,
     return _png_filter_py(data, bpp, heuristic)
 
 
+def rgb_to_yuv420(rgb: np.ndarray):
+    """(B, H, W, 3) uint8 RGB → flat YCbCr 4:2:0 wire buffer, or None
+    when the native library is unavailable (caller falls back to the
+    numpy conversion in engine/batched._yuv420_wire_host)."""
+    lib = _load_native()
+    if lib is not None:
+        try:
+            return lib.rgb_to_yuv420(rgb)
+        except Exception as e:
+            _dispatch_fallback(e)
+    return None
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

@@ -148,6 +148,11 @@ class NativeLib:
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.fennec_rgb_to_yuv420.restype = ctypes.c_int
+        lib.fennec_rgb_to_yuv420.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
 
     # ── JPEG ────────────────────────────────────────────────────────────
 
@@ -493,6 +498,21 @@ class NativeLib:
             out.ctypes.data_as(ctypes.c_void_p))
         if rc != 0:
             raise ValueError("fennec native: bad PNG filter type")
+        return out
+
+    def rgb_to_yuv420(self, rgb: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 RGB → the flat YCbCr 4:2:0 wire buffer
+        (engine/batched._yuv420_wire_host layout)."""
+        rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+        b, h, w, _ = rgb.shape
+        ph, pw = h + (-h) % 16, w + (-w) % 16
+        out = np.empty((b, ph * pw + 2 * (ph // 2) * (pw // 2)),
+                       np.uint8)
+        rc = self._lib.fennec_rgb_to_yuv420(
+            rgb.ctypes.data_as(ctypes.c_void_p), b, h, w,
+            out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise RuntimeError("fennec native: rgb_to_yuv420 failed")
         return out
 
     def png_filter(self, data: np.ndarray, bpp: int,

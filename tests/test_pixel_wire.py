@@ -53,11 +53,30 @@ class TestWireHostConversion:
                                             pw // 2).astype(np.float32)
         got_cr = buf[0, ny + nc:].reshape(ph // 2,
                                           pw // 2).astype(np.float32)
-        # u8 rounding is the only permitted deviation (+ f32-vs-f32
-        # associativity noise far below it).
-        assert np.max(np.abs(got_y - y)) <= 0.501
-        assert np.max(np.abs(got_cb - cb)) <= 0.501
-        assert np.max(np.abs(got_cr - cr)) <= 0.501
+        # u8 rounding is the only structural deviation; the native
+        # 16.16 fixed-point pass adds ≤0.02 of coefficient error on
+        # top (native/entropy.cpp fennec_rgb_to_yuv420).
+        assert np.max(np.abs(got_y - y)) <= 0.53
+        assert np.max(np.abs(got_cb - cb)) <= 0.53
+        assert np.max(np.abs(got_cr - cr)) <= 0.53
+
+    def test_native_matches_numpy_within_1_lsb(self):
+        import fennec_tpu.native as nat
+
+        stack = np.clip(np.random.default_rng(2).normal(
+            120, 60, (3, 52, 36, 3)), 0, 255).astype(np.uint8)
+        native = nat.rgb_to_yuv420(stack)
+        if native is None:
+            pytest.skip("native runtime unavailable")
+        real = nat.rgb_to_yuv420
+        nat.rgb_to_yuv420 = lambda x: None
+        try:
+            ref = eb._yuv420_wire_host(stack, 52, 36)
+        finally:
+            nat.rgb_to_yuv420 = real
+        d = np.abs(native.astype(np.int16) - ref.astype(np.int16))
+        assert d.max() <= 1
+        assert (d > 0).mean() < 0.01  # knife edges only
 
 
 class TestWireEngineRoute:
@@ -77,12 +96,16 @@ class TestWireEngineRoute:
         yuv = self._run(imgs, "yuv420")
         for a, b in zip(rgb, yuv):
             assert b.compressed_data  # produced
-            assert a.jpeg_quality == b.jpeg_quality
-            # The wire is lossy by design (u8 plane rounding): the
-            # CHOSEN QUALITY is the contract; reported SSIM may shift
-            # ~1e-3 on tiny noisy images (less at production sizes —
-            # measured ~2e-5 at 500², BENCH_NOTES round 5).
-            assert a.ssim == pytest.approx(b.ssim, abs=2e-3)
+            # The wire is lossy by design (u8 plane rounding + the
+            # native pass's 16.16 coefficients): a bisection landing on
+            # a knife edge may move ONE quality step on tiny noisy
+            # images (0/8 changes measured on chip at production
+            # sizes); the preset contract — SSIM within the reference's
+            # target band (fennec_test.go:233-259) — must always hold.
+            assert abs(a.jpeg_quality - b.jpeg_quality) <= 1
+            assert b.ssim >= 0.94 - 0.02  # Balanced band
+            if a.jpeg_quality == b.jpeg_quality:
+                assert a.ssim == pytest.approx(b.ssim, abs=2e-3)
 
     def test_decodes_correctly(self):
         import io
@@ -112,5 +135,7 @@ class TestWireEngineRoute:
         rgb = self._run(imgs, "rgb")
         yuv = self._run(imgs, "yuv420")
         for a, b in zip(rgb, yuv):
-            assert a.jpeg_quality == b.jpeg_quality
-            assert a.ssim == pytest.approx(b.ssim, abs=2e-3)
+            assert abs(a.jpeg_quality - b.jpeg_quality) <= 1
+            assert b.ssim >= 0.94 - 0.02
+            if a.jpeg_quality == b.jpeg_quality:
+                assert a.ssim == pytest.approx(b.ssim, abs=2e-3)
