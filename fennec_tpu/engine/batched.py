@@ -63,6 +63,11 @@ PREFETCH = max(2, int(os.environ.get("FENNEC_BATCH_PREFETCH", "2")))
 # chunks is free to interleave — on_chunk streaming order is
 # by-completion, the documented contract.
 STAGE_WORKERS = max(1, int(os.environ.get("FENNEC_STAGE_WORKERS", "3")))
+# How many chunks' search dispatches run ahead of their stage-A pulls.
+# 2 = dispatch chunk k+1's search before pulling chunk k (the round-2
+# design); deeper values trade HBM residency for more dispatch-ahead
+# slack on high-latency links (A/B knob).
+SEARCHQ_DEPTH = max(1, int(os.environ.get("FENNEC_SEARCHQ_DEPTH", "2")))
 # The pixel path keeps width 1 by default: its feeder ships ~48 MB of
 # pixels per 64-chunk, and concurrent stage pulls compete with those
 # uploads for the serialized tunnel (measured 45.8 vs 52.2 img/s at
@@ -1702,7 +1707,7 @@ def compress_jpeg_bytes_batched(ctx: Optional[Context],
                     raise
                 _chunk_failed(chunk, exc)
 
-            if len(searchq) >= 2:
+            if len(searchq) >= SEARCHQ_DEPTH:
                 e2 = searchq.pop(0)
                 bfuts.append((stage_a_exec.submit(_run_a, *e2), e2[1]))
             # Backpressure: an error in stage A/B must surface promptly,
@@ -2402,7 +2407,7 @@ def compress_images_batched(ctx: Optional[Context],
                 if not _is_device_error(exc):
                     raise
                 _chunk_failed(chunk, exc)
-            if len(searchq) >= 2:
+            if len(searchq) >= SEARCHQ_DEPTH:
                 e2 = searchq.pop(0)
                 bfuts.append((stage_a_exec.submit(_run_a, *e2), e2[1]))
             # Backpressure: surface stage A/B errors promptly and bound
