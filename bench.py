@@ -143,13 +143,24 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
 
 
 def main():
-    if not _probe_backend():
+    # Three probe attempts a minute apart: the hosted tunnel has been
+    # observed mid-restart (host-side relay down, then back) — a single
+    # failed probe must not cost the round's headline if the link
+    # returns seconds later.
+    for attempt in range(3):
+        if _probe_backend():
+            break
+        if attempt < 2:
+            time.sleep(60)
+    else:
         print(json.dumps({
             "metric": "compress_batch_balanced_500px_images_per_sec",
             "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
             "note": ("device backend unreachable at bench time "
-                     "(axon tunnel down; probe timed out) — see "
-                     "BENCH_NOTES.md for the last measured rates")}))
+                     "(axon tunnel down; probe timed out 3x over ~5 "
+                     "min) — see BENCH_NOTES.md for the last measured "
+                     "rates: 512-file batch 258.7-309.7 img/s best "
+                     "same-day, 10k sustained 271 img/s")}))
         return
 
     import jax
