@@ -283,7 +283,51 @@ def bench_compress_batch_files(n_files: int = 200):
                            "avg_ssim": round(summary.avg_ssim, 4)}}
 
 
+def bench_host_yuv_convert():
+    """C++ fixed-point RGB→YCbCr 4:2:0 wire conversion (host-only —
+    runs without a device; the in-memory wire's feeder cost)."""
+    from fennec_tpu.native import rgb_to_yuv420
+
+    stack = photo_batch(64, 500, 500).astype(np.uint8)[..., :3]
+    out = rgb_to_yuv420(stack)
+    if out is None:
+        return {"metric": "host_yuv420_convert_mpix_per_sec",
+                "error": "native runtime unavailable"}
+    dt = _time(lambda: rgb_to_yuv420(stack), warmup=1, iters=3)
+    mpix = 64 * 500 * 500 / 1e6
+    return {"metric": "host_yuv420_convert_mpix_per_sec",
+            "value": round(mpix / dt, 1), "unit": "MP/sec/core"}
+
+
+def bench_host_decode_coo():
+    """C++ one-pass JPEG entropy decode into the COO upload layout
+    (host-only; the batch feeder's decode half)."""
+    from fennec_tpu.codecs.jpeg import encode_jpeg
+    from fennec_tpu.engine.batched import qualify_jpeg_bytes
+    from fennec_tpu.codecs.jpeg import decode_jpeg_to_coefs_coo
+
+    img = photo_batch(1, 500, 500).astype(np.uint8)[0]
+    data = encode_jpeg(img, 92)
+    w, h, _ = qualify_jpeg_bytes(data)
+    ph, pw = h + (-h) % 16, w + (-w) % 16
+    nt = (ph // 8) * (pw // 8) + 2 * (ph // 16) * (pw // 16)
+    dc = np.zeros(nt, np.int8)
+    pos = np.zeros((nt, 16), np.uint8)
+    val = np.zeros((nt, 16), np.int8)
+
+    def run():
+        assert decode_jpeg_to_coefs_coo(data, dc, pos, val,
+                                        16) is not None
+
+    dt = _time(run, warmup=2, iters=20)
+    return {"metric": "host_coo_decode_files_per_sec",
+            "value": round(1 / dt, 1), "unit": "files/sec/core",
+            "detail": {"file_bytes": len(data)}}
+
+
 ALL = {
+    "host_yuv_convert": bench_host_yuv_convert,
+    "host_decode_coo": bench_host_decode_coo,
     "ssim_fast_1080p": bench_ssim_fast_1080p,
     "ssim_fast_4k": bench_ssim_fast_4k_batched,
     "lanczos": bench_lanczos_resize,
