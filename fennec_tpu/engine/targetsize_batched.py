@@ -196,8 +196,11 @@ TS_FUSED = os.environ.get("FENNEC_TS_FUSED", "0") == "1"
 
 # Concurrent strategy speculation (S1 ∥ S2 ∥ S3) and concurrent S3
 # final-geometry groups.  FENNEC_TS_CONC=0 restores the sequential
-# cascade (debugging / pathological hosts).
+# cascade (debugging / pathological hosts).  FENNEC_TS_SPEC bounds how
+# many bisection levels each probe wave speculates ahead (see
+# _s3_batched): 0 restores one-wave-per-round probing.
 TS_CONC = os.environ.get("FENNEC_TS_CONC", "1") != "0"
+TS_SPEC = max(0, int(os.environ.get("FENNEC_TS_SPEC", "1")))
 
 
 @functools.lru_cache(maxsize=64)
@@ -665,6 +668,15 @@ def _s1_batched(pool, stack_dev, arrs: List[np.ndarray], h: int, w: int,
     return out
 
 
+@jax.jit
+def _stack_bucket_jit(parts):
+    """Stack a bucket's per-image device arrays on DEVICE.  Specializes
+    on (count, H, W) — the same signature every downstream bucket jit
+    (_s1_stage1_jit etc.) already specializes on, so this mints no new
+    program axis while skipping the host-side np.stack copy."""
+    return jnp.stack(parts)
+
+
 def _probe_scales_dispatch(stack_dev, group: List[int], w: int, h: int,
                            new_w: int, new_h: int, target_bytes: int,
                            pad_to: int = 0):
@@ -735,33 +747,77 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
             for k, i in enumerate(group):
                 memo[(i, *geom)] = (bool(fits[k]), int(qs[k]))
 
-    for _ in range(10):
-        if _ctx_err(ctx):
-            break
-        want: Dict[int, Tuple[int, int]] = {}
-        mids: Dict[int, float] = {}
-        for i in idxs:
-            mid = (lo_s[i] + hi_s[i]) / 2
-            mids[i] = mid
-            nw, nh = int(w * mid), int(h * mid)
-            if nw < 8 or nh < 8:
-                lo_s[i] = mid  # too small to probe (targetsize.go:247-250)
-                continue
-            want[i] = probe_geometry(w, h, nw, nh)
-        probe_round(want.items())
-        for i, geom in want.items():
-            fits, q = memo[(i, *geom)]
-            if fits and q >= MIN_JPEG_QUALITY:
-                best[i] = (mids[i], q)
-                lo_s[i] = mids[i]
-            else:
-                hi_s[i] = mids[i]
+    def _spec_geoms(lo: float, hi: float, depth: int, acc: set) -> None:
+        """Snapped geometries of every bisection node reachable within
+        `depth` more levels from interval (lo, hi) — BOTH branch
+        outcomes — mirroring the round body below exactly (the too-small
+        rule advances lo without probing, consuming a level)."""
+        mid = (lo + hi) / 2
+        nw, nh = int(w * mid), int(h * mid)
+        if nw < 8 or nh < 8:
+            if depth > 0:
+                _spec_geoms(mid, hi, depth - 1, acc)
+            return
+        acc.add(probe_geometry(w, h, nw, nh))
+        if depth > 0:
+            _spec_geoms(mid, hi, depth - 1, acc)
+            _spec_geoms(lo, mid, depth - 1, acc)
 
     fixed = []
     for scale in (0.75, 0.50, 0.375, 0.25):
         nw, nh = int(w * scale), int(h * scale)
         if nw >= 8 and nh >= 8:
             fixed.append((scale, probe_geometry(w, h, nw, nh)))
+
+    r = 0
+    while r < 10:
+        if _ctx_err(ctx):
+            break
+        # Speculative wave: dispatch this round's probes plus every
+        # probe the next TS_SPEC rounds COULD ask for (both bisection
+        # branches per level, snapped mids cluster hard across the
+        # bucket), all before the first pull — then the rounds below
+        # replay from the memo with zero further device sync.  The
+        # extra probes cost scale²-sized device FLOPs in an already
+        # async wave; each avoided wave saves a full dispatch→pull RPC
+        # round, which dominates on hosted links (round-5b profile:
+        # 9 collect waves ≈ 3.1 s of a 5.0 s n=64 bucket).  The fixed
+        # scale grid rides the first wave instead of paying its own.
+        spec = min(TS_SPEC, 9 - r)
+        pairs = [(i, geom) for _, geom in fixed
+                 for i in idxs] if r == 0 else []
+        if spec:
+            for i in idxs:
+                acc: set = set()
+                _spec_geoms(lo_s[i], hi_s[i], spec, acc)
+                pairs.extend((i, g) for g in acc)
+        for _ in range(spec + 1):
+            want: Dict[int, Tuple[int, int]] = {}
+            mids: Dict[int, float] = {}
+            for i in idxs:
+                mid = (lo_s[i] + hi_s[i]) / 2
+                mids[i] = mid
+                nw, nh = int(w * mid), int(h * mid)
+                if nw < 8 or nh < 8:
+                    lo_s[i] = mid  # too small (targetsize.go:247-250)
+                    continue
+                want[i] = probe_geometry(w, h, nw, nh)
+            if pairs:
+                probe_round(pairs + list(want.items()))
+                pairs = []
+            else:
+                probe_round(want.items())
+            for i, geom in want.items():
+                fits, q = memo[(i, *geom)]
+                if fits and q >= MIN_JPEG_QUALITY:
+                    best[i] = (mids[i], q)
+                    lo_s[i] = mids[i]
+                else:
+                    hi_s[i] = mids[i]
+            r += 1
+            if r >= 10:
+                break
+
     if not _ctx_err(ctx):
         probe_round((i, geom) for _, geom in fixed for i in idxs)
         for scale, geom in fixed:
@@ -868,8 +924,13 @@ def hit_target_size_batched(ctx: Optional[Context],
         stack_dev = None
         if (jpeg_idx or not want_jpeg) and not _ctx_err(ctx):
             # Upload the bucket ONCE (uint8); every S1/S2/S3 probe
-            # reuses it.
-            stack_dev = jnp.asarray(np.stack(arrs))
+            # reuses it.  One batched device_put of the per-image
+            # arrays + an on-device stack: np.stack alone costs ~0.9 s
+            # per 64×500² bucket on this memory-bandwidth-starved host
+            # (round-5b measurement), and the transfer serializer reads
+            # the source buffers either way.
+            parts = jax.device_put(arrs)
+            stack_dev = _stack_bucket_jit(tuple(parts))
 
         # The three strategies are independent until the better_fit
         # ranking (hit_target_size runs ALL of them, no early exit —
