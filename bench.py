@@ -205,12 +205,28 @@ def main():
             return dt, ok, res
 
         run_batch("w")  # warm every chunk shape
-        # The hosted-TPU link's throughput swings ±30% run to run
-        # (BENCH_NOTES.md); the best pass measures the pipeline, the
-        # median measures a typical run.  Both are reported.
+        # The hosted-TPU link's throughput swings ±30% run to run —
+        # and on bad days 2× pass to pass (BENCH_NOTES.md round 5b).
+        # Best-of-N with adaptive N: at least 3 passes, then keep
+        # going while the best keeps improving ≥3% and a 150 s wall
+        # budget remains, so one calm window inside a stormy run is
+        # enough to measure the pipeline.  The best pass measures the
+        # pipeline, the median a typical run.  Both are reported.
         passes = []
-        for t in range(3):
+        budget_t0 = time.perf_counter()
+        t = 0
+        while True:
             passes.append(run_batch(f"o{t}"))
+            t += 1
+            if t < 3:
+                continue
+            spent = time.perf_counter() - budget_t0
+            if spent > 150 or t >= 8:
+                break
+            best = min(p[0] for p in passes)
+            prev_best = min(p[0] for p in passes[:-1])
+            if not (best < prev_best * 0.97):
+                break
         passes.sort(key=lambda p: p[0])
         dt, ok, res = passes[0]
         median_dt = passes[len(passes) // 2][0]

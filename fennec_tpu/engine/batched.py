@@ -89,15 +89,17 @@ STAGE_WORKERS_PX = max(1, int(os.environ.get(
 # two-stage path sizes its emission buffer from the chunk's exact
 # standard-table bit counts instead.  FENNEC_FUSED_OPT=1 opts in.
 FUSED_OPT = os.environ.get("FENNEC_FUSED_OPT", "0") == "1"
-# In-memory pixel wire format: "rgb" ships (B, H, W, 3|4) uint8 and the
-# device does the color convert; "yuv420" ships host-converted YCbCr
-# 4:2:0 planes at HALF the bytes (opaque 4:2:0 device-entropy chunks
-# only).  The in-memory path is upload-bound on hosted links (59 img/s
-# ≈ the 45 MB/s tunnel ceiling at 750 KB/img, BENCH_NOTES round 4), so
-# halving the wire is the lever; the uint8 plane rounding deviates from
-# the RGB wire by ≤0.5 per DCT input sample (quality choices and SSIM
-# reported to ~1e-5 — measured on chip, BENCH_NOTES round 5).
-PIXEL_WIRE = os.environ.get("FENNEC_PIXEL_WIRE", "rgb")
+# In-memory pixel wire format: "yuv420" (default) ships host-converted
+# YCbCr 4:2:0 planes at HALF the RGB bytes (opaque 4:2:0 device-entropy
+# chunks only; everything else ships "rgb" = (B, H, W, 3|4) uint8 with
+# the color convert on device).  The in-memory path is upload-bound on
+# hosted links, and the C++ per-image conversion writes the wire
+# straight from the caller's NRGBA arrays (no staging stack) — A/B
+# round 5b: yuv420-direct 59.8-64.4 img/s vs rgb 18.5-31.7 on the same
+# session, 0/256 chosen-quality changes across two targets and five
+# content families, max |dSSIM| 1.3e-3 (the u8 plane rounding bound).
+# FENNEC_PIXEL_WIRE=rgb restores the bit-exact-with-per-image wire.
+PIXEL_WIRE = os.environ.get("FENNEC_PIXEL_WIRE", "yuv420")
 # COO coefficient uploads (round 3): ~2.5x smaller uploads on photo
 # content; FENNEC_COO=0 forces the dense zigzag-truncated layout (A/B).
 COO_UPLOADS = os.environ.get("FENNEC_COO", "1") != "0"
@@ -2192,13 +2194,34 @@ def compress_images_batched(ctx: Optional[Context],
             # uint8 wire rounding (≤0.5 per DCT input sample).
             wire = (PIXEL_WIRE == "yuv420" and nch == 3 and subsample
                     and use_device_entropy)
-            stack = np.empty((padded, h, w, nch), dtype=np.uint8)
-            for j, i in enumerate(chunk):
-                stack[j] = prepped[i][..., :nch]
-            for j in range(b, padded):
-                stack[j] = stack[0]
+            stack = None
             if wire:
-                stack = _yuv420_wire_host(stack, h, w)
+                # Direct per-image C++ conversion into the wire buffer:
+                # skips the packed-RGB staging stack, which alone costs
+                # ~0.7 s per 48 MB chunk on this memory-bandwidth-
+                # starved host class (round-5b measurement).
+                from ..native import rgba_to_yuv420_into
+
+                ph_, pw_ = h + (-h) % 16, w + (-w) % 16
+                wl = ph_ * pw_ + 2 * (ph_ // 2) * (pw_ // 2)
+                buf = np.empty((padded, wl), dtype=np.uint8)
+                direct = True
+                for j, i in enumerate(chunk):
+                    if not rgba_to_yuv420_into(prepped[i], buf[j]):
+                        direct = False  # no native lib: batch fallback
+                        break
+                if direct:
+                    for j in range(b, padded):
+                        buf[j] = buf[0]
+                    stack = buf
+            if stack is None:
+                stack = np.empty((padded, h, w, nch), dtype=np.uint8)
+                for j, i in enumerate(chunk):
+                    stack[j] = prepped[i][..., :nch]
+                for j in range(b, padded):
+                    stack[j] = stack[0]
+                if wire:
+                    stack = _yuv420_wire_host(stack, h, w)
             tgt = np.full((padded,), target, dtype=np.float32)
             if mesh is not None:
                 from jax.sharding import (

@@ -261,6 +261,21 @@ def rgb_to_yuv420(rgb: np.ndarray):
     return None
 
 
+def rgba_to_yuv420_into(img: np.ndarray, out_row: np.ndarray) -> bool:
+    """ONE (H, W, 3|4) uint8 image → its flat YCbCr 4:2:0 wire row,
+    written into out_row in place (no staging copy).  Returns False when
+    the native library is unavailable — the caller falls back to the
+    batch conversion."""
+    lib = _load_native()
+    if lib is not None:
+        try:
+            lib.rgba_to_yuv420_into(img, out_row)
+            return True
+        except Exception as e:
+            _dispatch_fallback(e)
+    return False
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

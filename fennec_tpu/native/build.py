@@ -153,6 +153,14 @@ class NativeLib:
             ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p,
         ]
+        try:  # prebuilt .so shipped without source may predate this
+            lib.fennec_rgba_to_yuv420_one.restype = ctypes.c_int
+            lib.fennec_rgba_to_yuv420_one.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p,
+            ]
+        except AttributeError:
+            pass
 
     # ── JPEG ────────────────────────────────────────────────────────────
 
@@ -514,6 +522,28 @@ class NativeLib:
         if rc != 0:
             raise RuntimeError("fennec native: rgb_to_yuv420 failed")
         return out
+
+    def rgba_to_yuv420_into(self, img: np.ndarray,
+                            out_row: np.ndarray) -> None:
+        """ONE (H, W, C≥3) uint8 image (any C-contiguous row layout with
+        pixel stride 3 or 4 — an NRGBA array or a [..., :3] view of one)
+        → its flat YCbCr 4:2:0 wire row, written in place.  Skips the
+        packed-RGB staging copy the batch entry needs."""
+        h, w = img.shape[:2]
+        ps = img.strides[1]
+        if (img.dtype != np.uint8 or ps not in (3, 4)
+                or img.strides[2] != 1 or img.strides[0] != w * ps):
+            # Non-trivial layout: fall back through a contiguous copy.
+            img = np.ascontiguousarray(img[..., :3], dtype=np.uint8)
+            ps = 3
+        if not hasattr(self._lib, "fennec_rgba_to_yuv420_one"):
+            raise RuntimeError("fennec native: library predates "
+                               "rgba_to_yuv420_one")
+        rc = self._lib.fennec_rgba_to_yuv420_one(
+            img.ctypes.data_as(ctypes.c_void_p), h, w, ps,
+            out_row.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise RuntimeError("fennec native: rgba_to_yuv420 failed")
 
     def png_filter(self, data: np.ndarray, bpp: int,
                    heuristic: bool = True) -> bytes:

@@ -1222,75 +1222,100 @@ long fennec_build_optimal_specs(long nimg, const int64_t *dc_freq,
 // (tests/test_pixel_wire.py).  Integer math auto-vectorizes ~6× faster
 // than the float version on the 1-core host (the wire's feeder cost is
 // the whole question there).
-int fennec_rgb_to_yuv420(const uint8_t *rgb, long b, int h, int w,
-                         uint8_t *out) {
+static void yuv420_one(const uint8_t *img, int h, int w, int ps,
+                       uint8_t *yo, int32_t *cb_full, int32_t *cr_full) {
+  // ps = pixel stride in bytes (3 for packed RGB, 4 for RGBA views —
+  // lets the batch feeder convert straight from its NRGBA images
+  // without a repack pass, which costs real time on memory-bandwidth-
+  // starved hosts).
   int ph = h + ((16 - (h % 16)) % 16);
   int pw = w + ((16 - (w % 16)) % 16);
   int ch = ph / 2, cw = pw / 2;
   long npix = (long)ph * pw;
   long nchr = (long)ch * cw;
-  // Chroma kept at 16.16 through the 2×2 mean (sum of 4 + >>2 keeps
-  // the fraction), rounded once at the end.
-  int32_t *cb_full = (int32_t *)std::malloc(sizeof(int32_t) * npix * 2);
-  if (!cb_full) return -1;
-  int32_t *cr_full = cb_full + npix;
+  uint8_t *cbo = yo + npix;
+  uint8_t *cro = cbo + nchr;
   const int32_t YR = 19595, YG = 38470, YB = 7471;        // *2^16
   const int32_t CBR = 11058, CBG = 21710, CBB = 32768;    // *2^16
   const int32_t CRR = 32768, CRG = 27439, CRB = 5329;     // *2^16
   const int32_t OFF = 128 << 16;
-  for (long j = 0; j < b; j++) {
-    const uint8_t *img = rgb + j * (long)h * w * 3;
-    uint8_t *yo = out + j * (npix + 2 * nchr);
-    uint8_t *cbo = yo + npix;
-    uint8_t *cro = cbo + nchr;
-    for (int y = 0; y < ph; y++) {
-      const uint8_t *row = img + (long)(y < h ? y : h - 1) * w * 3;
-      int32_t *cbrow = cb_full + (long)y * pw;
-      int32_t *crrow = cr_full + (long)y * pw;
-      uint8_t *yrow = yo + (long)y * pw;
-      int inner = (y < h) ? w : 0;  // pad rows copy the clamped row
-      for (int x = 0; x < inner; x++) {
-        const uint8_t *px = row + (long)x * 3;
-        int32_t r = px[0], g = px[1], bl = px[2];
-        int32_t yy = YR * r + YG * g + YB * bl;           // 16.16
-        yrow[x] = (uint8_t)((yy + 32768) >> 16);          // ≤255 always
-        cbrow[x] = OFF - CBR * r - CBG * g + CBB * bl;
-        crrow[x] = OFF + CRR * r - CRG * g - CRB * bl;
-      }
-      if (y < h) {
-        for (int x = w; x < pw; x++) {  // edge-replicate right pad
-          yrow[x] = yrow[w - 1];
-          cbrow[x] = cbrow[w - 1];
-          crrow[x] = crrow[w - 1];
-        }
-      } else {  // edge-replicate bottom pad
-        std::memcpy(yrow, yo + (long)(h - 1) * pw, pw);
-        std::memcpy(cbrow, cb_full + (long)(h - 1) * pw,
-                    sizeof(int32_t) * pw);
-        std::memcpy(crrow, cr_full + (long)(h - 1) * pw,
-                    sizeof(int32_t) * pw);
-      }
+  for (int y = 0; y < ph; y++) {
+    const uint8_t *row = img + (long)(y < h ? y : h - 1) * w * ps;
+    int32_t *cbrow = cb_full + (long)y * pw;
+    int32_t *crrow = cr_full + (long)y * pw;
+    uint8_t *yrow = yo + (long)y * pw;
+    int inner = (y < h) ? w : 0;  // pad rows copy the clamped row
+    for (int x = 0; x < inner; x++) {
+      const uint8_t *px = row + (long)x * ps;
+      int32_t r = px[0], g = px[1], bl = px[2];
+      int32_t yy = YR * r + YG * g + YB * bl;             // 16.16
+      yrow[x] = (uint8_t)((yy + 32768) >> 16);            // ≤255 always
+      cbrow[x] = OFF - CBR * r - CBG * g + CBB * bl;
+      crrow[x] = OFF + CRR * r - CRG * g - CRB * bl;
     }
-    for (int y = 0; y < ch; y++) {
-      const int32_t *r0b = cb_full + (long)(2 * y) * pw;
-      const int32_t *r1b = cb_full + (long)(2 * y + 1) * pw;
-      const int32_t *r0r = cr_full + (long)(2 * y) * pw;
-      const int32_t *r1r = cr_full + (long)(2 * y + 1) * pw;
-      uint8_t *cbr = cbo + (long)y * cw;
-      uint8_t *crr = cro + (long)y * cw;
-      for (int x = 0; x < cw; x++) {
-        // Mean of 4 × 16.16 values; +2 rounds the >>2, +32768 the >>16.
-        int64_t mb = ((int64_t)r0b[2 * x] + r0b[2 * x + 1]
-                      + r1b[2 * x] + r1b[2 * x + 1] + 2) >> 2;
-        int64_t mr = ((int64_t)r0r[2 * x] + r0r[2 * x + 1]
-                      + r1r[2 * x] + r1r[2 * x + 1] + 2) >> 2;
-        int32_t vb = (int32_t)((mb + 32768) >> 16);
-        int32_t vr = (int32_t)((mr + 32768) >> 16);
-        cbr[x] = (uint8_t)(vb < 0 ? 0 : (vb > 255 ? 255 : vb));
-        crr[x] = (uint8_t)(vr < 0 ? 0 : (vr > 255 ? 255 : vr));
+    if (y < h) {
+      for (int x = w; x < pw; x++) {  // edge-replicate right pad
+        yrow[x] = yrow[w - 1];
+        cbrow[x] = cbrow[w - 1];
+        crrow[x] = crrow[w - 1];
       }
+    } else {  // edge-replicate bottom pad
+      std::memcpy(yrow, yo + (long)(h - 1) * pw, pw);
+      std::memcpy(cbrow, cb_full + (long)(h - 1) * pw,
+                  sizeof(int32_t) * pw);
+      std::memcpy(crrow, cr_full + (long)(h - 1) * pw,
+                  sizeof(int32_t) * pw);
     }
   }
+  for (int y = 0; y < ch; y++) {
+    const int32_t *r0b = cb_full + (long)(2 * y) * pw;
+    const int32_t *r1b = cb_full + (long)(2 * y + 1) * pw;
+    const int32_t *r0r = cr_full + (long)(2 * y) * pw;
+    const int32_t *r1r = cr_full + (long)(2 * y + 1) * pw;
+    uint8_t *cbr = cbo + (long)y * cw;
+    uint8_t *crr = cro + (long)y * cw;
+    for (int x = 0; x < cw; x++) {
+      // Mean of 4 × 16.16 values; +2 rounds the >>2, +32768 the >>16.
+      int64_t mb = ((int64_t)r0b[2 * x] + r0b[2 * x + 1]
+                    + r1b[2 * x] + r1b[2 * x + 1] + 2) >> 2;
+      int64_t mr = ((int64_t)r0r[2 * x] + r0r[2 * x + 1]
+                    + r1r[2 * x] + r1r[2 * x + 1] + 2) >> 2;
+      int32_t vb = (int32_t)((mb + 32768) >> 16);
+      int32_t vr = (int32_t)((mr + 32768) >> 16);
+      cbr[x] = (uint8_t)(vb < 0 ? 0 : (vb > 255 ? 255 : vb));
+      crr[x] = (uint8_t)(vr < 0 ? 0 : (vr > 255 ? 255 : vr));
+    }
+  }
+}
+
+int fennec_rgb_to_yuv420(const uint8_t *rgb, long b, int h, int w,
+                         uint8_t *out) {
+  int ph = h + ((16 - (h % 16)) % 16);
+  int pw = w + ((16 - (w % 16)) % 16);
+  long npix = (long)ph * pw;
+  long nchr = (long)(ph / 2) * (pw / 2);
+  // Chroma kept at 16.16 through the 2×2 mean (sum of 4 + >>2 keeps
+  // the fraction), rounded once at the end.
+  int32_t *cb_full = (int32_t *)std::malloc(sizeof(int32_t) * npix * 2);
+  if (!cb_full) return -1;
+  for (long j = 0; j < b; j++)
+    yuv420_one(rgb + j * (long)h * w * 3, h, w, 3,
+               out + j * (npix + 2 * nchr), cb_full, cb_full + npix);
+  std::free(cb_full);
+  return 0;
+}
+
+// One image, arbitrary pixel stride (4 = NRGBA views), writing its wire
+// row directly into the caller's buffer: the feeder skips the packed
+// RGB staging stack entirely.
+int fennec_rgba_to_yuv420_one(const uint8_t *img, int h, int w, int ps,
+                              uint8_t *out) {
+  int ph = h + ((16 - (h % 16)) % 16);
+  int pw = w + ((16 - (w % 16)) % 16);
+  long npix = (long)ph * pw;
+  int32_t *cb_full = (int32_t *)std::malloc(sizeof(int32_t) * npix * 2);
+  if (!cb_full) return -1;
+  yuv420_one(img, h, w, ps, out, cb_full, cb_full + npix);
   std::free(cb_full);
   return 0;
 }
