@@ -422,6 +422,11 @@ def _s1_search_batch(pool, stack_dev: jax.Array, h: int, w: int,
     budget = max(0, target_bytes - _header_len(w, h))
     q_dev, found_dev, coefs = _s1_stage1_jit(
         stack_dev, jnp.int32(budget), jnp.int32(lo), jnp.int32(hi))
+    for hh in (q_dev, found_dev):  # overlap the two small pulls
+        try:
+            hh.copy_to_host_async()
+        except Exception:
+            pass
     q = np.asarray(q_dev).astype(np.int64)
     ok = np.asarray(found_dev).copy()
     b = q.shape[0]
@@ -742,6 +747,17 @@ def _s3_batched(ctx, pool, stack_dev, arrs: List[np.ndarray], h: int,
         inflight = [(geom, group, _probe_scales_dispatch(
             stack_dev, group, w, h, geom[0], geom[1], target_bytes,
             pad_to)) for geom, group in groups.items()]
+        # Start EVERY group's device→host copy before the first blocking
+        # pull: the serial per-group np.asarray loop paid one ~0.1-0.2 s
+        # tunnel RTT per group (round-5b warm profile: 11 groups ≈ 2.2 s
+        # of a 3.0 s n=64 bucket); async copies overlap into ~one RTT
+        # plus the (tiny) transfer times.
+        for _, _, handles in inflight:
+            for hh in handles:
+                try:
+                    hh.copy_to_host_async()
+                except Exception:
+                    pass  # non-jax handle / backend without async copy
         for geom, group, handles in inflight:
             fits, qs = _probe_collect(handles, len(group))
             for k, i in enumerate(group):

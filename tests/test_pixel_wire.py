@@ -60,6 +60,34 @@ class TestWireHostConversion:
         assert np.max(np.abs(got_cb - cb)) <= 0.53
         assert np.max(np.abs(got_cr - cr)) <= 0.53
 
+    def test_direct_strided_matches_batch_entry(self):
+        """The per-image strided entry (feeder fast path: converts
+        straight from NRGBA arrays, no staging stack) must be byte-
+        identical to the batch entry for every accepted layout."""
+        import fennec_tpu.native as nat
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (52, 36, 4), dtype=np.uint8)
+        img[..., 3] = 255
+        batch = nat.rgb_to_yuv420(np.ascontiguousarray(img[None, ..., :3]))
+        if batch is None:
+            pytest.skip("native runtime unavailable")
+        row = np.empty(batch.shape[1], np.uint8)
+        for layout in (img,                                 # RGBA, ps=4
+                       np.ascontiguousarray(img[..., :3]),  # RGB, ps=3
+                       img[..., :3],                        # strided view
+                       img[::1, ::1][..., :3].astype(np.uint8)[::1]):
+            row[:] = 0
+            assert nat.rgba_to_yuv420_into(layout, row)
+            assert np.array_equal(batch[0], row), layout.strides
+        # Non-trivial layout (negative stride) goes through the
+        # contiguous-copy fallback and still matches the flipped image.
+        flipped = img[::-1, :, :3]
+        batch_f = nat.rgb_to_yuv420(np.ascontiguousarray(flipped)[None])
+        row[:] = 0
+        assert nat.rgba_to_yuv420_into(flipped, row)
+        assert np.array_equal(batch_f[0], row)
+
     def test_native_matches_numpy_within_1_lsb(self):
         import fennec_tpu.native as nat
 
